@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expression computing the reference's 64-bit shard hash
+  * `murmur3_64(subj)` (reference call sites: query/query.go:37,
+  * core/http.go:70, network/network.go:284). A native `Expression` with
+  * codegen (not a Scala UDF) so it stays inside whole-stage codegen in
+  * the scan→filter hot path.
+  */
+case class Murmur64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_murmur64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Murmur3x64.hash64(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Murmur3x64.hash64($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Murmur64Expr =
+    copy(child = newChild)
+}
+
+/** Column-level function surface of the engine. SQL names are registered
+  * under `graft_*` via [[GraftFunctions.register]].
+  */
+object GraftFunctions {
+  @volatile private var registered = false
+
+  /** Registers the `graft_*` SQL functions in the session's registry.
+    * Idempotent; call once per session (TripleStore does this).
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_murmur64", exprs => Murmur64Expr(exprs.head), "built-in")
+    registered = true
+  }
+
+  /** 64-bit murmur3 shard hash of a string column. Built directly from
+    * the Catalyst expression (no session registry needed). The cast keeps
+    * arbitrary inputs safe since we skip `ExpectsInputTypes`
+    * (`AbstractDataType` is private[sql]).
+    */
+  def murmur64(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Murmur64Expr(ColumnBridge.expression(c.cast("string"))))
+  }
+
+  /** Canonical binary encoding of a triple's logical content — our
+    * deterministic stand-in for the reference's proto marshal
+    * (reference: crypto/fingerprint.go:10-17; bloom keys
+    * triplestore/bloom.go:26-30). Divergence (documented): the reference
+    * keys blooms on the full proto encoding *including* sig/created, so a
+    * re-signed copy of a triple gets a new key; we key on
+    * (subj,pred,obj,lang) which strictly improves diff accuracy.
+    * `\u0000` separates fields (cannot occur in the data).
+    */
+  def canonicalKey(subj: Column, pred: Column, obj: Column, lang: Column): Column =
+    concat_ws("\u0000", subj, pred, obj, lang)
+
+  def canonicalKey(): Column =
+    canonicalKey(col("subj"), col("pred"), col("obj"), col("lang"))
+
+  /** SHA-1 fingerprint of the canonical encoding, hex string (reference:
+    * crypto/fingerprint.go:10-17 — SHA-1 over the encoded triple).
+    * Built-in `sha1` keeps this codegen'd.
+    */
+  def fingerprint(): Column = sha1(canonicalKey().cast("binary"))
+
+  /** Scala-side canonical key + fingerprint (for driver-side checks). */
+  def canonicalKeyScala(subj: String, pred: String, obj: String, lang: String): String =
+    s"$subj\u0000$pred\u0000$obj\u0000$lang"
+
+  def fingerprintScala(subj: String, pred: String, obj: String, lang: String): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(canonicalKeyScala(subj, pred, obj, lang)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}

@@ -1,0 +1,239 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.expr.PatternCompiler
+import graft.functions.{GraftFunctions, Murmur3x64, TripleCrypto}
+import graft.model.{ArrayOp, Keyspace, Triple}
+
+/** Parquet-backed triple store — the Spark-native replacement for the
+  * reference's SQLite shard (reference: triplestore/triplestore.go).
+  *
+  * Scale design (100 TB / 1000 executors):
+  *  - Data lives in parquet partitioned by `bucket =
+  *    murmur3_64(subj) mod numBuckets` — the same shard function as the
+  *    reference's keyspace ring (network/network.go:283-289), so a
+  *    subject-rooted query prunes to one partition directory
+  *    (Catalyst partition pruning replaces the reference's peer routing,
+  *    core/query.go:78-106).
+  *  - Rows are sorted by (subj, pred, obj) within files so parquet
+  *    min/max row-group stats replace the reference's idx_subj
+  *    (triplestore.go:40-42); predicate pushdown replaces idx_pred.
+  *  - Inserts dedup via a left-anti join on (subj,pred,obj) — the
+  *    unique-index semantics of triplestore.go:134-148 — shuffled on the
+  *    identity key, never collected to the driver.
+  */
+final class TripleStore(
+    val spark: SparkSession,
+    val path: String,
+    val numBuckets: Int = 64
+) {
+  import TripleStore._
+  GraftFunctions.register(spark)
+
+  private def exists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  /** All triples, logical schema only (bucket column dropped). */
+  def all: DataFrame =
+    if (exists) spark.read.parquet(path).select(Triple.columns.map(col): _*)
+    else emptyTriples(spark)
+
+  /** Raw read including the `bucket` partition column. */
+  def raw: DataFrame =
+    if (exists) spark.read.parquet(path)
+    else emptyTriples(spark).withColumn("bucket", bucketCol)
+
+  /** Insert with (subj,pred,obj) dedup; returns the number actually
+    * inserted (reference: triplestore/triplestore.go:134-148 — unique
+    * index violations silently dropped, count of survivors returned).
+    *
+    * At 100 TB the count forces a pass over the batch (not the store —
+    * the anti-join build side is the store, probe is the batch); pass
+    * `countInserted = false` to skip the extra action.
+    */
+  def insert(batch: DataFrame, countInserted: Boolean = true): Long = {
+    val cleaned = conform(batch)
+      .dropDuplicates(Triple.identityColumns)
+    val novel = cleaned.join(
+      all.select(Triple.identityColumns.map(col): _*),
+      Triple.identityColumns, "left_anti")
+    val toWrite = novel.withColumn("bucket", bucketCol)
+    if (countInserted) {
+      // Cache the survivors: the anti-join must not be recomputed after
+      // the write (the store would then already contain the rows).
+      toWrite.persist()
+      try {
+        val n = toWrite.count()
+        writeBuckets(toWrite)
+        n
+      } finally toWrite.unpersist()
+    } else {
+      writeBuckets(toWrite)
+      -1L
+    }
+  }
+
+  // One shuffle: co-partition by bucket so each task writes one
+  // directory; sort within partitions for row-group stat pruning.
+  private def writeBuckets(toWrite: DataFrame): Unit =
+    toWrite
+      .repartition(numBuckets, col("bucket"))
+      .sortWithinPartitions("subj", "pred", "obj")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
+  /** Pattern/ArrayOp query with optional limit (reference:
+    * triplestore/triplestore.go:49-77). `limit <= 0` = unlimited.
+    * Divergence (documented): the reference applies the limit per local
+    * shard and drops it on remote forwards (core/query.go:117-124), so
+    * its global result can over-return; ours is globally exact.
+    */
+  def query(op: ArrayOp, limit: Int = -1): DataFrame = {
+    val pred = PatternCompiler.compile(op)
+    val base = PatternCompiler.prunedBuckets(op, numBuckets) match {
+      case Some(buckets) if exists =>
+        // Rooted query: prune to the owning buckets (replaces the
+        // reference's keyspace peer routing, core/query.go:78-106).
+        spark.read.parquet(path)
+          .filter(col("bucket").isin(buckets.toSeq: _*))
+          .select(Triple.columns.map(col): _*)
+      case _ => all
+    }
+    val filtered = base.filter(pred)
+    if (limit > 0) filtered.limit(limit) else filtered
+  }
+
+  def query(op: ArrayOp, limit: Int, keyspace: Option[Keyspace]): DataFrame = {
+    val q = query(op, limit)
+    keyspace match {
+      case Some(ks) => q.filter(keyspaceIncludes(ks, GraftFunctions.murmur64(col("subj"))))
+      case None     => q
+    }
+  }
+
+  def count(): Long = all.count()
+
+  /** Store info (reference: triplestore/triplestore.go:150-170 — COUNT(*)
+    * + file size).
+    */
+  def info(): StoreInfo = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = if (exists) fs.getContentSummary(p).getLength else 0L
+    StoreInfo(count(), bytes)
+  }
+
+  /** Bloom filter over canonical triple keys, optionally restricted to a
+    * keyspace slice by `murmur3_64(subj)` (reference:
+    * triplestore/bloom.go:13-37; FP 1e-9 constant triplestore.go:18-22).
+    * Distributed build via `stat.bloomFilter` (BloomFilterAggregate) —
+    * no driver-side row materialization.
+    */
+  def bloom(keyspace: Option[Keyspace] = None, fpp: Double = ReferenceFpp): BloomFilter = {
+    val slice = keyspace match {
+      case Some(ks) => all.filter(keyspaceIncludes(ks, GraftFunctions.murmur64(col("subj"))))
+      case None     => all
+    }
+    val keyed = slice.select(GraftFunctions.canonicalKey().as("k"))
+    val n = math.max(keyed.count(), 1L)
+    // Partial filters built per partition, merged pairwise on executors
+    // (treeAggregate), one small filter to the driver — scales to any
+    // row count without driver-side row materialization.
+    import org.apache.spark.sql.Encoders
+    keyed.as[String](Encoders.STRING).rdd.treeAggregate(BloomFilter.create(n, fpp))(
+      (f, s) => { f.putString(s); f },
+      (a, b) => { a.mergeInPlace(b); a })
+  }
+
+  /** Triples whose canonical key tests positive in `filter` — the
+    * replication-diff probe (reference: triplestore/bloom.go:39-73).
+    * The filter is broadcast; the probe is a map-side scan, no shuffle.
+    */
+  def triplesMatchingBloom(filter: BloomFilter): DataFrame = {
+    val bcast = spark.sparkContext.broadcast(filter)
+    val probe = udf { (k: String) => bcast.value.mightContainString(k) }
+    all.filter(probe(GraftFunctions.canonicalKey()))
+  }
+
+  /** Sign + stamp + insert pipeline (reference: core/http.go:62-92):
+    * sets `author`, `sig` (ECDSA over the SHA-1 fingerprint), one
+    * `created` timestamp for the whole batch (core/http.go:64).
+    */
+  def insertSigned(batch: DataFrame, key: TripleCrypto.KeyPair,
+      now: Long = System.currentTimeMillis() / 1000): Long = {
+    val bcastKey = spark.sparkContext.broadcast(key)
+    val author = key.authorId
+    val signUdf = udf { (subj: String, pred: String, obj: String, lang: String) =>
+      TripleCrypto.signHex(subj, pred, obj, lang, bcastKey.value)
+    }
+    val signed = conform(batch)
+      .withColumn("author", lit(author))
+      .withColumn("sig", signUdf(col("subj"), col("pred"), col("obj"), col("lang")))
+      .withColumn("created", lit(now))
+    insert(signed)
+  }
+
+  private def bucketCol: Column =
+    pmod(GraftFunctions.murmur64(col("subj")), lit(numBuckets.toLong)).cast("int")
+}
+
+object TripleStore {
+  /** Reference's bloom FP constant (triplestore/triplestore.go:18-22). */
+  val ReferenceFpp: Double = 1e-9
+
+  final case class StoreInfo(triples: Long, diskBytes: Long)
+
+  /** Conform an arbitrary-schema batch to the triple schema: missing
+    * provenance columns default to ""/0 (proto3 zero values).
+    */
+  def conform(df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    val withDefaults = Triple.columns.foldLeft(df) { (acc, c) =>
+      if (present.contains(c)) acc
+      else if (c == "created") acc.withColumn(c, lit(0L))
+      else acc.withColumn(c, lit(""))
+    }
+    withDefaults.select(
+      col("subj").cast("string"),
+      col("pred").cast("string"),
+      col("obj").cast("string"),
+      // provenance fields: null coalesces to the proto3 zero value
+      coalesce(col("lang").cast("string"), lit("")).as("lang"),
+      coalesce(col("author").cast("string"), lit("")).as("author"),
+      coalesce(col("sig").cast("string"), lit("")).as("sig"),
+      coalesce(col("created").cast("long"), lit(0L)).as("created"))
+      // A triple without an identity is not a triple — null subj/pred/obj
+      // (e.g. from malformed JSON) must never reach the store.
+      .filter(col("subj").isNotNull && col("pred").isNotNull && col("obj").isNotNull)
+  }
+
+  def emptyTriples(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Triple].toDF()
+  }
+
+  /** Keyspace membership as a Column predicate over a hash column —
+    * unsigned ring-interval test (reference: protocol/keyspace.go:4-12).
+    * Expressed with XOR(min-long) to map unsigned order onto signed order
+    * so the whole predicate stays codegen-able (no UDF).
+    */
+  def keyspaceIncludes(ks: Keyspace, hash: Column): Column = {
+    val Min = Long.MinValue
+    val a = hash.bitwiseXOR(Min)
+    val s = lit(ks.start ^ Min)
+    val e = lit(ks.end ^ Min)
+    (s <= a && a < e) || (a < e && e < s) || (e < s && s <= a)
+  }
+
+  /** Driver-side shard-bucket of a subject. Must match `bucketCol`'s
+    * `pmod` (signed floor-mod) semantics exactly — NOT unsigned modulo,
+    * which differs for non-power-of-2 bucket counts.
+    */
+  def bucketOf(subj: String, numBuckets: Int): Int =
+    math.floorMod(Murmur3x64.hash64(subj), numBuckets.toLong).toInt
+}

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.Engine
+import graft.store.TripleStore
+
+/** Thin driver facade mirroring the reference's REST surface
+  * (reference: core/http.go:30-35 — /api/v1/{insert,query,triples,info}).
+  * Usage:
+  *   graft.tools.TripleCli <storePath> insert '<json triples>'
+  *   graft.tools.TripleCli <storePath> query  '<json patterns>' [limit]
+  *   graft.tools.TripleCli <storePath> triples
+  *   graft.tools.TripleCli <storePath> info
+  */
+object TripleCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: TripleCli <storePath> <insert|query|triples|info> [json] [limit]")
+    val Array(path, cmd) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val store = new TripleStore(spark, path)
+    val engine = new Engine(store)
+    try cmd match {
+      case "insert" =>
+        // JSON array of full triples; signed + stamped like the
+        // reference's signAndInsertTriples (core/http.go:62-92).
+        // Malformed JSON is an error, never a silent null row
+        // (reference rejects undecodable bodies, core/http.go:44-50).
+        val text = jsonArg(args(2))
+        val parsed = Engine.parseJsonQuery(text) // validates shape + fields
+        import spark.implicits._
+        val df = parsed.triples.map(p => graft.model.Triple(
+          p.subj.getOrElse(""), p.pred.getOrElse(""), p.obj.getOrElse(""),
+          p.lang.getOrElse(""))).toDF()
+        val key = graft.functions.TripleCrypto.generateKeyPair()
+        val n = store.insertSigned(df, key)
+        println(s"""{"inserted":$n}""")
+      case "query" =>
+        val limit = if (args.length > 3) args(3).toInt else -1
+        engine.queryJson(jsonArg(args(2)), limit).toJSON.collect().foreach(println)
+      case "triples" =>
+        engine.triples().toJSON.collect().foreach(println)
+      case "info" =>
+        val i = store.info()
+        println(s"""{"triples":${i.triples},"diskBytes":${i.diskBytes}}""")
+      case other => sys.error(s"unknown command: $other")
+    } finally spark.stop()
+  }
+
+  /** `@path` reads JSON from a file (shells and sbt split inline JSON on
+    * spaces); anything else is taken literally.
+    */
+  private def jsonArg(a: String): String =
+    if (a.startsWith("@"))
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(a.drop(1))),
+        java.nio.charset.StandardCharsets.UTF_8)
+    else a
+}

@@ -1,0 +1,190 @@
+package graft
+
+import graft.engine.Engine
+import graft.model.{ArrayOp, Triple, TriplePattern}
+import graft.store.TripleStore
+
+/** Store semantics over the reference's canonical fixtures
+  * (triplestore/triplestore_test.go:15-36 Obama/Hume set; expected
+  * results pinned by triplestore_test.go:64-141, 281-379).
+  */
+class TripleStoreSpec extends SparkSpecBase {
+  import ArrayOp.{And, Not, Or}
+
+  // The canonical 4-triple fixture (FIXTURES.md §A.1).
+  val fixture: Seq[Triple] = Seq(
+    Triple("/m/02mjmr", "/type/object/name", "Barack Obama"),
+    Triple("/m/02mjmr", "/type/object/type", "/people/person"),
+    Triple("/m/0hume", "/type/object/name", "Hume"),
+    Triple("/m/0hume", "/type/object/type", "/organization/team")
+  )
+
+  def freshStore(buckets: Int = 8): TripleStore =
+    new TripleStore(spark, tmpDir("graft-store") + "/triples", buckets)
+
+  def loaded(): TripleStore = {
+    import spark.implicits._
+    val st = freshStore()
+    st.insert(fixture.toDF())
+    st
+  }
+
+  def spo(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+    df.select("subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("insert returns count, dedup on (subj,pred,obj)") {
+    import spark.implicits._
+    val st = freshStore()
+    assert(st.insert(fixture.toDF()) == 4)
+    // re-insert: silently dropped (reference TestTripleDuplicates,
+    // triplestore_test.go:38-62); lang/author not part of identity
+    val again = fixture.map(_.copy(author = "someone-else"))
+    assert(st.insert(again.toDF()) == 0)
+    assert(st.count() == 4)
+  }
+
+  test("query by subject") {
+    val st = loaded()
+    val got = spo(st.query(ArrayOp.of(TriplePattern(subj = Some("/m/02mjmr")))))
+    assert(got == Set(
+      ("/m/02mjmr", "/type/object/name", "Barack Obama"),
+      ("/m/02mjmr", "/type/object/type", "/people/person")))
+  }
+
+  test("query by pred, and pred+obj") {
+    val st = loaded()
+    val byPred = spo(st.query(ArrayOp.of(TriplePattern(pred = Some("/type/object/name")))))
+    assert(byPred.map(_._3) == Set("Barack Obama", "Hume"))
+    val byBoth = spo(st.query(ArrayOp.of(
+      TriplePattern(pred = Some("/type/object/type"), obj = Some("/people/person")))))
+    assert(byBoth == Set(("/m/02mjmr", "/type/object/type", "/people/person")))
+  }
+
+  test("empty pattern matches all; limit caps") {
+    val st = loaded()
+    assert(st.query(ArrayOp.of(TriplePattern())).count() == 4)
+    assert(st.query(ArrayOp.of(TriplePattern()), limit = 2).count() == 2)
+  }
+
+  test("ArrayOp: AND of disjoint subjects is empty (triplestore_test.go:296-318)") {
+    val st = loaded()
+    val op = And(Seq(
+      TriplePattern(subj = Some("/m/02mjmr")),
+      TriplePattern(subj = Some("/m/0hume"))))
+    assert(st.query(op).count() == 0)
+  }
+
+  test("ArrayOp: OR of two subjects returns all four (triplestore_test.go:319-331)") {
+    val st = loaded()
+    val op = Or(Seq(
+      TriplePattern(subj = Some("/m/02mjmr")),
+      TriplePattern(subj = Some("/m/0hume"))))
+    assert(st.query(op).count() == 4)
+  }
+
+  test("ArrayOp: NOT is row-level negation (triplestore_test.go:346-367)") {
+    val st = loaded()
+    val op = Not(Seq(TriplePattern(subj = Some("/m/02mjmr"))))
+    val got = spo(st.query(op))
+    assert(got.map(_._1) == Set("/m/0hume"))
+  }
+
+  test("ArrayOp: nested AND(OR(subjects), NOT(pred))") {
+    val st = loaded()
+    val op = And(
+      triples = Nil,
+      args = Seq(
+        Or(Seq(
+          TriplePattern(subj = Some("/m/02mjmr")),
+          TriplePattern(subj = Some("/m/0hume")))),
+        Not(Seq(TriplePattern(pred = Some("/type/object/type"))))))
+    assert(spo(st.query(op)).map(_._3) == Set("Barack Obama", "Hume"))
+  }
+
+  test("traversal: step N+1 rooted at step N's objects (core/query.go:14-33)") {
+    import spark.implicits._
+    val st = freshStore()
+    // chain: a --knows--> b --knows--> c ; b --name--> "B"
+    st.insert(Seq(
+      Triple("a", "knows", "b"),
+      Triple("b", "knows", "c"),
+      Triple("b", "name", "B"),
+      Triple("c", "name", "C")).toDF())
+    val eng = new Engine(st)
+    val out = eng.executeQuery(Seq(
+      ArrayOp.of(TriplePattern(subj = Some("a"), pred = Some("knows"))),
+      ArrayOp.of(TriplePattern(pred = Some("name")))))
+    assert(spo(out) == Set(("b", "name", "B")))
+    // 3-step: a -> b -> c -> name
+    val out2 = eng.executeQuery(Seq(
+      ArrayOp.of(TriplePattern(subj = Some("a"))),
+      ArrayOp.of(TriplePattern(pred = Some("knows"))),
+      ArrayOp.of(TriplePattern(pred = Some("name")))))
+    assert(spo(out2) == Set(("c", "name", "C")))
+  }
+
+  test("JSON query parse + execute (query/query.go:16-22 wire format)") {
+    val st = loaded()
+    val eng = new Engine(st)
+    assert(eng.queryJson("""[{"subj":"/m/02mjmr"}]""").count() == 2)
+    assert(eng.queryJson("""[{}]""").count() == 4)
+    assert(eng.queryJson(
+      """[{"subj":"/m/02mjmr"},{"subj":"/m/0hume"}]""").count() == 4)
+    intercept[IllegalArgumentException] {
+      eng.parseQuery("""[{"nope":"x"}]""")
+    }
+  }
+
+  test("signed insert stamps author/sig/created; sig verifies") {
+    import spark.implicits._
+    val st = freshStore()
+    val key = graft.functions.TripleCrypto.generateKeyPair()
+    val n = st.insertSigned(fixture.toDF(), key, now = 1234567890L)
+    assert(n == 4)
+    val rows = st.all.collect()
+    assert(rows.forall(_.getAs[Long]("created") == 1234567890L))
+    assert(rows.forall(_.getAs[String]("author") == key.authorId))
+    rows.foreach { r =>
+      val fp = graft.functions.GraftFunctions.fingerprintScala(
+        r.getAs[String]("subj"), r.getAs[String]("pred"),
+        r.getAs[String]("obj"), r.getAs[String]("lang"))
+      val sig = r.getAs[String]("sig").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      assert(graft.functions.TripleCrypto.verify(fp, sig, key))
+    }
+  }
+
+  test("bloom build + probe round-trip (triplestore/bloom_test.go:14-97)") {
+    import spark.implicits._
+    val st = freshStore()
+    val big = (0 until 5000).map(i =>
+      Triple("/m/0test", "/type/object/name", s"Bloom $i")) ++ fixture
+    st.insert(big.toDF())
+    val bf = st.bloom()
+    // every stored triple must test positive
+    assert(st.triplesMatchingBloom(bf).count() == 5004)
+    // a filter over an empty keyspace matches nothing
+    val empty = st.bloom(Some(graft.model.Keyspace(1L, 1L)))
+    assert(st.triplesMatchingBloom(empty).count() == 0)
+  }
+
+  test("keyspace-sliced bloom only covers the slice") {
+    import spark.implicits._
+    val st = freshStore()
+    st.insert(fixture.toDF())
+    val h = graft.functions.Murmur3x64.hash64("/m/02mjmr")
+    val ks = graft.model.Keyspace(h, h + 1)
+    val bf = st.bloom(Some(ks))
+    val got = spo(st.triplesMatchingBloom(bf))
+    assert(got.map(_._1) == Set("/m/02mjmr"))
+  }
+
+  test("rooted query prunes partitions (bucket pushdown)") {
+    val st = loaded()
+    val plan = st.query(ArrayOp.of(TriplePattern(subj = Some("/m/02mjmr"))))
+      .queryExecution.executedPlan.toString
+    // the scan must carry a partition filter on bucket
+    assert(plan.contains("PartitionFilters") || plan.contains("bucket"))
+  }
+}
