@@ -41,10 +41,7 @@ final class Engine(val store: TripleStore) {
     require(steps.nonEmpty, "query needs at least one step")
     val first = store.query(steps.head)
     val joined = steps.tail.foldLeft(first) { (prev, step) =>
-      val frontier = prev.select(col("obj").as("subj")).distinct()
-      store.all
-        .join(frontier, Seq("subj"), "left_semi")
-        .filter(PatternCompiler.compile(step))
+      Engine.traverseStep(store.all, prev, step)
     }
     if (limit > 0) joined.limit(limit) else joined
   }
@@ -73,6 +70,26 @@ final class Engine(val store: TripleStore) {
 }
 
 object Engine {
+  /** One traversal hop over an arbitrary triples DataFrame: constrain the
+    * next step's subjects to the previous step's objects (semi-join), then
+    * apply the step's pattern filter. Exposed statically so the traversal
+    * semantics can run over derived triple views, not just a TripleStore.
+    */
+  def traverseStep(triples: DataFrame, prev: DataFrame, step: ArrayOp): DataFrame = {
+    val frontier = prev.select(col("obj").as("subj")).distinct()
+    triples
+      .join(frontier, Seq("subj"), "left_semi")
+      .filter(PatternCompiler.compile(step))
+  }
+
+  /** Full multi-step traversal over a triples DataFrame. */
+  def traverse(triples: DataFrame, steps: Seq[ArrayOp], limit: Int = -1): DataFrame = {
+    require(steps.nonEmpty, "query needs at least one step")
+    val first = triples.filter(PatternCompiler.compile(steps.head))
+    val joined = steps.tail.foldLeft(first)((prev, s) => traverseStep(triples, prev, s))
+    if (limit > 0) joined.limit(limit) else joined
+  }
+
   /** Minimal JSON parser for the reference's query format using Jackson
     * (already on the Spark classpath). Accepts `[{"subj":…,"pred":…,
     * "obj":…,"lang":…,"author":…}, …]`; unknown keys rejected.
