@@ -205,7 +205,235 @@ object Queries {
           |WHERE EXISTS (SELECT 1 FROM customer
           |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
           |GROUP BY l_orderkey
-          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // Window function: top-3 orders per customer by value.
+    "window_topk_per_customer" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "rn")
+          .orderBy("o_custkey", "rn")
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey, rn FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) WHERE rn <= 3
+          |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Distinct aggregate.
+    "agg_distinct_parts" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some(
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+          |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Grouping sets: ROLLUP with coalesced totals rows.
+    "rollup_pricing" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("qty", col("l_quantity").cast("decimal(12,2)"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Set ops: INTERSECT / EXCEPT (distinct semantics both engines).
+    "setop_intersect" -> Q(
+      (s, d) => Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+        .intersect(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey")))
+        .orderBy("custkey"),
+      Some(
+        """SELECT o_custkey AS custkey FROM orders
+          |INTERSECT
+          |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          |ORDER BY custkey""".stripMargin)),
+
+    "setop_except" -> Q(
+      (s, d) => Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
+        .orderBy("custkey"),
+      Some(
+        """SELECT c_custkey AS custkey FROM customer
+          |EXCEPT SELECT o_custkey AS custkey FROM orders
+          |ORDER BY custkey""".stripMargin)),
+
+    // Anti join (NOT EXISTS).
+    "join_anti_no_orders" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")),
+      Some(
+        """SELECT count(*) AS n FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // Multi-way join (TPC-H Q5 shape): revenue per ASIA nation.
+    "join_regional_revenue" -> Q(
+      (s, d) => {
+        val asiaNations = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d).withColumn("rev",
+          col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(12,2)")))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(sum("rev").as("revenue"))
+          .orderBy(desc("revenue"), asc("n_name"))
+      },
+      Some(
+        """SELECT n_name,
+          |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // Time-window aggregation over the events stream table (batch view of
+    // the Structured Streaming tumbling window — same plan shape).
+    "events_hourly" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .groupBy("hr", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)")).as("total"))
+        .orderBy("hr", "event_type"),
+      Some(
+        """SELECT date_trunc('hour', ts) AS hr, event_type,
+          |  count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS total
+          |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
+
+    // Sessionization: 30-minute inactivity gap, session count per user.
+    "events_sessionize" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("gap", when(col("prev_ts").isNotNull &&
+            (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg((sum("gap") + 1).cast("long").as("n_sessions"))
+          .orderBy("user_id")
+      },
+      Some(
+        """SELECT user_id, CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL
+          |    AND epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+          |FROM (SELECT user_id, ts, event_id,
+          |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |      FROM events)
+          |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Exact percentiles (interpolated) per group.
+    "percentile_order_value" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some(
+        """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
+          |  quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Manual pivot via conditional aggregation.
+    "pivot_revenue_by_flag" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).withColumn("rev",
+          col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(12,2)")))
+        li.groupBy("l_linestatus").agg(
+            coalesce(sum(when(col("l_returnflag") === "A", col("rev"))), lit(0)).as("rev_a"),
+            coalesce(sum(when(col("l_returnflag") === "N", col("rev"))), lit(0)).as("rev_n"),
+            coalesce(sum(when(col("l_returnflag") === "R", col("rev"))), lit(0)).as("rev_r"))
+          .orderBy("l_linestatus")
+      },
+      Some(
+        """SELECT l_linestatus,
+          |  coalesce(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS rev_a,
+          |  coalesce(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS rev_n,
+          |  coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS rev_r
+          |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // String functions: filter/group/scalar transforms.
+    "string_brand_stats" -> Q(
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_type").endsWith("BRASS"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum("p_size").as("sum_size"),
+          min(upper(col("p_name"))).as("first_name"))
+        .orderBy("p_brand"),
+      Some(
+        """SELECT p_brand, count(*) AS n, sum(p_size) AS sum_size,
+          |  min(upper(p_name)) AS first_name
+          |FROM part WHERE p_type LIKE '%BRASS'
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Date functions: yearly order stats.
+    "date_orders_by_year" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")).cast("long"))
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(12,2)")).as("total"))
+        .orderBy("yr"),
+      Some(
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
+          |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+          |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin)),
+
+    // Regexp extraction from the JSON-ish props payload (regexp on both
+    // sides — avoids DuckDB's json extension dependency).
+    "regexp_event_props" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some(
+        """SELECT event_type,
+          |  sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+          |  count(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Shard-hash distribution over the triples view — exercises the
+    // custom murmur3-64 Expression end-to-end (rows-only: DuckDB has no
+    // murmur3-64).
+    "shard_distribution" -> Q(
+      (s, d) => Tables.starTriples(s, d)
+        .withColumn("bucket", pmod(graft.functions.GraftFunctions.murmur64(col("subj")), lit(8L)))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
