@@ -433,8 +433,99 @@ object Queries {
         .withColumn("bucket", pmod(graft.functions.GraftFunctions.murmur64(col("subj")), lit(8L)))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket"),
+      None),
+
+    // ===== Extension: LLM-pipeline — text analysis =====
+    "text_stats" -> Q(
+      (s, d) => graft.ops.TextOps.stats(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(TextSql.stats)),
+
+    "text_langid_eval" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), graft.ops.TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"),
+      Some(TextSql.langidEval)),
+
+    // ===== Extension: LLM-pipeline — deduplication =====
+    "dedup_exact" -> Q(
+      (s, d) => graft.ops.Dedup.exactGroups(plantedDocs(s, d, exact = true))
+        .orderBy("fp"),
+      Some(TextSql.dedupExact)),
+
+    "dedup_minhash" -> Q(
+      (s, d) => graft.ops.Dedup.minhashPairs(plantedDocs(s, d, exact = false), k = 8, bands = 4)
+        .orderBy("a", "b"),
+      Some(TextSql.dedupMinhash)),
+
+    "dedup_minhash_fast" -> Q(
+      (s, d) => graft.ops.Dedup.minhashPairsFast(plantedDocs(s, d, exact = false))
+        .orderBy("a", "b"),
+      None),
+
+    "dedup_simhash" -> Q(
+      (s, d) => graft.ops.Dedup.simhashPairs(plantedDocs(s, d, exact = false), maxHamming = 3)
+        .orderBy("a", "b"),
+      None),
+
+    "dedup_ngram_jaccard" -> Q(
+      (s, d) => graft.ops.Dedup.ngramJaccardPairs(
+          plantedDocs(s, d, exact = false), n = 3, threshold = 0.5)
+        .orderBy("a", "b"),
+      Some(TextSql.dedupNgramJaccard)),
+
+    "dedup_embedding" -> Q(
+      (s, d) => graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy("a", "b"),
+      Some(TextSql.dedupEmbedding)),
+
+    // ===== Extension: LLM-pipeline — similarity search =====
+    "sim_cosine_topk" -> Q(
+      (s, d) => graft.ops.Similarity.bruteForceTopK(
+          Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk"),
+      Some(TextSql.simCosineTopk)),
+
+    "sim_ann_lsh" -> Q(
+      (s, d) => graft.ops.Similarity.lshTopK(
+          Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk"),
+      None),
+
+    // ===== Extension: LLM-pipeline — multimodal columns =====
+    "multimodal_bytes" -> Q(
+      (s, d) => graft.ops.Multimodal.byteStats(Tables.documents(s, d))
+        .orderBy("format"),
+      Some(TextSql.multimodalBytes)),
+
+    "multimodal_features" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col => c}
+        graft.ops.Multimodal.decodeStub(
+          graft.ops.Multimodal.assetsFromDocuments(Tables.documents(s, d)))
+          .toDF()
+          .select(c("asset_id"), c("n_bytes"), round(c("mean_byte"), 4).as("mean_byte"))
+          .orderBy("asset_id")
+      },
       None)
   )
+
+  /** Planted near-duplicates: docs with doc_id < 50 re-appended under
+    * doc_id+100000 (exact copies, or tail-perturbed for the near-dup
+    * detectors). The synthetic corpus has no natural dups, so detectors
+    * would otherwise be vacuous; the same construction lives in the SQL
+    * oracle (TextSql.plantCte).
+    */
+  private def plantedDocs(s: SparkSession, d: String, exact: Boolean): DataFrame = {
+    val base = Tables.documents(s, d)
+    val p0 = base.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val plants = if (exact) p0
+      else p0.withColumn("text", concat(col("text"), lit(" planted dup tail")))
+    base.unionByName(plants)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (k, q) => k -> q.fn }

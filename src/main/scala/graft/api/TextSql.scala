@@ -1,0 +1,133 @@
+package graft.api
+
+/** DuckDB oracle SQL for the LLM-pipeline queries. Each statement
+  * mirrors its Spark implementation expression-for-expression (same
+  * regexes, same double math, same rounding) so results hash-match.
+  */
+object TextSql {
+
+  private val scoreCols =
+    """CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|a|in|is|it)\b')) AS BIGINT) AS s_en,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|un)\b')) AS BIGINT) AS s_es,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein)\b')) AS BIGINT) AS s_de,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|et|une|est)\b')) AS BIGINT) AS s_fr""".stripMargin
+
+  private val langPredCase =
+    """CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+      |     WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
+      |     WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'de'
+      |     WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'fr'
+      |     ELSE 'und' END""".stripMargin
+
+  val stats: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |    $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_chars, n_punct,
+       |  CAST(floor((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+       |    + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 0.2 THEN 1.0
+       |            ELSE 1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) END) * 0.3
+       |    + least(CAST(s_en AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3) * 10000) AS BIGINT) AS quality,
+       |  $langPredCase AS lang_pred,
+       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  val langidEval: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, text,
+       |    $scoreCols
+       |  FROM documents),
+       |p AS (SELECT lang, $langPredCase AS lang_pred FROM s)
+       |SELECT lang, lang_pred, count(*) AS n FROM p
+       |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+
+  /** Planted-duplicate construction shared by the dedup oracles; mirrors
+    * Queries.plantedDocs.
+    */
+  private def plantCte(exact: Boolean): String = {
+    val text = if (exact) "text" else "text || ' planted dup tail'"
+    s"""docs AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, $text, source FROM documents WHERE doc_id < 50)""".stripMargin
+  }
+
+  val dedupExact: String =
+    s"""WITH ${plantCte(exact = true)}
+       |SELECT fp, count(*) AS n, min(doc_id) AS canonical_id
+       |FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM docs)
+       |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
+  /** 3-gram shingles per doc as a CTE over `docs`. */
+  private val shinglesCte: String =
+    """toks AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS tk FROM docs),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, u.s FROM toks,
+      |    unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS u(s))""".stripMargin
+
+  val dedupMinhash: String = {
+    val mins = (0 until 8).map(i => s"min(md5('$i#' || s)) AS m$i").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS key FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bands)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  val dedupNgramJaccard: String =
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+       |  FROM sh l JOIN sh r ON l.source = r.source AND l.s = r.s AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, jaccard FROM (
+       |  SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b)
+       |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+
+  val dedupEmbedding: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      |SELECT a, b, cos FROM (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |    round(list_dot_product(x.e, y.e)
+      |      / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+      |  FROM v x JOIN v y ON x.vec_id < y.vec_id)
+      |WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
+
+  val simCosineTopk: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id IN (0, 1, 2)),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |    round(list_dot_product(e, qe)
+      |      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
+      |  FROM v CROSS JOIN q WHERE vec_id <> query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      |      FROM scored)
+      |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  val multimodalBytes: String =
+    """SELECT format, count(*) AS n, sum(octet_length(encode(text))) AS total_bytes
+      |FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |                  WHEN doc_id % 3 = 1 THEN 'jpeg'
+      |                  ELSE 'webp' END AS format, text
+      |      FROM documents)
+      |GROUP BY format ORDER BY format""".stripMargin
+}

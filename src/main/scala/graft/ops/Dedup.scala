@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication family for training-data pipelines (extension surface).
+  *
+  * Scale design: every variant is generate-candidates-then-verify —
+  * candidate pairs come from equality joins on compact keys (fingerprint,
+  * MinHash band, SimHash band, shingle), never from a cross join. At
+  * 100 TB the shuffles are all on those keys; skew on a hot shingle/band
+  * is bounded by blocking (source) and AQE skew splitting.
+  */
+object Dedup {
+
+  /** Exact duplicates: hash-groupBy on the normalized-text fingerprint.
+    * Returns one row per duplicate *group* (n > 1) with the canonical
+    * (minimum) doc id.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.select(TextOps.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("canonical_id"))
+      .filter(col("n") > 1)
+
+  /** Distinct lowercased tokens per doc: (doc_id, w). */
+  private def tokenRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+      .filter(col("w") =!= "")
+
+  /** MD5-keyed MinHash signature over 3-gram word shingles, k hashes as
+    * k columns `m0..m{k-1}`. Shingles (not unigrams) are the hashing
+    * unit: the shingle space is |vocab|³, so unrelated docs share few
+    * units even over a small vocabulary. Hash family:
+    * md5(seed ‖ '#' ‖ shingle) — portable (any engine with md5
+    * reproduces it bit-for-bit), which is what makes the oracle possible.
+    * The murmur variant below is the fast path.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int, n: Int = 3): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i#"), col("sh")))).as(s"m$i"))
+    shingleRows(docs, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded MD5 MinHash: k hashes in `bands`
+    * bands of k/bands rows; docs sharing any full band collide.
+    * Output: (a, b) doc-id pairs, a < b, distinct.
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sigs = minhashSignatures(docs, k)
+    val banded = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
+      sigs.select(col("doc_id"),
+        lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("a"))
+    val rt = banded.select(col("band"), col("key"), col("doc_id").as("b"))
+    l.join(rt, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Fast-path MinHash signature via the custom 64-bit murmur3
+    * expression (codegen'd, no md5-string materialization). Same banding
+    * contract as [[minhashPairs]]; not oracle-expressible (DuckDB has no
+    * murmur3-64) — verified in ScalaTest against the md5 variant's
+    * candidate quality instead.
+    */
+  def minhashPairsFast(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val aggs = (0 until k).map(i =>
+      min(GraftFunctions.murmur64(concat(lit(s"$i#"), col("sh")))).as(s"m$i"))
+    val sigs = shingleRows(docs, 3).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val banded = (0 until bands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        GraftFunctions.murmur64(concat_ws("|", cols: _*)).as("key"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("band"), col("key"), col("doc_id").as("a"))
+    val rt = banded.select(col("band"), col("key"), col("doc_id").as("b"))
+    l.join(rt, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** 64-bit SimHash over token murmur3 hashes, weighted by token count.
+    * bit_count(xor) gives Hamming distance for the verify step.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", GraftFunctions.murmur64(col("w")))
+    // one row per (doc, bit): +cnt if bit set, else -cnt. The Scala API's
+    // shiftright/shiftleft only take literal shift amounts; the SQL forms
+    // accept a column.
+    val bits = toks.select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("contrib",
+        expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN cnt ELSE -cnt END"))
+      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
+    bits.groupBy("doc_id").agg(
+      sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Near-dup candidates: same 16-bit SimHash band, verified by Hamming
+    * distance <= maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val banded = (0 until 4).map { b =>
+      sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("key"))
+    }.reduce(_ unionAll _)
+    val l = banded.select(col("band"), col("key"),
+      col("doc_id").as("a"), col("simhash").as("sha"))
+    val r = banded.select(col("band"), col("key"),
+      col("doc_id").as("b"), col("simhash").as("shb"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .filter(bit_count(col("sha").bitwiseXOR(col("shb"))) <= maxHamming)
+      .select("a", "b").distinct()
+  }
+
+  /** Word n-gram shingles per doc, distinct: (doc_id, source, sh).
+    * Guard short docs explicitly — `sequence(0, -1)` would generate a
+    * DESCENDING sequence, not an empty one.
+    */
+  def shingleRows(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("sh", explode(array_distinct(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
+          .otherwise(array()))))
+      .select("doc_id", "source", "sh")
+
+  /** Exact n-gram Jaccard near-dup pairs, blocked by `source` (the
+    * blocking key bounds the candidate join; at scale swap in a MinHash
+    * pre-filter). Returns (a, b, jaccard) with jaccard >= threshold.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingleRows(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val l = sh.select(col("source"), col("sh"), col("doc_id").as("a"))
+    val r = sh.select(col("source"), col("sh"), col("doc_id").as("b"))
+    val inter = l.join(r, Seq("source", "sh"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Embedding near-dups: pairs with cosine >= threshold. Brute-force
+    * O(n²) verify — correct baseline; the LSH bucketing in
+    * [[Similarity]] is the scale path.
+    */
+  def embeddingNearDups(embs: DataFrame, threshold: Double = 0.99): DataFrame = {
+    val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val l = v.select(col("vec_id").as("a"), col("v").as("va"))
+    val r = v.select(col("vec_id").as("b"), col("v").as("vb"))
+    l.crossJoin(r)
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Murmur3x64
+
+/** Similarity search over an embedding column (extension surface).
+  *
+  * Brute-force cosine top-k is the exact baseline: O(|Q|·n), fine when
+  * the query set is small. The sign-LSH bucketed variant is the scale
+  * path: candidates only within a bucket, so cost is O(n²/2^bits) per
+  * bucket in expectation. Both use codegen'd higher-order functions
+  * (`zip_with`/`aggregate`) — no UDF in the inner loop.
+  */
+object Similarity {
+
+  /** exact dot product of two double arrays (deterministic left-to-right
+    * accumulation in both Spark and DuckDB — oracle-safe).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (small query set —
+    * broadcast). Output: (query_id, vec_id, cos, rank).
+    */
+  def bruteForceTopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane j, dim i) — seeded
+    * by murmur3-64, reproducible across sessions/cluster sizes.
+    */
+  private def planeSign(j: Int, i: Int): Double =
+    if ((Murmur3x64.hash64(s"$j:$i") & 1L) == 0L) 1.0 else -1.0
+
+  /** Sign-LSH bucket id from `bits` random hyperplanes (dim = embedding
+    * length), for hash table `table` (distinct plane family per table).
+    * Pure column expression: for each plane, sign of the dot product
+    * with a ±1 hyperplane.
+    */
+  def lshBucket(v: Column, dim: Int, bits: Int, table: Int = 0): Column = {
+    val planeBits = (0 until bits).map { j =>
+      val planeDot = aggregate(
+        zip_with(v,
+          array((0 until dim).map(i => lit(planeSign(table * bits + j, i))): _*),
+          (x, s) => x * s),
+        lit(0.0d), (acc, x) => acc + x)
+      when(planeDot >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    planeBits.reduce((a, b) => a + b)
+  }
+
+  /** Approximate top-k via OR-amplified sign-LSH: `tables` independent
+    * hash tables of `bits` hyperplanes each; a vector is a candidate if
+    * it shares a bucket with the query in ANY table. Same output shape
+    * as [[bruteForceTopK]]; recall measured in tests. At scale each
+    * table join is a shuffle on a compact (table, bucket) key — cost is
+    * O(tables · n²/2^bits) expected, vs O(|Q|·n) for brute force.
+    */
+  def lshTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      dim: Int = 64, bits: Int = 6, tables: Int = 8): DataFrame = {
+    val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bucketed = (0 until tables).map { t =>
+      v.select(col("vec_id"), col("v"), lit(t).as("table"),
+        lshBucket(col("v"), dim, bits, t).as("bucket"))
+    }.reduce(_ unionAll _)
+    val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("table"), col("bucket"))
+    val candidates = bucketed.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "v", "qv")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = candidates.withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (extension surface per
+  * BASELINE.json north star — flagged, not reference parity): token
+  * stats, quality scoring, n-gram-heuristic language ID, document
+  * fingerprinting. Everything is built from codegen'd builtin functions
+  * (no UDFs) so the whole pipeline stays inside whole-stage codegen and
+  * scales linearly with input splits — no shuffle until the final
+  * aggregate.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  def punctCount(text: Column): Column = regexp_count(text, lit("[.,!?;:]"))
+
+  /** Whitespace-collapsed, lowercased canonical text. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** MD5 fingerprint of the normalized text — the exact-dup key. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Order matters: the argmax CASE chain breaks
+    * ties by this order, mirrored in the SQL oracle.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est")
+  )
+
+  private def stopwordRegex(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
+  /** Hit count of a language's stopword profile. */
+  def langScore(text: Column, lang: String): Column =
+    regexp_count(lower(text), lit(stopwordRegex(
+      stopwords.toMap.apply(lang))))
+
+  /** Predicted language: argmax over profile scores, ties broken by
+    * profile order, zero hits everywhere → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, _) => l -> langScore(text, l) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val chain = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+    chain
+  }
+
+  /** Heuristic quality score in basis points [0,10000]: length band +
+    * punctuation sanity + stopword presence. Reported as
+    * floor(score·10⁴) — an integer, because `round(x, 4)` straddles
+    * .5-ulp boundaries differently across engines while `floor` of the
+    * same double is always identical.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(lit(1.0) - punctRatio)
+    val swScore = least(
+      langScore(text, "en").cast("double") / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
+    floor((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3) * 10000).cast("long")
+  }
+
+  /** Per-document stats frame over a `documents`-shaped table. */
+  def stats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      punctCount(col("text")).cast("long").as("n_punct"),
+      qualityScore(col("text")).as("quality"),
+      langId(col("text")).as("lang_pred"),
+      fingerprint(col("text")).as("fp"))
+}

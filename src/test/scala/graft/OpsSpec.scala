@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-pipeline operator semantics on the driver's sf0.001 fixtures. */
+class OpsSpec extends SparkSpecBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+  private def embs: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def planted(exact: Boolean): DataFrame = {
+    val p0 = docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    val p = if (exact) p0
+      else p0.withColumn("text", concat(col("text"), lit(" tail")))
+    docs.unionByName(p)
+  }
+
+  test("exact dedup finds exactly the planted copies") {
+    val groups = Dedup.exactGroups(planted(exact = true)).collect()
+    assert(groups.length == 20)
+    assert(groups.forall(_.getAs[Long]("n") == 2))
+    // canonical id is always the original, not the plant
+    assert(groups.forall(_.getAs[Long]("canonical_id") < 20))
+  }
+
+  test("minhash LSH surfaces planted near-dup pairs") {
+    val pairs = Dedup.minhashPairs(planted(exact = false), k = 8, bands = 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val expected = (0L until 20L).map(i => (i, i + 100000)).toSet
+    val found = expected.intersect(pairs)
+    // banded MinHash is probabilistic; at j≈0.9+ virtually all planted
+    // pairs must collide in at least one of 4 bands
+    assert(found.size >= 18, s"only ${found.size}/20 planted pairs found")
+  }
+
+  test("fast murmur minhash agrees with md5 minhash on planted pairs") {
+    val fast = Dedup.minhashPairsFast(planted(exact = false))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val expected = (0L until 20L).map(i => (i, i + 100000)).toSet
+    assert(expected.intersect(fast).size >= 18)
+  }
+
+  test("simhash pairs: planted near-dups within hamming 3") {
+    val pairs = Dedup.simhashPairs(planted(exact = false), maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val expected = (0L until 20L).map(i => (i, i + 100000)).toSet
+    assert(expected.intersect(pairs).size >= 15)
+  }
+
+  test("ngram jaccard: planted pairs score high, output is symmetric-free") {
+    val out = Dedup.ngramJaccardPairs(planted(exact = false), n = 3, threshold = 0.5)
+      .collect()
+    val pairs = out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(out.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
+    val expected = (0L until 20L).map(i => (i, i + 100000)).toSet
+    assert(expected.subsetOf(pairs), "every planted pair must exceed 0.5 jaccard")
+    assert(out.filter(r => expected((r.getAs[Long]("a"), r.getAs[Long]("b"))))
+      .forall(_.getAs[Double]("jaccard") > 0.8))
+  }
+
+  test("brute-force cosine top-k is k rows per query, ranked") {
+    val out = Similarity.bruteForceTopK(embs, Seq(0L, 1L), k = 5).collect()
+    assert(out.length == 10)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      // cosine non-increasing with rank
+      val cos = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("LSH ANN recall vs brute force is substantial") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(embs, qids, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Similarity.lshTopK(embs, qids, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall too low")
+    // and the candidate set must actually be pruned (approx ⊂ all pairs)
+    assert(approx.size <= exact.size * 2)
+  }
+
+  test("multimodal decode stub is deterministic and partition-invariant") {
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val f1 = Multimodal.decodeStub(assets).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.decodeStub(assets.repartition(7)).collect().sortBy(_.asset_id)
+    assert(f1.length == 500)
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.asset_id == b.asset_id && a.n_bytes == b.n_bytes &&
+        a.mean_byte == b.mean_byte && a.features.sameElements(b.features)
+    })
+    // histogram is a distribution
+    assert(f1.forall(f => math.abs(f.features.sum - 1.0) < 1e-9))
+  }
+
+  test("text ops: langid hits the dominant profile; fingerprint collapses whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog is in a tree of it"),
+      (2L, "el que la de un en y la el que"),
+      (3L, "zzz qqq www"),
+      (4L, "Hello   World"),
+      (5L, "hello world")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"),
+      TextOps.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("l"), r.getAs[String]("fp"))).toMap
+    assert(out(1L)._1 == "en")
+    assert(out(2L)._1 == "es")
+    assert(out(3L)._1 == "und")
+    assert(out(4L)._2 == out(5L)._2, "fingerprint must normalize case+whitespace")
+  }
+}
