@@ -169,12 +169,15 @@ object Dedup {
     * [[Similarity]] is the scale path.
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double = 0.99): DataFrame = {
+    // norm computed once per vector, not once per pair
     val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val l = v.select(col("vec_id").as("a"), col("v").as("va"))
-    val r = v.select(col("vec_id").as("b"), col("v").as("vb"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val l = v.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val r = v.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     l.crossJoin(r)
       .filter(col("a") < col("b"))
-      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
   }

@@ -16,26 +16,34 @@ import graft.functions.Murmur3x64
   */
 object Similarity {
 
-  /** exact dot product of two double arrays (deterministic left-to-right
-    * accumulation in both Spark and DuckDB — oracle-safe).
+  /** exact dot product of two double arrays — a custom codegen'd
+    * Catalyst expression with deterministic left-to-right accumulation,
+    * matching DuckDB's `list_dot_product` (oracle-safe).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.DoubleDotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** (vec_id, v, nrm) projection — the norm is computed ONCE per vector,
+    * not once per candidate pair.
+    */
+  private def withNorm(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
   /** Exact top-k neighbors for each query vector (small query set —
     * broadcast). Output: (query_id, vec_id, cos, rank).
     */
   def bruteForceTopK(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val v = withNorm(embs)
     val q = v.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -55,12 +63,8 @@ object Similarity {
     */
   def lshBucket(v: Column, dim: Int, bits: Int, table: Int = 0): Column = {
     val planeBits = (0 until bits).map { j =>
-      val planeDot = aggregate(
-        zip_with(v,
-          array((0 until dim).map(i => lit(planeSign(table * bits + j, i))): _*),
-          (x, s) => x * s),
-        lit(0.0d), (acc, x) => acc + x)
-      when(planeDot >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+      val plane = array((0 until dim).map(i => lit(planeSign(table * bits + j, i))): _*)
+      when(dot(v, plane) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
     }
     planeBits.reduce((a, b) => a + b)
   }
@@ -74,19 +78,20 @@ object Similarity {
     */
   def lshTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
       dim: Int = 64, bits: Int = 6, tables: Int = 8): DataFrame = {
-    val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val v = withNorm(embs)
     val bucketed = (0 until tables).map { t =>
-      v.select(col("vec_id"), col("v"), lit(t).as("table"),
+      v.select(col("vec_id"), col("v"), col("nrm"), lit(t).as("table"),
         lshBucket(col("v"), dim, bits, t).as("bucket"))
     }.reduce(_ unionAll _)
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
         col("table"), col("bucket"))
     val candidates = bucketed.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id", "v", "qv")
+      .select("query_id", "vec_id", "v", "nrm", "qv", "qnrm")
       .dropDuplicates("query_id", "vec_id")
-    val scored = candidates.withColumn("cos", round(cosine(col("v"), col("qv")), 6))
+    val scored = candidates.withColumn("cos",
+      round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
