@@ -435,6 +435,38 @@ object Queries {
         .orderBy("bucket"),
       None),
 
+    // ===== Extension: GraphX/Pregel analytics =====
+    // 2-hop reverse reachability from a region node via Pregel BFS;
+    // oracle = the equivalent 2 joins.
+    "graph_2hop" -> Q(
+      (s, d) => graft.graph.GraphOps
+        .reverseBfs(Tables.starTriples(s, d), "region:2", maxDepth = 2)
+        .withColumn("depth", col("depth").cast("long"))
+        .orderBy("depth", "node"),
+      Some(withCte(
+        """SELECT subj AS node, CAST(1 AS BIGINT) AS depth FROM triples
+          |WHERE pred = 'region' AND obj = 'region:2'
+          |UNION ALL
+          |SELECT t.subj AS node, CAST(2 AS BIGINT) AS depth FROM triples t
+          |WHERE t.pred = 'nation' AND EXISTS (
+          |  SELECT 1 FROM triples w
+          |  WHERE w.pred = 'region' AND w.obj = 'region:2' AND w.subj = t.obj)
+          |ORDER BY depth, node""".stripMargin))),
+
+    // PageRank over the triples graph (rows-only: iterative float fixpoint
+    // has no SQL oracle). Top-100 for bounded output.
+    "graph_pagerank" -> Q(
+      (s, d) => graft.graph.GraphOps.pageRank(Tables.starTriples(s, d), iters = 10)
+        .orderBy(desc("rank"), asc("node")).limit(100),
+      None),
+
+    // Connected-component sizes (rows-only; label = min vertex hash).
+    "graph_cc_sizes" -> Q(
+      (s, d) => graft.graph.GraphOps.connectedComponents(Tables.starTriples(s, d))
+        .groupBy("component").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("component")).limit(20),
+      None),
+
     // ===== Extension: LLM-pipeline — text analysis =====
     "text_stats" -> Q(
       (s, d) => graft.ops.TextOps.stats(Tables.documents(s, d)).orderBy("doc_id"),

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest + windowed aggregation (extension
+  * surface; the reference's only "streaming" is channel-batched table
+  * scans, triplestore/triplestore.go:173-195).
+  *
+  * Design: `readStream` file source → event-time tumbling window with
+  * watermark → sink. The batch query `Queries.events_hourly` is the
+  * same aggregation shape, so streaming results converge to the batch
+  * answer once the watermark passes — asserted in StreamingSpec.
+  */
+object EventStream {
+
+  /** Schema of the events table with `ts` already as a (micros)
+    * timestamp — the nanos conversion happens in [[readEvents]].
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos in the parquet file
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time window per event type, 2-hour watermark
+    * for late data. Append-mode compatible (final results only).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)")).as("total"))
+      .select(col("window.start").as("hr"), col("event_type"), col("n"), col("total"))
+
+  /** Run the hourly aggregation to an in-memory table; the caller drives
+    * with processAllAvailable(). Complete mode: every window's current
+    * state is visible, so the batch comparison needs no watermark wait.
+    */
+  def runToMemory(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery =
+    hourlyCounts(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+}

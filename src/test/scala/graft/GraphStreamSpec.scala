@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Tables
+import graft.graph.GraphOps
+import graft.streaming.EventStream
+
+class GraphStreamSpec extends SparkSpecBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("reverse BFS depths match the join-derived oracle shape") {
+    val triples = Tables.starTriples(spark, dir)
+    val bfs = GraphOps.reverseBfs(triples, "region:2", maxDepth = 2)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Int]("depth")).toMap
+    // depth 1 = nations in region:2; depth 2 = custs/supps in those nations
+    val d1 = triples.filter(col("pred") === "region" && col("obj") === "region:2")
+      .select("subj").collect().map(_.getString(0)).toSet
+    val d2 = triples.filter(col("pred") === "nation")
+      .join(triples.filter(col("pred") === "region" && col("obj") === "region:2")
+        .select(col("subj").as("obj")), Seq("obj"), "left_semi")
+      .select("subj").collect().map(_.getString(0)).toSet
+    assert(d1.nonEmpty && d2.nonEmpty)
+    assert(bfs.filter(_._2 == 1).keySet == d1)
+    assert(bfs.filter(_._2 == 2).keySet == d2)
+  }
+
+  test("pagerank: rank mass concentrates on pointed-to nodes") {
+    val triples = Tables.starTriples(spark, dir)
+    val pr = GraphOps.pageRank(triples, iters = 5)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Double]("rank")).toMap
+    // nations are pointed at by customers+suppliers: must outrank any single customer
+    val nationRank = pr.filter(_._1.startsWith("nation:")).values.max
+    val custRank = pr.filter(_._1.startsWith("cust:")).values.max
+    assert(nationRank > custRank)
+  }
+
+  test("connected components: one component per connected star subgraph") {
+    import spark.implicits._
+    val t = Seq(
+      ("a", "p", "b"), ("b", "p", "c"), // component 1
+      ("x", "p", "y") // component 2
+    ).toDF("subj", "pred", "obj")
+    val cc = GraphOps.connectedComponents(t).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("component")).toMap
+    assert(cc("a") == cc("b") && cc("b") == cc("c"))
+    assert(cc("x") == cc("y"))
+    assert(cc("a") != cc("x"))
+  }
+
+  test("streaming hourly window converges to the batch answer") {
+    // file source wants a directory of arriving files — stage the fixture
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stageDir.resolve("events-000.parquet"))
+    val q = EventStream.runToMemory(spark, stageDir.toString, "stream_hourly")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_hourly")
+        .select(col("hr"), col("event_type"), col("n"), col("total"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDecimal(3))).toSet
+      val batch = Tables.events(spark, dir)
+        .withColumn("hr", date_trunc("hour", col("ts")))
+        .groupBy("hr", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)")).as("total"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDecimal(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
