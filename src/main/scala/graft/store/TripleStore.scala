@@ -1,5 +1,7 @@
 package graft.store
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
@@ -176,6 +178,17 @@ final class TripleStore(
       .withColumn("sig", signUdf(col("subj"), col("pred"), col("obj"), col("lang")))
       .withColumn("created", lit(now))
     insert(signed)
+  }
+
+  /** Stream the whole store in driver-side batches of `size` (reference:
+    * triplestore/triplestore.go:173-195, `EachTripleBatch`). The
+    * reference pages with OFFSET/LIMIT (O(n²) in SQLite); here
+    * `toLocalIterator` pulls one partition at a time — the driver never
+    * holds more than a partition plus one batch.
+    */
+  def eachTripleBatch(size: Int): Iterator[Seq[Triple]] = {
+    import spark.implicits._
+    all.as[Triple].toLocalIterator().asScala.grouped(size)
   }
 
   private def bucketCol: Column =

@@ -60,4 +60,49 @@ object EventStream {
       .format("memory")
       .queryName(queryName)
       .start()
+
+  // ---- Stateful sessionization (flatMapGroupsWithState) ----
+
+  final case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Int)
+  final case class CompletedSession(user_id: Long, start_us: Long,
+      end_us: Long, n_events: Int)
+
+  /** Per-user session assembly with explicit keyed state: a session
+    * closes when the gap to the next event exceeds `gapSec`; closed
+    * sessions are emitted, the open tail stays in state across
+    * micro-batches. This is the `KeyValueGroupedDataset.
+    * flatMapGroupsWithState` shape a 100 TB clickstream pipeline needs —
+    * state lives in the state store, partitioned by user, never on the
+    * driver.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSec: Long): org.apache.spark.sql.Dataset[CompletedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSec * 1000000L
+
+    def fn(user: Long, it: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[CompletedSession] = {
+      // events within a micro-batch are NOT ordered — sort this group
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var open = state.getOption
+      val out = Seq.newBuilder[CompletedSession]
+      sorted.foreach { e =>
+        open = open match {
+          case None => Some(OpenSession(e.ts_us, e.ts_us, 1))
+          case Some(s) if e.ts_us - s.last_us > gapUs =>
+            out += CompletedSession(user, s.start_us, s.last_us, s.n)
+            Some(OpenSession(e.ts_us, e.ts_us, 1))
+          case Some(s) => Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+        }
+      }
+      open.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -48,6 +48,40 @@ class GraphStreamSpec extends SparkSpecBase {
     assert(cc("a") != cc("x"))
   }
 
+  test("stateful sessionization: completed sessions match batch lag analysis") {
+    import spark.implicits._
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stageDir.resolve("events-000.parquet"))
+    val stream = EventStream.readEvents(spark, stageDir.toString)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[EventStream.SessionEvent]
+    val q = EventStream.sessionize(stream, gapSec = 1800)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_sessions").start()
+    try {
+      q.processAllAvailable()
+      val completed = spark.table("stream_sessions")
+        .groupBy("user_id").agg(count(lit(1)).as("n_completed"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_completed")).toMap
+      // batch lag-based session counts (same as the events_sessionize query)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val batch = Tables.events(spark, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap", when(col("prev_ts").isNotNull &&
+          (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800, 1).otherwise(0))
+        .groupBy("user_id").agg((sum("gap") + 1).cast("long").as("n_sessions"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+      assert(batch.nonEmpty)
+      // the open tail session is still in state: completed = total - 1
+      batch.foreach { case (u, n) =>
+        assert(completed.getOrElse(u, 0L) == n - 1, s"user $u")
+      }
+    } finally q.stop()
+  }
+
   test("streaming hourly window converges to the batch answer") {
     // file source wants a directory of arriving files — stage the fixture
     val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")

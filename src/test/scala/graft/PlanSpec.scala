@@ -1,0 +1,73 @@
+package graft
+
+import graft.api.{Queries, Tables}
+
+/** Plan-quality assertions: the 100 TB story depends on filters reaching
+  * the parquet scan, small dims broadcasting, and codegen covering the
+  * hot path. These pin the *plan*, not just the answer.
+  */
+class PlanSpec extends SparkSpecBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Queries.registry(name).fn(spark, dir)
+    df.collect() // materialize THIS queryExecution so AQE finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** WholeStageCodegen prints as `*(n)` in the compact plan format. */
+  private def hasCodegen(p: String): Boolean =
+    p.contains("WholeStageCodegen") || p.contains("*(1)")
+
+  test("selective filters are pushed to the parquet scan of a real store") {
+    // On the *derived* triples view a subject filter is concat(...)=x —
+    // provably unpushable; on the materialized TripleStore the filter
+    // lands on the stored subj column and must reach parquet.
+    import spark.implicits._
+    val st = new graft.store.TripleStore(spark, tmpDir("plan-store") + "/t", 8)
+    st.insert(Seq(graft.model.Triple("s1", "p", "o"),
+      graft.model.Triple("s2", "p", "o")).toDF())
+    val q = st.query(graft.model.ArrayOp.of(
+      graft.model.TriplePattern(subj = Some("s1"))))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(subj), EqualTo(subj,s1)]") ||
+      p.contains("EqualTo(subj,s1)"), s"subject equality not pushed:\n${p.take(2000)}")
+  }
+
+  test("scan is column-pruned to referenced columns") {
+    val p = plan("agg_pricing_summary")
+    // only the 5 referenced lineitem columns should be read
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate"), "unused column not pruned from scan")
+    assert(!p.contains("l_orderkey"), "unused column not pruned from scan")
+  }
+
+  test("dimension side of the top-k join is broadcast") {
+    val p = plan("join_topk_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"no broadcast join:\n${p.take(2000)}")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    val p = plan("agg_pricing_summary")
+    assert(hasCodegen(p), s"no codegen span:\n${p.take(1500)}")
+  }
+
+  test("custom murmur64 expression participates in codegen") {
+    val df = Tables.starTriples(spark, dir)
+      .select(graft.functions.GraftFunctions.murmur64(
+        org.apache.spark.sql.functions.col("subj")).as("h"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the custom expression must sit INSIDE a codegen stage (`*(n)`),
+    // not fall back to interpreted eval
+    assert(p.contains("*(1) Project [graft_murmur64"),
+      s"murmur64 fell out of codegen:\n${p.take(1500)}")
+  }
+
+  test("events scan prunes to referenced columns only") {
+    val p = Queries.registry("regexp_event_props").fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("user_id"), "unused events column not pruned")
+  }
+}

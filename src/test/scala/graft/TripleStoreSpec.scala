@@ -180,6 +180,15 @@ class TripleStoreSpec extends SparkSpecBase {
     assert(got.map(_._1) == Set("/m/02mjmr"))
   }
 
+  test("eachTripleBatch streams the store in bounded batches (triplestore.go:173-195)") {
+    import spark.implicits._
+    val st = freshStore()
+    st.insert((0 until 25).map(i => Triple(s"s$i", "p", s"o$i")).toDF())
+    val batches = st.eachTripleBatch(10).toSeq
+    assert(batches.map(_.size) == Seq(10, 10, 5))
+    assert(batches.flatten.map(_.subj).toSet == (0 until 25).map(i => s"s$i").toSet)
+  }
+
   test("rooted query prunes partitions (bucket pushdown)") {
     val st = loaded()
     val plan = st.query(ArrayOp.of(TriplePattern(subj = Some("/m/02mjmr"))))
