@@ -72,9 +72,11 @@ object Queries {
           |WHERE pred = 'nation' AND NOT (obj = 'nation:3')
           |ORDER BY subj, obj""".stripMargin))),
 
-    // Operator #11 (multi-step traversal): order → customer → nation → name
+    // Operator #11 (multi-step traversal): order → customer → nation → name.
+    // The derived triples view is scanned once per step — cache it for
+    // the iteration (same pattern GraphX uses for iterative algorithms).
     "tp_traverse" -> Q(
-      (s, d) => Engine.traverse(Tables.starTriples(s, d), Seq(
+      (s, d) => Engine.traverse(Tables.starTriples(s, d).cache(), Seq(
           ArrayOp.of(pat(subj = "order:1"), pat(subj = "order:2"), pat(subj = "order:3"),
             pat(subj = "order:4"), pat(subj = "order:5")),
           ArrayOp.of(pat(pred = "nation")),

@@ -34,7 +34,9 @@ object GraphOps {
       .select(explode(array(col("subj"), col("obj"))).as("node"))
       .distinct().as[String]
       .rdd.map(n => (Murmur3x64.hash64(n), n))
-    Graph(vertices, edges)
+    // iterative algorithms (Pregel/PageRank/CC) traverse the graph many
+    // times — cache once at construction
+    Graph(vertices, edges).cache()
   }
 
   /** Pregel BFS from `source`, following edges in reverse (obj → subj),

@@ -89,27 +89,19 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** 64-bit SimHash over token murmur3 hashes, weighted by token count.
-    * bit_count(xor) gives Hamming distance for the verify step.
+  /** 64-bit SimHash over token murmur3 hashes, weighted by token count,
+    * via the single-pass custom aggregator (one 64-long buffer per doc
+    * instead of exploding 64 rows per token). bit_count(xor) gives
+    * Hamming distance for the verify step.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", GraftFunctions.murmur64(col("w")))
-    // one row per (doc, bit): +cnt if bit set, else -cnt. The Scala API's
-    // shiftright/shiftleft only take literal shift amounts; the SQL forms
-    // accept a column.
-    val bits = toks.select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("contrib",
-        expr("CASE WHEN (shiftright(h, bit) & 1) = 1 THEN cnt ELSE -cnt END"))
-      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
-    bits.groupBy("doc_id").agg(
-      sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAggregator.simhash(col("h"), col("cnt")).as("simhash"))
 
   /** Near-dup candidates: same 16-bit SimHash band, verified by Hamming
     * distance <= maxHamming.
