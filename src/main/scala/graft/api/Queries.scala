@@ -354,6 +354,59 @@ object Queries {
           |      FROM events)
           |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // As-of join (operator Spark lacks natively): for each error event,
+    // the most recent click by the same user at-or-before it. Composed
+    // Spark-first as a carry-forward window (sort once per user, no
+    // range-join row explosion — scales as one shuffle on user_id);
+    // oracle is DuckDB's native ASOF LEFT JOIN.
+    "join_asof_last_click" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        // at equal ts the click sorts first, so an error sees it (>= semantics)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), when(col("event_type") === "click", 0).otherwise(1))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        ev.withColumn("click_ts",
+            last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "error")
+          .select("user_id", "event_id", "ts", "click_ts")
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+          |     errors AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error')
+          |SELECT e.user_id, e.event_id, e.ts, c.ts AS click_ts
+          |FROM errors e ASOF LEFT JOIN clicks c
+          |  ON e.user_id = c.user_id AND e.ts >= c.ts
+          |ORDER BY e.event_id""".stripMargin)),
+
+    // Range join: clicks within the 10 minutes preceding each purchase,
+    // per purchase. Equality on user_id keeps the join keyed (the range
+    // predicate filters within the user's partition — no cross join).
+    "join_range_attribution" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).withColumn("ts_sec", col("ts").cast("double"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_sec").as("pts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_sec").as("cts"))
+        purchases.join(clicks,
+            purchases("user_id") === clicks("user_id") &&
+              col("cts") >= col("pts") - 600 && col("cts") < col("pts"), "left")
+          .groupBy("purchase_id")
+          .agg(count(col("cts")).as("n_clicks"))
+          .orderBy("purchase_id")
+      },
+      Some(
+        """SELECT p.event_id AS purchase_id, count(c.uts) AS n_clicks
+          |FROM (SELECT user_id, event_id, epoch(ts) AS uts FROM events WHERE event_type = 'purchase') p
+          |LEFT JOIN (SELECT user_id, epoch(ts) AS uts FROM events WHERE event_type = 'click') c
+          |  ON c.user_id = p.user_id AND c.uts >= p.uts - 600 AND c.uts < p.uts
+          |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin)),
+
     // Exact percentiles (interpolated) per group.
     "percentile_order_value" -> Q(
       (s, d) => Tables.orders(s, d)
