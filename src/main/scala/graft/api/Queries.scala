@@ -511,7 +511,7 @@ object Queries {
     // PageRank over the triples graph (rows-only: iterative float fixpoint
     // has no SQL oracle). Top-100 for bounded output.
     "graph_pagerank" -> Q(
-      (s, d) => graft.graph.GraphOps.pageRank(Tables.starTriples(s, d), iters = 10)
+      (s, d) => graft.graph.GraphOps.pageRank(Tables.starTriples(s, d), iters = 5)
         .orderBy(desc("rank"), asc("node")).limit(100),
       None),
 

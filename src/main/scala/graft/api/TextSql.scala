@@ -71,7 +71,8 @@ object TextSql {
       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS u(s))""".stripMargin
 
   val dedupMinhash: String = {
-    val mins = (0 until 8).map(i => s"min(md5('$i#' || s)) AS m$i").mkString(", ")
+    val mins = (0 until 8).map(i =>
+      s"min(substr(md5('${i / 2}#' || s), ${1 + (i % 2) * 16}, 16)) AS m$i").mkString(", ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS key FROM sigs")
       .mkString("\n  UNION ALL ")

@@ -40,8 +40,14 @@ object Dedup {
     * The murmur variant below is the fast path.
     */
   def minhashSignatures(docs: DataFrame, k: Int, n: Int = 3): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i#"), col("sh")))).as(s"m$i"))
+    require(k % 2 == 0, "k must be even (two 64-bit keys per md5)")
+    // each md5 yields two independent 64-bit (16-hex-char) keys — halves
+    // the hashing cost vs one digest per hash function
+    val aggs = (0 until k).map { i =>
+      val digest = md5(concat(lit(s"${i / 2}#"), col("sh")))
+      val part = substring(digest, 1 + (i % 2) * 16, 16)
+      min(part).as(s"m$i")
+    }
     shingleRows(docs, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
