@@ -574,6 +574,30 @@ object Queries {
         .orderBy("query_id", "rnk"),
       Some(TextSql.simCosineTopk)),
 
+    "text_token_estimate" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+          graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_words"))
+        .withColumn("pieces_per_word_pct",
+          floor(col("n_bpe") * 100.0 / greatest(col("n_words"), lit(1L))).cast("long"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, n_bpe, n_words,
+          |  CAST(floor(n_bpe * 100.0 / greatest(n_words, 1)) AS BIGINT) AS pieces_per_word_pct
+          |FROM (SELECT doc_id,
+          |        CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+          |        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words
+          |      FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
+    "sim_ann_ivf" -> Q(
+      (s, d) => graft.ops.Similarity.ivfTopK(
+          Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk"),
+      None),
+
     "sim_ann_lsh" -> Q(
       (s, d) => graft.ops.Similarity.lshTopK(
           Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L), k = 10)

@@ -97,4 +97,75 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
   }
+
+  /** IVF (inverted-file) ANN: k-means cells + nprobe probing.
+    *
+    * Training: deterministic init (the `nlist` lowest vec_ids), `iters`
+    * Lloyd rounds. Assignment is a pure column expression (argmin over
+    * `nlist` codegen'd dot-product distances); the centroid update
+    * aggregates (cell, dim) means via posexplode — 64·nlist rows total,
+    * so only centroid *summaries* ever reach the driver, never vectors.
+    * At 100 TB this is the standard IVF shape: train on a sample,
+    * assign distributively, probe `nprobe` cells per query.
+    */
+  def ivfTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = embs.sparkSession
+    val v = withNorm(embs).cache()
+    val dim = v.select(size(col("v"))).head().getInt(0)
+
+    def centroidLits(cs: Array[Array[Double]]): Seq[Column] =
+      cs.map(c => array(c.map(lit): _*)).toSeq
+
+    // squared L2 distance via dots: |x|² - 2x·c + |c|²; |x|² constant per
+    // row — irrelevant to argmin, so score by (|c|² - 2x·c)
+    def cellCol(cs: Array[Array[Double]]): Column = {
+      val scores = cs.zip(centroidLits(cs)).map { case (c, cl) =>
+        val c2 = c.map(x => x * x).sum
+        lit(c2) - lit(2.0) * dot(col("v"), cl)
+      }
+      val arr = array(scores: _*)
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+    }
+
+    var centroids: Array[Array[Double]] = v.orderBy("vec_id").limit(nlist)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val means = v.withColumn("cid", cellCol(centroids))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Double]("m")
+      }
+      centroids = next
+    }
+
+    val assigned = v.withColumn("cid", cellCol(centroids)).cache()
+    // nprobe nearest cells per query, from driver-side centroid math
+    val qvecs = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def probeCells(q: Array[Double]): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        val d = c.map(x => x * x).sum - 2.0 * c.zip(q).map { case (a, b) => a * b }.sum
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+
+    val perQuery = queryIds.map { qid =>
+      val q = assigned.filter(col("vec_id") === qid)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      assigned.filter(col("cid").isin(probeCells(qvecs(qid)): _*))
+        .filter(col("vec_id") =!= qid)
+        .crossJoin(broadcast(q))
+        .withColumn("query_id", lit(qid))
+        .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+        .select("query_id", "vec_id", "cos")
+    }.reduce(_ unionAll _)
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    perQuery.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
 }

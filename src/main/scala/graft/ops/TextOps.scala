@@ -20,6 +20,17 @@ object TextOps {
 
   def punctCount(text: Column): Column = regexp_count(text, lit("[.,!?;:]"))
 
+  /** BPE-ish subword piece count: greedy letter runs capped at 4 chars
+    * (long words split into ~len/4 pieces, mimicking subword
+    * tokenization), single digits, and punctuation runs. Same greedy
+    * left-to-right regex semantics in Java regex and RE2, so the count
+    * is oracle-portable.
+    */
+  val bpePiecePattern: String = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpePiecePattern))
+
   /** Whitespace-collapsed, lowercased canonical text. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

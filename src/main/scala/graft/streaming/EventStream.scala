@@ -61,6 +61,25 @@ object EventStream {
       .queryName(queryName)
       .start()
 
+  // ---- Continuous triple ingest ----
+
+  /** Continuous deduplicating ingest into a TripleStore — the
+    * Spark-native replacement for the reference's gossip replication
+    * (SURVEY §1.6): arriving triple batches are signed-insert-style
+    * appended with the same (subj,pred,obj) anti-join dedup as batch
+    * inserts, via foreachBatch (each micro-batch is transactional
+    * w.r.t. the store read it dedups against).
+    */
+  def streamInsert(store: graft.store.TripleStore,
+      triples: DataFrame): StreamingQuery =
+    triples.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.insert(batch, countInserted = false)
+        ()
+      }
+      .start()
+
   // ---- Stateful sessionization (flatMapGroupsWithState) ----
 
   final case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)

@@ -82,6 +82,27 @@ class GraphStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming triple ingest dedups across micro-batches") {
+    import spark.implicits._
+    import graft.model.Triple
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val store = new graft.store.TripleStore(spark, tmpDir("ingest-store") + "/t", 8)
+    // batch 1: 3 triples; batch 2: 2 dups + 1 new
+    Seq(Triple("a", "p", "1"), Triple("b", "p", "2"), Triple("c", "p", "3")).toDF()
+      .coalesce(1).write.parquet(stageDir.resolve("b1").toString)
+    Seq(Triple("a", "p", "1"), Triple("b", "p", "2"), Triple("d", "p", "4")).toDF()
+      .coalesce(1).write.parquet(stageDir.resolve("b2").toString)
+    val in = spark.readStream
+      .schema(store.all.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString + "/*/")
+    val q = EventStream.streamInsert(store, in)
+    try q.processAllAvailable() finally q.stop()
+    assert(store.count() == 4)
+    assert(store.all.select("subj").collect().map(_.getString(0)).toSet ==
+      Set("a", "b", "c", "d"))
+  }
+
   test("streaming hourly window converges to the batch answer") {
     // file source wants a directory of arriving files — stage the fixture
     val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")

@@ -77,6 +77,27 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF ANN recall vs brute force is substantial and candidate set is pruned") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(embs, qids, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val approx = Similarity.ivfTopK(embs, qids, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low")
+  }
+
+  test("bpe token estimate splits long words into pieces") {
+    import spark.implicits._
+    val df = Seq((1L, "internationalization"), (2L, "a b"), (3L, "x9!")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      graft.ops.TextOps.bpeTokenCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 5) // ceil(20/4)
+    assert(out(2L) == 2)
+    assert(out(3L) == 3) // "x", "9", "!"
+  }
+
   test("LSH ANN recall vs brute force is substantial") {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
     val exact = Similarity.bruteForceTopK(embs, qids, k = 5).collect()
