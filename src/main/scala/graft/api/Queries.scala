@@ -591,6 +591,20 @@ object Queries {
           |      FROM documents)
           |ORDER BY doc_id""".stripMargin)),
 
+    "text_rolling_fingerprint" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextOps.rollingHash(col("text")).as("rh"))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+          |        c -> CAST(unicode(c) AS BIGINT))),
+          |    (a, b) -> (a * 31 + b) % 1099511627776) AS rh
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     "sim_ann_ivf" -> Q(
       (s, d) => graft.ops.Similarity.ivfTopK(
           Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L), k = 10)

@@ -38,6 +38,19 @@ object TextOps {
   /** MD5 fingerprint of the normalized text — the exact-dup key. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Polynomial rolling hash (Rabin–Karp base 31, mod 2^40) over the
+    * normalized text's codepoints — the incremental-fingerprint shape
+    * used for chunk-level dedup. Modulus keeps every intermediate in
+    * [0, 2^45) so the same arithmetic is exact in any 64-bit engine
+    * (DuckDB BIGINT traps on overflow, Spark wraps — staying small
+    * sidesteps both).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(normalized(text), ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31L + c) % 1099511627776L)
+
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. Order matters: the argmax CASE chain breaks
     * ties by this order, mirrored in the SQL oracle.
