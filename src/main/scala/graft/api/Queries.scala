@@ -407,6 +407,30 @@ object Queries {
           |  ON c.user_id = p.user_id AND c.uts >= p.uts - 600 AND c.uts < p.uts
           |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin)),
 
+    // Native session_window sessionization: per-user 30-min-gap sessions
+    // with event counts; oracle assigns session ids via the lag/cumsum
+    // rewrite (the algebraic equivalent).
+    "events_session_stats" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some(
+        """SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+          |FROM (
+          |  SELECT user_id, ts,
+          |    sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+          |             THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |            ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM (SELECT user_id, ts, event_id,
+          |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          |        FROM events))
+          |GROUP BY user_id, session_id
+          |ORDER BY user_id, session_start""".stripMargin)),
+
     // Exact percentiles (interpolated) per group.
     "percentile_order_value" -> Q(
       (s, d) => Tables.orders(s, d)

@@ -189,6 +189,22 @@ class TripleStoreSpec extends SparkSpecBase {
     assert(batches.flatten.map(_.subj).toSet == (0 until 25).map(i => s"s$i").toSet)
   }
 
+  test("TripleIO: JSON and CSV round-trip through conform") {
+    import spark.implicits._
+    val dir = tmpDir("graft-io")
+    val df = fixture.toDF()
+    graft.sources.TripleIO.writeJson(df, s"$dir/j")
+    graft.sources.TripleIO.writeCsv(df, s"$dir/c")
+    val fromJson = spo(graft.sources.TripleIO.readJson(spark, s"$dir/j"))
+    val fromCsv = spo(graft.sources.TripleIO.readCsv(spark, s"$dir/c"))
+    val want = fixture.map(t => (t.subj, t.pred, t.obj)).toSet
+    assert(fromJson == want)
+    assert(fromCsv == want)
+    // malformed identities never survive conform
+    val bad = Seq(("", "p", null: String)).toDF("subj", "pred", "obj")
+    assert(graft.store.TripleStore.conform(bad).count() == 0)
+  }
+
   test("rooted query prunes partitions (bucket pushdown)") {
     val st = loaded()
     val plan = st.query(ArrayOp.of(TriplePattern(subj = Some("/m/02mjmr"))))
