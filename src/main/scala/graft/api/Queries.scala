@@ -519,7 +519,7 @@ object Queries {
     // oracle = the equivalent 2 joins.
     "graph_2hop" -> Q(
       (s, d) => graft.graph.GraphOps
-        .reverseBfs(Tables.starTriples(s, d), "region:2", maxDepth = 2)
+        .reverseBfs(Tables.starTriples(s, d).cache(), "region:2", maxDepth = 2)
         .withColumn("depth", col("depth").cast("long"))
         .orderBy("depth", "node"),
       Some(withCte(
@@ -535,13 +535,13 @@ object Queries {
     // PageRank over the triples graph (rows-only: iterative float fixpoint
     // has no SQL oracle). Top-100 for bounded output.
     "graph_pagerank" -> Q(
-      (s, d) => graft.graph.GraphOps.pageRank(Tables.starTriples(s, d), iters = 5)
+      (s, d) => graft.graph.GraphOps.pageRank(Tables.starTriples(s, d).cache(), iters = 5)
         .orderBy(desc("rank"), asc("node")).limit(100),
       None),
 
     // Connected-component sizes (rows-only; label = min vertex hash).
     "graph_cc_sizes" -> Q(
-      (s, d) => graft.graph.GraphOps.connectedComponents(Tables.starTriples(s, d))
+      (s, d) => graft.graph.GraphOps.connectedComponents(Tables.starTriples(s, d).cache())
         .groupBy("component").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("component")).limit(20),
       None),

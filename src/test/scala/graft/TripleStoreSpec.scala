@@ -169,6 +169,18 @@ class TripleStoreSpec extends SparkSpecBase {
     assert(st.triplesMatchingBloom(empty).count() == 0)
   }
 
+  test("query with a keyspace guard drops out-of-range subjects (core/binary.go:17-37)") {
+    val st = loaded()
+    val h = graft.functions.Murmur3x64.hash64("/m/0hume")
+    val ks = graft.model.Keyspace(h, h + 1)
+    val got = spo(st.query(graft.model.ArrayOp.of(TriplePattern()), -1, Some(ks)))
+    assert(got.map(_._1) == Set("/m/0hume"))
+    // complement keyspace sees exactly the rest
+    val comp = ks.complement.get
+    val rest = spo(st.query(graft.model.ArrayOp.of(TriplePattern()), -1, Some(comp)))
+    assert(rest.map(_._1) == Set("/m/02mjmr"))
+  }
+
   test("keyspace-sliced bloom only covers the slice") {
     import spark.implicits._
     val st = freshStore()
