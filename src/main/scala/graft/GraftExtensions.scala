@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DoubleDotProduct, Murmur64Expr}
+
+/** Session-extension packaging: makes the engine's custom expressions
+  * first-class SQL functions in any session built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`), so pure-SQL users get
+  * `graft_murmur64` / `graft_dot` with full codegen — no Scala API
+  * required.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_murmur64"),
+      new ExpressionInfo(classOf[Murmur64Expr].getName, "graft_murmur64"),
+      (children: Seq[Expression]) => Murmur64Expr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DoubleDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DoubleDotProduct(children(0), children(1))))
+  }
+}

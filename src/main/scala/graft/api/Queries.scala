@@ -19,10 +19,7 @@ import graft.model.{ArrayOp, TriplePattern}
 object Queries {
   final case class Q(
       fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String],
-      /** headline queries run in Bench */
-      bench: Boolean = true
-  )
+      oracle: Option[String])
 
   private def pat(subj: String = "", pred: String = "", obj: String = ""): TriplePattern =
     TriplePattern.fromStrings(subj, pred, obj)
@@ -680,8 +677,6 @@ object Queries {
     registry.map { case (k, q) => k -> q.fn }
 
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, Q(_, Some(sql), _)) => k -> sql }
+    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }
 
-  def benchNames: Seq[String] =
-    registry.collect { case (k, q) if q.bench => k }.toSeq
 }

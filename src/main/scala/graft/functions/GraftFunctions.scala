@@ -31,16 +31,13 @@ case class Murmur64Expr(child: Expression) extends UnaryExpression {
   * under `graft_*` via [[GraftFunctions.register]].
   */
 object GraftFunctions {
-  @volatile private var registered = false
-
   /** Registers the `graft_*` SQL functions in the session's registry.
-    * Idempotent; call once per session (TripleStore does this).
+    * Idempotent; call once per session (TripleStore does this). For
+    * library-level packaging use [[graft.GraftExtensions]] instead.
     */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_murmur64", exprs => Murmur64Expr(exprs.head), "built-in")
-    registered = true
-  }
 
   /** 64-bit murmur3 shard hash of a string column. Built directly from
     * the Catalyst expression (no session registry needed). The cast keeps
