@@ -258,6 +258,24 @@ object Queries {
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Grouping sets: full CUBE.
+    "cube_pricing" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("qty", col("l_quantity").cast("decimal(12,2)"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS n
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // Set ops: INTERSECT / EXCEPT (distinct semantics both engines).
     "setop_intersect" -> Q(
       (s, d) => Tables.orders(s, d).select(col("o_custkey").as("custkey"))

@@ -180,6 +180,32 @@ final class TripleStore(
     insert(signed)
   }
 
+  /** Compact the store: rewrite every bucket's accumulated small append
+    * files into one sorted file per bucket. Operationally essential
+    * under continuous ingest (each streaming micro-batch appends a file
+    * per bucket; scan cost degrades with file count). Uses dynamic
+    * partition overwrite so untouched buckets are left as-is, and
+    * restores the sortWithinPartitions clustering that row-group
+    * pruning depends on.
+    */
+  def compact(): Unit = {
+    if (!exists) return
+    // Two-phase: write the compacted copy to a sibling temp dir, then
+    // swap via rename. Never overwrite the directory being read —
+    // a cache-evicted partition would recompute from clobbered data.
+    val tmp = path + ".compacting"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(t, true)
+    raw
+      .repartition(numBuckets, col("bucket"))
+      .sortWithinPartitions("subj", "pred", "obj")
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    fs.delete(p, true)
+    fs.rename(t, p)
+  }
+
   /** Stream the whole store in driver-side batches of `size` (reference:
     * triplestore/triplestore.go:173-195, `EachTripleBatch`). The
     * reference pages with OFFSET/LIMIT (O(n²) in SQLite); here

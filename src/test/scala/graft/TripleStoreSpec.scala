@@ -217,6 +217,26 @@ class TripleStoreSpec extends SparkSpecBase {
     assert(graft.store.TripleStore.conform(bad).count() == 0)
   }
 
+  test("compact merges append files, preserves content") {
+    import spark.implicits._
+    val st = freshStore(buckets = 4)
+    // three separate appends → ≥3 files per touched bucket
+    (0 until 3).foreach { b =>
+      st.insert((0 until 20).map(i => Triple(s"s${b}_$i", "p", s"o$i")).toDF())
+    }
+    val before = st.all.collect().map(_.toString).toSet
+    def fileCount: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(st.path)).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = fileCount
+    st.compact()
+    assert(st.all.collect().map(_.toString).toSet == before)
+    assert(fileCount < filesBefore, s"$fileCount !< $filesBefore")
+    assert(st.count() == 60)
+  }
+
   test("rooted query prunes partitions (bucket pushdown)") {
     val st = loaded()
     val plan = st.query(ArrayOp.of(TriplePattern(subj = Some("/m/02mjmr"))))
