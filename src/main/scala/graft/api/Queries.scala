@@ -307,6 +307,43 @@ object Queries {
         """SELECT count(*) AS n FROM customer
           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
 
+    // Left outer join: order counts per customer including zero-order
+    // customers.
+    "join_outer_order_counts" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey"),
+      Some(
+        """SELECT c_custkey, count(o_orderkey) AS n_orders
+          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // Correlated-subquery shape: orders strictly above their customer's
+    // average order value — decorrelated Spark-first as a window average
+    // (one shuffle on custkey, no per-row subquery).
+    "join_above_avg_orders" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+        Tables.orders(s, d)
+          .withColumn("p", col("o_totalprice").cast("decimal(12,2)"))
+          .withColumn("cust_total", sum("p").over(w))
+          .withColumn("cust_n", count(lit(1)).over(w))
+          // compare via cross-multiplication: p * n > total — exact
+          // decimal math, no average division scale headaches
+          .filter(col("p") * col("cust_n") > col("cust_total"))
+          .select("o_orderkey", "o_custkey", "p")
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          |FROM orders o
+          |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+          |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // Multi-way join (TPC-H Q5 shape): revenue per ASIA nation.
     "join_regional_revenue" -> Q(
       (s, d) => {
