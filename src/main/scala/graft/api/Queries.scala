@@ -125,7 +125,9 @@ object Queries {
         val wanted = triples.filter(col("pred") === "nation" && col("subj").startsWith("supp:"))
           .select(col("obj").as("k"))
         import org.apache.spark.util.sketch.BloomFilter
-        val n = math.max(wanted.count(), 1L)
+        // same degeneracy floor as TripleStore.bloom: tiny filters make
+        // double-hashing probes collapse and FPs appear at any fpp
+        val n = math.max(wanted.count(), graft.store.TripleStore.MinBloomItems)
         val bf = wanted.select(col("k")).na.drop()
           .rdd.map(_.getString(0))
           .treeAggregate(BloomFilter.create(n, 1e-9))(

@@ -142,7 +142,12 @@ final class TripleStore(
       case None     => all
     }
     val keyed = slice.select(GraftFunctions.canonicalKey().as("k"))
-    val n = math.max(keyed.count(), 1L)
+    // Floor the size estimate: a few-hundred-bit filter degenerates —
+    // Spark's double-hashing probes (h1 + i·h2 mod numBits) collapse to
+    // one bit whenever h2 ≡ 0 mod numBits, which is likely at tiny
+    // numBits and makes the real FP rate orders of magnitude worse than
+    // fpp. 10k items ⇒ ~53 KB at 1e-9 — negligible, non-degenerate.
+    val n = math.max(keyed.count(), TripleStore.MinBloomItems)
     // Partial filters built per partition, merged pairwise on executors
     // (treeAggregate), one small filter to the driver — scales to any
     // row count without driver-side row materialization.
@@ -224,6 +229,9 @@ final class TripleStore(
 object TripleStore {
   /** Reference's bloom FP constant (triplestore/triplestore.go:18-22). */
   val ReferenceFpp: Double = 1e-9
+
+  /** Minimum expected-items for bloom sizing (degeneracy guard). */
+  val MinBloomItems: Long = 10000L
 
   final case class StoreInfo(triples: Long, diskBytes: Long)
 
