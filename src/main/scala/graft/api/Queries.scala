@@ -678,7 +678,8 @@ object Queries {
         """SELECT doc_id,
           |  list_reduce(
           |    list_prepend(CAST(0 AS BIGINT),
-          |      list_transform(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+          |      list_transform(
+          |        string_split(regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '[^\x00-\x7f]', '?', 'g'), ''),
           |        c -> CAST(unicode(c) AS BIGINT))),
           |    (a, b) -> (a * 31 + b) % 1099511627776) AS rh
           |FROM documents ORDER BY doc_id""".stripMargin)),

@@ -39,15 +39,19 @@ object TextOps {
   def fingerprint(text: Column): Column = md5(normalized(text))
 
   /** Polynomial rolling hash (Rabin–Karp base 31, mod 2^40) over the
-    * normalized text's codepoints — the incremental-fingerprint shape
-    * used for chunk-level dedup. Modulus keeps every intermediate in
-    * [0, 2^45) so the same arithmetic is exact in any 64-bit engine
-    * (DuckDB BIGINT traps on overflow, Spark wraps — staying small
-    * sidesteps both).
+    * normalized text — the incremental-fingerprint shape used for
+    * chunk-level dedup. Modulus keeps every intermediate in [0, 2^45)
+    * so the same arithmetic is exact in any 64-bit engine (DuckDB
+    * BIGINT traps on overflow, Spark wraps — staying small sidesteps
+    * both). Non-ASCII is projected to '?' first: engines disagree on
+    * char iteration outside ASCII (UTF-16 code units vs codepoints),
+    * so the hash is defined over the ASCII projection.
     */
   def rollingHash(text: Column): Column =
     aggregate(
-      transform(split(normalized(text), ""), c => ascii(c).cast("long")),
+      transform(
+        split(regexp_replace(normalized(text), "[^\\x00-\\x7F]", "?"), ""),
+        c => ascii(c).cast("long")),
       lit(0L),
       (h, c) => (h * 31L + c) % 1099511627776L)
 

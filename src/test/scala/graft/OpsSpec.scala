@@ -123,6 +123,32 @@ class OpsSpec extends SparkSpecBase {
     assert(f1.forall(f => math.abs(f.features.sum - 1.0) < 1e-9))
   }
 
+  test("rolling hash: ASCII projection pins non-ASCII; value matches hand computation") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "aΩ b")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), graft.ops.TextOps.rollingHash(col("text")).as("rh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rh(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1099511627776L)
+    assert(out(1L) == rh("a b"))
+    assert(out(2L) == rh("a? b")) // lower('Ω')='ω' → non-ASCII → '?'
+  }
+
+  test("session_window MERGES at exactly the gap boundary (oracle uses > gap)") {
+    // Pins the boundary semantics the events_session_stats oracle
+    // encodes: an event exactly `gap` seconds after the previous one
+    // CONTINUES the session (Spark merges when next.start <= window.end),
+    // so the SQL rewrite must split on strictly-greater gaps.
+    import spark.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00")), // exactly 1800s later
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:30:01")) // > 1800s later
+    ).toDF("user_id", "ts")
+    val n = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count().count()
+    assert(n == 2)
+  }
+
   test("text ops: langid hits the dominant profile; fingerprint collapses whitespace") {
     import spark.implicits._
     val df = Seq(
