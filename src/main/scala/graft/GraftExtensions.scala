@@ -18,7 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_murmur64"),
       new ExpressionInfo(classOf[Murmur64Expr].getName, "graft_murmur64"),
-      (children: Seq[Expression]) => Murmur64Expr(children.head)))
+      (children: Seq[Expression]) =>
+        Murmur64Expr(graft.functions.GraftFunctions.stringInput(children.head))))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DoubleDotProduct].getName, "graft_dot"),

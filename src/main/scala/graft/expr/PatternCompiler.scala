@@ -58,9 +58,10 @@ object PatternCompiler {
       // OR: every disjunct must be rooted, result is the union. This is
       // already finer than the reference, which poisons the whole step to
       // a broadcast if ANY pattern anywhere is subject-free
-      // (query/query.go:30-44).
+      // (query/query.go:30-44). An EMPTY Or compiles to match-everything,
+      // so it must be unrooted — Some(Set.empty) would prune every bucket.
       case _: ArrayOp.Or =>
-        if (operandRoots.exists(_.isEmpty)) None
+        if (operandRoots.isEmpty || operandRoots.exists(_.isEmpty)) None
         else Some(operandRoots.flatten.flatten.toSet)
       // AND: any single rooted operand bounds the result (a matching row
       // satisfies all operands) — intersect the known sets.

@@ -37,7 +37,16 @@ object GraftFunctions {
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_murmur64", exprs => Murmur64Expr(exprs.head), "built-in")
+      "graft_murmur64", exprs => Murmur64Expr(stringInput(exprs.head)), "built-in")
+
+  /** The expression reads UTF8String; SQL callers can pass anything, so
+    * coerce non-string children explicitly (we can't use
+    * ExpectsInputTypes — AbstractDataType is private[sql]).
+    */
+  private[graft] def stringInput(e: Expression): Expression =
+    if (e.dataType == org.apache.spark.sql.types.StringType) e
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.StringType)
 
   /** 64-bit murmur3 shard hash of a string column. Built directly from
     * the Catalyst expression (no session registry needed). The cast keeps

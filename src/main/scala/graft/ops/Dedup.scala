@@ -129,11 +129,15 @@ object Dedup {
   }
 
   /** Word n-gram shingles per doc, distinct: (doc_id, source, sh).
+    * `source` is the blocking key for Jaccard; frames without one get an
+    * empty-string block so MinHash callers aren't coupled to it.
     * Guard short docs explicitly — `sequence(0, -1)` would generate a
     * DESCENDING sequence, not an empty one.
     */
   def shingleRows(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+    docs.select(col("doc_id"),
+        (if (docs.columns.contains("source")) col("source") else lit("")).as("source"),
+        TextOps.tokens(col("text")).as("toks"))
       .withColumn("sh", explode(array_distinct(
         when(size(col("toks")) >= n,
           transform(sequence(lit(0), size(col("toks")) - n),

@@ -110,7 +110,6 @@ object Similarity {
     */
   def ivfTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val spark = embs.sparkSession
     val v = withNorm(embs).cache()
     val dim = v.select(size(col("v"))).head().getInt(0)
 
@@ -147,13 +146,22 @@ object Similarity {
     val qvecs = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select("vec_id", "v").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // training caches are warm in `assigned`'s materialization; release
+    // the intermediate projection so repeated calls don't pile up cache
+    v.unpersist(blocking = false)
     def probeCells(q: Array[Double]): Seq[Int] =
       centroids.zipWithIndex.map { case (c, i) =>
         val d = c.map(x => x * x).sum - 2.0 * c.zip(q).map { case (a, b) => a * b }.sum
         (d, i)
       }.sortBy(_._1).take(nprobe).map(_._2).toSeq
 
-    val perQuery = queryIds.map { qid =>
+    // queryIds absent from embs contribute no rows (same contract as
+    // bruteForceTopK/lshTopK), instead of a driver NoSuchElementException
+    val presentIds = queryIds.filter(qvecs.contains)
+    val empty = assigned.sparkSession.emptyDataFrame
+      .withColumn("query_id", lit(0L)).withColumn("vec_id", lit(0L))
+      .withColumn("cos", lit(0.0d)).limit(0)
+    val perQuery = presentIds.map { qid =>
       val q = assigned.filter(col("vec_id") === qid)
         .select(col("v").as("qv"), col("nrm").as("qnrm"))
       assigned.filter(col("cid").isin(probeCells(qvecs(qid)): _*))
@@ -162,7 +170,7 @@ object Similarity {
         .withColumn("query_id", lit(qid))
         .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
         .select("query_id", "vec_id", "cos")
-    }.reduce(_ unionAll _)
+    }.reduceOption(_ unionAll _).getOrElse(empty)
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     perQuery.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

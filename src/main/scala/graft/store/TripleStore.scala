@@ -111,11 +111,15 @@ final class TripleStore(
   }
 
   def query(op: ArrayOp, limit: Int, keyspace: Option[Keyspace]): DataFrame = {
-    val q = query(op, limit)
-    keyspace match {
-      case Some(ks) => q.filter(keyspaceIncludes(ks, GraftFunctions.murmur64(col("subj"))))
-      case None     => q
+    // keyspace guard BEFORE the limit — limiting first would sample rows
+    // and then drop the out-of-range ones, under-returning
+    val unlimited = query(op, -1)
+    val guarded = keyspace match {
+      case Some(ks) =>
+        unlimited.filter(keyspaceIncludes(ks, GraftFunctions.murmur64(col("subj"))))
+      case None => unlimited
     }
+    if (limit > 0) guarded.limit(limit) else guarded
   }
 
   def count(): Long = all.count()
@@ -198,17 +202,24 @@ final class TripleStore(
     // Two-phase: write the compacted copy to a sibling temp dir, then
     // swap via rename. Never overwrite the directory being read —
     // a cache-evicted partition would recompute from clobbered data.
-    val tmp = path + ".compacting"
     val p = new org.apache.hadoop.fs.Path(path)
-    val t = new org.apache.hadoop.fs.Path(tmp)
+    val t = new org.apache.hadoop.fs.Path(path + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(path + ".precompact")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(t, true)
+    fs.delete(old, true)
     raw
       .repartition(numBuckets, col("bucket"))
       .sortWithinPartitions("subj", "pred", "obj")
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    fs.delete(p, true)
-    fs.rename(t, p)
+      .write.mode("overwrite").partitionBy("bucket").parquet(t.toString)
+    // swap via two renames, never a delete-then-rename window: a crash
+    // between them leaves the data at .precompact, recoverable — not gone
+    fs.rename(p, old)
+    if (!fs.rename(t, p)) {
+      fs.rename(old, p) // roll back
+      throw new java.io.IOException(s"compact: rename $t -> $p failed; rolled back")
+    }
+    fs.delete(old, true)
   }
 
   /** Stream the whole store in driver-side batches of `size` (reference:

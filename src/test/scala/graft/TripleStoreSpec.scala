@@ -169,6 +169,34 @@ class TripleStoreSpec extends SparkSpecBase {
     assert(st.triplesMatchingBloom(empty).count() == 0)
   }
 
+  test("empty JSON query ([]) matches everything — never prunes to zero buckets") {
+    val st = loaded()
+    val eng = new Engine(st)
+    assert(eng.queryJson("[]").count() == 4)
+    assert(graft.expr.PatternCompiler.rootSubjects(graft.model.ArrayOp.Or(Nil)).isEmpty)
+  }
+
+  test("keyspace guard applies BEFORE limit (no under-returning)") {
+    import spark.implicits._
+    val st = freshStore()
+    // many in-keyspace rows + many out-of-keyspace rows
+    val inKs = (0 until 20).map(i => Triple(s"in$i", "p", s"$i"))
+    val outKs = (0 until 20).map(i => Triple(s"out$i", "p", s"$i"))
+    st.insert((inKs ++ outKs).toDF())
+    val hashes = inKs.map(t => graft.functions.Murmur3x64.hash64(t.subj))
+    // a keyspace that covers exactly the in* subjects
+    val cover = hashes.map(h => graft.model.Keyspace(h, h + 1))
+      .reduce((a, b) => a.union(b).getOrElse(
+        graft.model.Keyspace(0L, -1L))) // fall back to near-full ring if disjoint
+    // regardless of coverage construction, a per-subject check must hold:
+    hashes.foreach { h =>
+      val ks = graft.model.Keyspace(h, h + 1)
+      val got = st.query(graft.model.ArrayOp.of(TriplePattern()), 5, Some(ks))
+      assert(got.count() == 1) // exactly the one in-range subject, limit not starving it
+    }
+    assert(cover != null)
+  }
+
   test("query with a keyspace guard drops out-of-range subjects (core/binary.go:17-37)") {
     val st = loaded()
     val h = graft.functions.Murmur3x64.hash64("/m/0hume")
