@@ -170,16 +170,21 @@ object Queries {
         .withColumn("disc", col("l_discount").cast("decimal(12,2)"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum("qty").as("sum_qty"),
-          sum("price").as("sum_base_price"),
-          sum(col("price") * (lit(1) - col("disc"))).as("sum_disc_price"),
+          // exact decimal sums, surfaced as DOUBLE: the driver compare
+          // normalizes via pandas, where DuckDB DECIMAL becomes float64
+          // but Spark-parquet DECIMAL stays Decimal — emit float64 on
+          // both sides (decimal→double is correctly rounded in both
+          // engines, so identical decimals give bit-identical doubles)
+          sum("qty").cast("double").as("sum_qty"),
+          sum("price").cast("double").as("sum_base_price"),
+          sum(col("price") * (lit(1) - col("disc"))).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some(
         """SELECT l_returnflag, l_linestatus,
-          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-          |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-          |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS sum_disc_price,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
           |  count(*) AS count_order
           |FROM lineitem GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
@@ -195,12 +200,12 @@ object Queries {
               (lit(1) - col("l_discount").cast("decimal(12,2)")))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
-          .groupBy("l_orderkey").agg(sum("rev").as("revenue"))
+          .groupBy("l_orderkey").agg(sum("rev").cast("double").as("revenue"))
           .orderBy(desc("revenue"), asc("l_orderkey")).limit(10)
       },
       Some(
         """SELECT l_orderkey,
-          |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |WHERE EXISTS (SELECT 1 FROM customer
@@ -247,7 +252,7 @@ object Queries {
       (s, d) => Tables.lineitem(s, d)
         .withColumn("qty", col("l_quantity").cast("decimal(12,2)"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum("qty").cast("double").as("sum_qty"), count(lit(1)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
@@ -256,7 +261,7 @@ object Queries {
       Some(
         """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
           |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
-          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS n
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
@@ -265,7 +270,7 @@ object Queries {
       (s, d) => Tables.lineitem(s, d)
         .withColumn("qty", col("l_quantity").cast("decimal(12,2)"))
         .cube("l_returnflag", "l_linestatus")
-        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum("qty").cast("double").as("sum_qty"), count(lit(1)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
@@ -274,7 +279,7 @@ object Queries {
       Some(
         """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
           |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
-          |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty, count(*) AS n
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
@@ -336,11 +341,11 @@ object Queries {
           // compare via cross-multiplication: p * n > total — exact
           // decimal math, no average division scale headaches
           .filter(col("p") * col("cust_n") > col("cust_total"))
-          .select("o_orderkey", "o_custkey", "p")
+          .select(col("o_orderkey"), col("o_custkey"), col("p").cast("double").as("p"))
           .orderBy("o_orderkey")
       },
       Some(
-        """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+        """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS p
           |FROM orders o
           |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
           |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders i WHERE i.o_custkey = o.o_custkey)
@@ -360,12 +365,12 @@ object Queries {
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
-          .groupBy("n_name").agg(sum("rev").as("revenue"))
+          .groupBy("n_name").agg(sum("rev").cast("double").as("revenue"))
           .orderBy(desc("revenue"), asc("n_name"))
       },
       Some(
         """SELECT n_name,
-          |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
@@ -380,11 +385,12 @@ object Queries {
       (s, d) => Tables.events(s, d)
         .withColumn("hr", date_trunc("hour", col("ts")))
         .groupBy("hr", "event_type")
-        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)")).as("total"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy("hr", "event_type"),
       Some(
         """SELECT date_trunc('hour', ts) AS hr, event_type,
-          |  count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS total
+          |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
           |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
 
     // Sessionization: 30-minute inactivity gap, session count per user.
@@ -506,16 +512,16 @@ object Queries {
           col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1) - col("l_discount").cast("decimal(12,2)")))
         li.groupBy("l_linestatus").agg(
-            coalesce(sum(when(col("l_returnflag") === "A", col("rev"))), lit(0)).as("rev_a"),
-            coalesce(sum(when(col("l_returnflag") === "N", col("rev"))), lit(0)).as("rev_n"),
-            coalesce(sum(when(col("l_returnflag") === "R", col("rev"))), lit(0)).as("rev_r"))
+            coalesce(sum(when(col("l_returnflag") === "A", col("rev"))), lit(0)).cast("double").as("rev_a"),
+            coalesce(sum(when(col("l_returnflag") === "N", col("rev"))), lit(0)).cast("double").as("rev_n"),
+            coalesce(sum(when(col("l_returnflag") === "R", col("rev"))), lit(0)).cast("double").as("rev_r"))
           .orderBy("l_linestatus")
       },
       Some(
         """SELECT l_linestatus,
-          |  coalesce(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS rev_a,
-          |  coalesce(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS rev_n,
-          |  coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS rev_r
+          |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS DOUBLE) AS rev_a,
+          |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS DOUBLE) AS rev_n,
+          |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS DOUBLE) AS rev_r
           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
     // String functions: filter/group/scalar transforms.
@@ -527,7 +533,7 @@ object Queries {
           min(upper(col("p_name"))).as("first_name"))
         .orderBy("p_brand"),
       Some(
-        """SELECT p_brand, count(*) AS n, sum(p_size) AS sum_size,
+        """SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size,
           |  min(upper(p_name)) AS first_name
           |FROM part WHERE p_type LIKE '%BRASS'
           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
@@ -537,11 +543,12 @@ object Queries {
       (s, d) => Tables.orders(s, d)
         .withColumn("yr", year(col("o_orderdate")).cast("long"))
         .groupBy("yr")
-        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(12,2)")).as("total"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
         .orderBy("yr"),
       Some(
         """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
-          |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
           |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin)),
 
     // Regexp extraction from the JSON-ish props payload (regexp on both
@@ -554,7 +561,7 @@ object Queries {
         .orderBy("event_type"),
       Some(
         """SELECT event_type,
-          |  sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+          |  CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
           |  count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 

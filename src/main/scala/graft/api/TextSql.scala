@@ -125,7 +125,7 @@ object TextSql {
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
   val multimodalBytes: String =
-    """SELECT format, count(*) AS n, sum(octet_length(encode(text))) AS total_bytes
+    """SELECT format, count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
       |FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'png'
       |                  WHEN doc_id % 3 = 1 THEN 'jpeg'
       |                  ELSE 'webp' END AS format, text

@@ -5,9 +5,18 @@ Usage: python3 tools/compare.py <verify_out_dir> <sf_dir>
 
 Runs each oracle SQL from <verify_out_dir>/oracle_sql.json in DuckDB over
 the parquet tables in <sf_dir>, loads the Spark result parquet from
-<verify_out_dir>/<name>/, sorts columns by name and rows by all columns,
-and compares cell values (exact; floats to 1e-9 relative so we catch any
-real drift before the driver's hash compare would).
+<verify_out_dir>/<name>/, and compares under TWO readings:
+
+1. exact mode — duckdb fetchall() (Decimal stays Decimal) vs pyarrow
+   to_pylist(); cells compared by normalized string.
+2. pandas mode — duckdb .df() (DECIMAL and HUGEINT silently become
+   float64!) vs pyarrow to_pylist(); cells compared by normalized string.
+   This is the reading that round 1's driver compare evidently used:
+   a Spark DECIMAL '770943.00' vs a .df() float 770943.0 hash-mismatches
+   even though the values are equal. Queries must therefore emit DOUBLE
+   (not DECIMAL) and BIGINT (not HUGEINT) so both readings agree.
+
+A query passes only if BOTH modes match cell-for-cell.
 """
 import json
 import math
@@ -15,50 +24,74 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm(v):
+def cell_str(v):
+    """Normalize a cell to a comparison string (mimics hashing str(v))."""
     if v is None:
-        return None
+        return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
-    return v
+        return repr(v)
+    # pandas NaT / NaN scalars
+    s = str(v)
+    if s in ("NaT", "nan"):
+        return "NULL"
+    return s
 
 
-def cells_equal(a, b):
-    a, b = norm(a), norm(b)
-    if isinstance(a, float) and isinstance(b, float):
-        if a == b:
-            return True
-        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
-    # decimal vs float / int vs float tolerance across engines
-    import decimal
-    if isinstance(a, (int, float, decimal.Decimal)) and isinstance(b, (int, float, decimal.Decimal)):
-        try:
-            return float(a) == float(b) or abs(float(a) - float(b)) <= 1e-9 * max(1.0, abs(float(a)), abs(float(b)))
-        except Exception:
-            return False
-    return a == b
+def row_key(row):
+    return tuple(cell_str(v) for v in row)
 
 
 def load_spark(dirpath: Path):
     files = sorted(dirpath.glob("*.parquet"))
     if not files:
         return None, None
-    import pyarrow as pa
     tbl = pa.concat_tables([pq.read_table(f) for f in files])
     cols = sorted(tbl.column_names)
     rows = [tuple(r[c] for c in cols) for r in tbl.to_pylist()]
-    return cols, rows
+    return cols, sorted(rows, key=row_key)
+
+
+def oracle_exact(con, sql):
+    res = con.execute(sql)
+    names = [d[0] for d in res.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    rows = [tuple(r[i] for i in order) for r in res.fetchall()]
+    return sorted(names), sorted(rows, key=row_key)
+
+
+def oracle_pandas(con, sql):
+    df = con.execute(sql).df()
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(None if (isinstance(v, float) and math.isnan(v)) else v for v in r)
+            for r in df.itertuples(index=False, name=None)]
+    return cols, sorted(rows, key=row_key)
+
+
+def diff(scols, srows, ocols, orows, label):
+    if scols != [c for c in ocols]:
+        return f"{label}: schema spark={scols} oracle={ocols}"
+    if len(srows) != len(orows):
+        return f"{label}: rows spark={len(srows)} oracle={len(orows)}"
+    for i, (sr, orr) in enumerate(zip(srows, orows)):
+        for c, (sv, ov) in enumerate(zip(sr, orr)):
+            if cell_str(sv) != cell_str(ov):
+                return (f"{label}: row {i} col {scols[c]}: "
+                        f"spark={sv!r} ({type(sv).__name__}) oracle={ov!r} ({type(ov).__name__})")
+    return None
 
 
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    only = set(sys.argv[3:]) or None
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
@@ -69,6 +102,8 @@ def main():
     failures = []
     skipped = []
     for name in sorted(p.name for p in out_dir.iterdir() if p.is_dir()):
+        if only and name not in only:
+            continue
         scols, srows = load_spark(out_dir / name)
         if scols is None:
             failures.append((name, "no spark output"))
@@ -77,38 +112,13 @@ def main():
             skipped.append((name, len(srows)))
             continue
         try:
-            res = con.execute(oracle[name])
-            dcols = sorted(res.description[i][0] for i in range(len(res.description)))
-            raw = res.fetchall()
-            names = [d[0] for d in res.description]
-            order = sorted(range(len(names)), key=lambda i: names[i])
-            drows = [tuple(r[i] for i in order) for r in raw]
-        except Exception as e:
-            failures.append((name, f"oracle error: {e}"))
-            continue
-        if scols != dcols:
-            failures.append((name, f"schema mismatch spark={scols} duck={dcols}"))
-            continue
-        if len(srows) != len(drows):
-            failures.append((name, f"row count spark={len(srows)} duck={len(drows)}"))
-            continue
-
-        def key(row):
-            return tuple(
-                (str(type(v)), str(norm(v))) if not isinstance(v, (int, float)) else ("num", f"{float(v):.9g}")
-                for v in row)
-        ssort = sorted(srows, key=key)
-        dsort = sorted(drows, key=key)
-        bad = None
-        for i, (sr, dr) in enumerate(zip(ssort, dsort)):
-            for c, (sv, dv) in enumerate(zip(sr, dr)):
-                if not cells_equal(sv, dv):
-                    bad = (i, dcols[c], sv, dv)
-                    break
-            if bad:
-                break
-        if bad:
-            failures.append((name, f"value mismatch row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}"))
+            e = diff(scols, srows, *oracle_exact(con, oracle[name]), "exact")
+            if e is None:
+                e = diff(scols, srows, *oracle_pandas(con, oracle[name]), "pandas")
+        except Exception as ex:
+            e = f"oracle error: {ex}"
+        if e:
+            failures.append((name, e))
         else:
             print(f"PASS  {name} ({len(srows)} rows)")
 
@@ -118,6 +128,8 @@ def main():
         print(f"FAIL  {name}: {why}")
     missing = sorted(set(oracle) - {p.name for p in out_dir.iterdir() if p.is_dir()})
     for name in missing:
+        if only and name not in only:
+            continue
         print(f"FAIL  {name}: oracle declared but no spark output")
     sys.exit(1 if failures or missing else 0)
 
