@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's own stdout/stderr in the forked run instead of routing
+// through the sbt logger: the round driver parses graft.Bench's single
+// JSON stdout line, and the logger's "[info] " prefix broke that parse
+// in round 1 (BENCH_r01.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
