@@ -565,15 +565,19 @@ object Queries {
           |  count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // Shard-hash distribution over the triples view — exercises the
-    // custom murmur3-64 Expression end-to-end (rows-only: DuckDB has no
-    // murmur3-64).
+    // Shard-hash distribution over the triples view. The production
+    // ring (model.Keyspace) shards on murmur3-64 like the reference;
+    // this query demos the same uniformity contract through the
+    // portable 60-bit md5 family so DuckDB can replay it bit-for-bit
+    // (the murmur path stays covered by dedup_minhash_fast + the
+    // Keyspace ScalaTest suite).
     "shard_distribution" -> Q(
       (s, d) => Tables.starTriples(s, d)
-        .withColumn("bucket", pmod(graft.functions.GraftFunctions.murmur64(col("subj")), lit(8L)))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("subj")), 1, 15), 16, 10).cast("long"), lit(8L)))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket"),
-      None),
+      Some(GraphSql.shardDistribution(buckets = 8))),
 
     // ===== Extension: GraphX/Pregel analytics =====
     // 2-hop reverse reachability from a region node via Pregel BFS;
@@ -593,19 +597,29 @@ object Queries {
           |  WHERE w.pred = 'region' AND w.obj = 'region:2' AND w.subj = t.obj)
           |ORDER BY depth, node""".stripMargin))),
 
-    // PageRank over the triples graph (rows-only: iterative float fixpoint
-    // has no SQL oracle). Top-100 for bounded output.
+    // PageRank over the triples graph (GraphX staticPageRank — rows-only:
+    // parallel float summation is only reproducible to ulps, so no
+    // hash-exact SQL oracle; graph_pagerank_exact below is the gated
+    // twin). Top-100 for bounded output.
     "graph_pagerank" -> Q(
       (s, d) => graft.graph.GraphOps.pageRank(Tables.starTriples(s, d).cache(), iters = 5)
         .orderBy(desc("rank"), asc("node")).limit(100),
       None),
 
-    // Connected-component sizes (rows-only; label = min vertex hash).
+    // Fixed-point integer PageRank — order-free BIGINT arithmetic, so
+    // the 5-iteration unrolled DuckDB oracle matches bit-for-bit.
+    "graph_pagerank_exact" -> Q(
+      (s, d) => graft.graph.GraphOps
+        .pageRankFixedPoint(Tables.starTriples(s, d).cache(), iters = 5)
+        .orderBy(desc("rank_u"), asc("node")).limit(100),
+      Some(GraphSql.pagerankFixedPoint(iters = 5, limit = 100))),
+
+    // Connected-component sizes, labeled by each component's minimum
+    // node string (portable — oracle is 20 unrolled min-label rounds).
     "graph_cc_sizes" -> Q(
-      (s, d) => graft.graph.GraphOps.connectedComponents(Tables.starTriples(s, d).cache())
-        .groupBy("component").agg(count(lit(1)).as("n"))
+      (s, d) => graft.graph.GraphOps.componentSizes(Tables.starTriples(s, d).cache())
         .orderBy(desc("n"), asc("component")).limit(20),
-      None),
+      Some(GraphSql.ccSizes(rounds = 20, limit = 20))),
 
     // ===== Extension: LLM-pipeline — text analysis =====
     "text_stats" -> Q(
@@ -636,7 +650,16 @@ object Queries {
       None),
 
     "dedup_simhash" -> Q(
-      (s, d) => graft.ops.Dedup.simhashPairs(plantedDocs(s, d, exact = false), maxHamming = 3)
+      (s, d) => graft.ops.Dedup.simhashPairs(plantedDocs(s, d, exact = false),
+          maxHamming = 3, portable = true)
+        .orderBy("a", "b"),
+      Some(TextSql.dedupSimhash)),
+
+    // murmur3-64 token hashes — the no-hex-materialization fast path
+    // (rows-only for the same reason as dedup_minhash_fast).
+    "dedup_simhash_fast" -> Q(
+      (s, d) => graft.ops.Dedup.simhashPairs(plantedDocs(s, d, exact = false),
+          maxHamming = 3, portable = false)
         .orderBy("a", "b"),
       None),
 
@@ -698,12 +721,14 @@ object Queries {
         .orderBy("query_id", "rnk"),
       None),
 
+    // Sign-LSH ANN with md5-nibble hyperplanes — the full pipeline
+    // (planes → buckets → candidate join → rank) has a DuckDB mirror.
     "sim_ann_lsh" -> Q(
       (s, d) => graft.ops.Similarity.lshTopK(
           Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L), k = 10)
         .withColumnRenamed("rank", "rnk")
         .orderBy("query_id", "rnk"),
-      None),
+      Some(TextSql.simAnnLsh)),
 
     // ===== Extension: LLM-pipeline — multimodal columns =====
     "multimodal_bytes" -> Q(
@@ -711,16 +736,19 @@ object Queries {
         .orderBy("format"),
       Some(TextSql.multimodalBytes)),
 
+    // Decode-stub features; the oracle recovers byte count + scaled mean
+    // byte by hex-expanding the payload in SQL.
     "multimodal_features" -> Q(
       (s, d) => {
         import org.apache.spark.sql.functions.{col => c}
         graft.ops.Multimodal.decodeStub(
           graft.ops.Multimodal.assetsFromDocuments(Tables.documents(s, d)))
           .toDF()
-          .select(c("asset_id"), c("n_bytes"), round(c("mean_byte"), 4).as("mean_byte"))
+          .select(c("asset_id"), c("n_bytes"),
+            floor(c("mean_byte") * 10000).cast("long").as("mean_byte_x10k"))
           .orderBy("asset_id")
       },
-      None)
+      Some(TextSql.multimodalFeatures))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -124,6 +124,90 @@ object TextSql {
       |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** Brute-force SimHash pairs — equals the Spark banded result because
+    * 4×16-bit banding is exhaustive at Hamming <= 3 (pigeonhole). Token
+    * hashes are the 60-bit md5 family, mirrored bit-for-bit.
+    */
+  val dedupSimhash: String =
+    s"""WITH ${plantCte(exact = false)},
+       |toks AS (
+       |  SELECT doc_id, w, count(*) AS cnt FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    FROM docs)
+       |  WHERE w <> '' GROUP BY doc_id, w),
+       |th AS (
+       |  SELECT doc_id, cnt, ${GraphSql.md5Hash60("w")} AS h
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id, g.b AS b,
+       |    sum(CASE WHEN (h >> CAST(g.b AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+       |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) g
+       |  GROUP BY doc_id, g.b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+       |             ELSE 0 END) AS BIGINT) AS h
+       |  FROM bits GROUP BY doc_id)
+       |SELECT x.doc_id AS a, y.doc_id AS b FROM sh x JOIN sh y
+       |  ON x.doc_id < y.doc_id AND bit_count(xor(x.h, y.h)) <= 3
+       |ORDER BY a, b""".stripMargin
+
+  /** Sign-LSH top-k, mirrored end-to-end: ±1 hyperplanes from the parity
+    * of md5's first hex nibble (plane family t·6+j over dims 0..63),
+    * bucket = Σ 2^j over non-negative plane dots, candidates share a
+    * (table, bucket), scored by cosine and ranked. list_dot_product
+    * accumulates left-to-right, matching the codegen'd Spark expression.
+    */
+  val simAnnLsh: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |planes AS (
+      |  SELECT t.t, j.j,
+      |    list_transform(generate_series(0, 63), i ->
+      |      CASE WHEN (strpos('0123456789abcdef',
+      |             substr(md5(CAST(t.t * 6 + j.j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+      |           THEN 1.0 ELSE -1.0 END) AS p
+      |  FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
+      |       (SELECT unnest(generate_series(0, 5)) AS j) j),
+      |buckets AS (
+      |  SELECT vec_id, t AS tbl,
+      |    CAST(sum(CASE WHEN list_dot_product(e, p) >= 0
+      |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM v CROSS JOIN planes GROUP BY vec_id, t),
+      |q AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id IN (0, 1, 2)),
+      |cand AS (
+      |  SELECT DISTINCT q.query_id, b.vec_id
+      |  FROM buckets b JOIN q ON b.tbl = q.tbl AND b.bucket = q.bucket
+      |  WHERE b.vec_id <> q.query_id),
+      |scored AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    round(list_dot_product(x.e, y.e)
+      |      / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+      |  FROM cand c JOIN v x ON x.vec_id = c.vec_id JOIN v y ON y.vec_id = c.query_id),
+      |r AS (SELECT query_id, vec_id, cos,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      |      FROM scored)
+      |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r
+      |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** The decode-stub feature slice that survives any engine: byte count
+    * and scaled-integer mean byte, recovered in SQL by hex-expanding the
+    * UTF-8 payload. floor(x·10⁴) instead of round() — the usual
+    * cross-engine rounding guard.
+    */
+  val multimodalFeatures: String =
+    """WITH a AS (SELECT doc_id AS asset_id, encode(text) AS payload FROM documents),
+      |b AS (SELECT asset_id, octet_length(payload) AS nb, hex(payload) AS hx FROM a),
+      |s AS (SELECT asset_id, nb,
+      |        CASE WHEN nb = 0 THEN 0 ELSE
+      |          list_reduce(list_transform(generate_series(1, nb), i ->
+      |            CAST(strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1 AS BIGINT) * 16
+      |            + CAST(strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1 AS BIGINT)),
+      |            (x, y) -> x + y) END AS bytesum
+      |      FROM b)
+      |SELECT asset_id, CAST(nb AS BIGINT) AS n_bytes,
+      |  CAST(floor(CAST(bytesum AS DOUBLE) / CAST(greatest(nb, 1) AS DOUBLE) * 10000) AS BIGINT) AS mean_byte_x10k
+      |FROM s ORDER BY asset_id""".stripMargin
+
   val multimodalBytes: String =
     """SELECT format, count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
       |FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'png'

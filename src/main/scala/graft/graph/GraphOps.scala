@@ -91,4 +91,45 @@ object GraphOps {
       .map { case (_, (node, cc)) => (node, cc) }
       .toDF("node", "component")
   }
+
+  /** Component sizes with a PORTABLE label: the lexicographically
+    * smallest node string in each component (the GraphX min-hash label
+    * is engine-internal; the min string is reproducible by any engine,
+    * which is what makes the oracle possible).
+    */
+  def componentSizes(triples: DataFrame): DataFrame =
+    connectedComponents(triples)
+      .groupBy("component")
+      .agg(min("node").as("comp"), count(lit(1)).as("n"))
+      .select(col("comp").as("component"), col("n"))
+
+  /** Fixed-point PageRank in scaled integer arithmetic (rank units of
+    * 1e-6): contrib = rank div outDeg, rank' = 0.15 + 0.85·Σcontrib,
+    * all in BIGINT floor division. Integer sums are order-free, so the
+    * result is bit-identical on any engine and any partitioning — the
+    * oracle-gated twin of the float [[pageRank]] (whose parallel float
+    * summation is only reproducible to ulps). Dangling mass is dropped,
+    * as in GraphX staticPageRank. Long math headroom: rank mass is
+    * nodes·1e6·85 ≈ 1e20 only past ~1e11 nodes; rescale units there.
+    *
+    * DataFrame-native: each iteration is one shuffle on the node key
+    * (join + groupBy), the standard Spark iterative-algorithm shape.
+    */
+  def pageRankFixedPoint(triples: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = triples.select(col("subj"), col("obj")).cache()
+    val nodes = edges.select(col("subj").as("node"))
+      .union(edges.select(col("obj").as("node"))).distinct().cache()
+    val outdeg = edges.groupBy("subj").agg(count(lit(1)).as("deg"))
+    var rank = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val contrib = edges.join(outdeg, "subj")
+        .join(rank.withColumnRenamed("node", "subj"), "subj")
+        .select(col("obj").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")).as("r"))
+    }
+    rank.select(col("node"), col("r").as("rank_u"))
+  }
 }

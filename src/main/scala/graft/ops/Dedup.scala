@@ -95,25 +95,41 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** 64-bit SimHash over token murmur3 hashes, weighted by token count,
-    * via the single-pass custom aggregator (one 64-long buffer per doc
-    * instead of exploding 64 rows per token). bit_count(xor) gives
-    * Hamming distance for the verify step.
+  /** 64-bit SimHash over weighted token hashes via the single-pass
+    * custom aggregator (one 64-long buffer per doc instead of exploding
+    * 64 rows per token). bit_count(xor) gives Hamming distance for the
+    * verify step.
+    *
+    * Two hash families, same contract as the MinHash pair:
+    *  - `portable = true`: 60-bit keys from md5 hex (any engine with md5
+    *    reproduces them — this is what makes the DuckDB oracle possible);
+    *    the top 4 simhash bits are always clear, a negligible loss for
+    *    near-dup banding.
+    *  - `portable = false` (fast path): the codegen'd murmur3-64
+    *    expression, no hex-string materialization.
     */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame, portable: Boolean = false): DataFrame = {
+    val tokenHash =
+      if (portable) conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+      else GraftFunctions.murmur64(col("w"))
     docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", GraftFunctions.murmur64(col("w")))
+      .withColumn("h", tokenHash)
       .groupBy("doc_id")
       .agg(graft.functions.SimHashAggregator.simhash(col("h"), col("cnt")).as("simhash"))
+  }
 
   /** Near-dup candidates: same 16-bit SimHash band, verified by Hamming
-    * distance <= maxHamming.
+    * distance <= maxHamming. With maxHamming <= 3 and 4 bands, banding
+    * is exhaustive by pigeonhole (3 differing bits touch at most 3 of
+    * the 4 bands), so the result equals the all-pairs filter — which is
+    * exactly what the oracle computes.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val sh = simhash(docs, portable)
     val banded = (0 until 4).map { b =>
       sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("key"))

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Murmur3x64
-
 /** Similarity search over an embedding column (extension surface).
   *
   * Brute-force cosine top-k is the exact baseline: O(|Q|·n), fine when
@@ -51,10 +49,15 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane component for (plane j, dim i) — seeded
-    * by murmur3-64, reproducible across sessions/cluster sizes.
+    * by the parity of md5's first hex nibble, reproducible across
+    * sessions/cluster sizes AND across engines (DuckDB's md5 yields the
+    * same nibble, which is what makes the LSH oracle possible).
     */
-  private def planeSign(j: Int, i: Int): Double =
-    if ((Murmur3x64.hash64(s"$j:$i") & 1L) == 0L) 1.0 else -1.0
+  private def planeSign(j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
+  }
 
   /** Sign-LSH bucket id from `bits` random hyperplanes (dim = embedding
     * length), for hash table `table` (distinct plane family per table).
