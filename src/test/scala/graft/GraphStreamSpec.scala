@@ -35,6 +35,33 @@ class GraphStreamSpec extends SparkSpecBase {
     assert(nationRank > custRank)
   }
 
+  test("fixed-point pagerank agrees with float pagerank on ordering shape") {
+    val triples = Tables.starTriples(spark, dir)
+    val fp = GraphOps.pageRankFixedPoint(triples, iters = 5)
+      .collect().map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_u")).toMap
+    // same concentration property as the float variant
+    val nationRank = fp.filter(_._1.startsWith("nation:")).values.max
+    val custRank = fp.filter(_._1.startsWith("cust:")).values.max
+    assert(nationRank > custRank)
+    // a node nobody points at keeps exactly the dangling floor after one
+    // round: 0.15 + 0.85·0 = 150000 rank units
+    val orphanRanks = fp.filter { case (n, _) => n.startsWith("order:") }.values.toSet
+    assert(orphanRanks == Set(150000L), s"orders have no in-edges: $orphanRanks")
+    // rank units are bounded by total mass (nodes · 1e6)
+    assert(fp.values.forall(r => r >= 150000L && r < fp.size.toLong * 1000000L))
+  }
+
+  test("componentSizes labels components by their min node string") {
+    import spark.implicits._
+    val t = Seq(
+      ("b", "p", "a"), ("b", "p", "c"), // component min label "a"
+      ("y", "p", "x") // component min label "x"
+    ).toDF("subj", "pred", "obj")
+    val sizes = GraphOps.componentSizes(t).collect()
+      .map(r => r.getAs[String]("component") -> r.getAs[Long]("n")).toMap
+    assert(sizes == Map("a" -> 3L, "x" -> 2L))
+  }
+
   test("connected components: one component per connected star subgraph") {
     import spark.implicits._
     val t = Seq(

@@ -52,6 +52,21 @@ class OpsSpec extends SparkSpecBase {
     assert(expected.intersect(pairs).size >= 15)
   }
 
+  test("portable md5 simhash finds the same planted near-dups as murmur") {
+    val portable = Dedup.simhashPairs(planted(exact = false), maxHamming = 3, portable = true)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val expected = (0L until 20L).map(i => (i, i + 100000)).toSet
+    assert(expected.intersect(portable).size >= 15,
+      s"only ${expected.intersect(portable).size}/20 planted pairs found")
+    // banding at 4x16 bits is exhaustive for hamming<=3 (pigeonhole):
+    // every reported pair must genuinely be within distance 3
+    val sh = Dedup.simhash(planted(exact = false), portable = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(portable.forall { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    })
+  }
+
   test("ngram jaccard: planted pairs score high, output is symmetric-free") {
     val out = Dedup.ngramJaccardPairs(planted(exact = false), n = 3, threshold = 0.5)
       .collect()
