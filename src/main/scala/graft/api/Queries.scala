@@ -73,7 +73,7 @@ object Queries {
     // The derived triples view is scanned once per step — cache it for
     // the iteration (same pattern GraphX uses for iterative algorithms).
     "tp_traverse" -> Q(
-      (s, d) => Engine.traverse(Tables.starTriples(s, d).cache(), Seq(
+      (s, d) => Engine.traverse(Tables.starTriples(s, d), Seq(
           ArrayOp.of(pat(subj = "order:1"), pat(subj = "order:2"), pat(subj = "order:3"),
             pat(subj = "order:4"), pat(subj = "order:5")),
           ArrayOp.of(pat(pred = "nation")),
@@ -584,7 +584,8 @@ object Queries {
     // oracle = the equivalent 2 joins.
     "graph_2hop" -> Q(
       (s, d) => graft.graph.GraphOps
-        .reverseBfs(Tables.starTriples(s, d).cache(), "region:2", maxDepth = 2)
+        .reverseBfs(graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d),
+          "region:2", maxDepth = 2)
         .withColumn("depth", col("depth").cast("long"))
         .orderBy("depth", "node"),
       Some(withCte(
@@ -602,7 +603,8 @@ object Queries {
     // hash-exact SQL oracle; graph_pagerank_exact below is the gated
     // twin). Top-100 for bounded output.
     "graph_pagerank" -> Q(
-      (s, d) => graft.graph.GraphOps.pageRank(Tables.starTriples(s, d).cache(), iters = 5)
+      (s, d) => graft.graph.GraphOps
+        .pageRank(graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d), iters = 5)
         .orderBy(desc("rank"), asc("node")).limit(100),
       None),
 
@@ -610,14 +612,15 @@ object Queries {
     // the 5-iteration unrolled DuckDB oracle matches bit-for-bit.
     "graph_pagerank_exact" -> Q(
       (s, d) => graft.graph.GraphOps
-        .pageRankFixedPoint(Tables.starTriples(s, d).cache(), iters = 5)
+        .pageRankFixedPoint(graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d), iters = 5)
         .orderBy(desc("rank_u"), asc("node")).limit(100),
       Some(GraphSql.pagerankFixedPoint(iters = 5, limit = 100))),
 
     // Connected-component sizes, labeled by each component's minimum
     // node string (portable — oracle is 20 unrolled min-label rounds).
     "graph_cc_sizes" -> Q(
-      (s, d) => graft.graph.GraphOps.componentSizes(Tables.starTriples(s, d).cache())
+      (s, d) => graft.graph.GraphOps
+        .componentSizes(graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d))
         .orderBy(desc("n"), asc("component")).limit(20),
       Some(GraphSql.ccSizes(rounds = 20, limit = 20))),
 

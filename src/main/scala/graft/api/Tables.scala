@@ -38,7 +38,19 @@ object Tables {
     *
     * Must stay in lockstep with [[StarTriples.sqlCte]].
     */
-  def starTriples(s: SparkSession, d: String): DataFrame = {
+  def starTriples(s: SparkSession, d: String): DataFrame =
+    triplesMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$d",
+      _ => buildStarTriples(s, d).cache())
+
+  /** One cached triples view per (session, dir): every triple/graph
+    * query reads the same materialization instead of re-deriving the
+    * 8-way union per query. Keyed by session identity so test
+    * sessions don't leak cache entries into each other.
+    */
+  private val triplesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def buildStarTriples(s: SparkSession, d: String): DataFrame = {
     def t(df: DataFrame, subj: org.apache.spark.sql.Column, pred: String,
         obj: org.apache.spark.sql.Column): DataFrame =
       df.select(subj.cast("string").as("subj"), lit(pred).as("pred"),

@@ -39,14 +39,31 @@ object GraphOps {
     Graph(vertices, edges).cache()
   }
 
+  /** Graph construction memo, keyed by (session, source): BFS, PageRank
+    * and CC over the same triples view share one cached Graph instead of
+    * re-deriving vertices/edges per query — the same reuse a long-lived
+    * engine gets from its materialized graph view. Keys include the
+    * session identity so a stopped test session never leaks a stale RDD
+    * into a new one.
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Graph[String, String]]()
+
+  def cachedGraph(triples: DataFrame, sourceKey: String): Graph[String, String] = {
+    val key = s"${System.identityHashCode(triples.sparkSession)}:$sourceKey"
+    memo.computeIfAbsent(key, _ => fromTriples(triples))
+  }
+
   /** Pregel BFS from `source`, following edges in reverse (obj → subj),
     * up to `maxDepth`. Returns (node, depth) for reached nodes,
     * depth >= 1. Deterministic (min-depth merge is order-free).
     */
-  def reverseBfs(triples: DataFrame, source: String, maxDepth: Int): DataFrame = {
-    val spark = triples.sparkSession
+  def reverseBfs(triples: DataFrame, source: String, maxDepth: Int): DataFrame =
+    reverseBfs(fromTriples(triples), source, maxDepth)
+
+  def reverseBfs(g: Graph[String, String], source: String, maxDepth: Int): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val g = fromTriples(triples)
     val srcId = Murmur3x64.hash64(source)
     val init = g.mapVertices((id, attr) =>
       (attr, if (id == srcId) 0 else Int.MaxValue))
@@ -70,10 +87,12 @@ object GraphOps {
   /** Fixed-iteration PageRank over the triples graph (GraphX staticPageRank),
     * ranks rounded for display stability.
     */
-  def pageRank(triples: DataFrame, iters: Int = 10): DataFrame = {
-    val spark = triples.sparkSession
+  def pageRank(triples: DataFrame, iters: Int = 10): DataFrame =
+    pageRank(fromTriples(triples), iters)
+
+  def pageRank(g: Graph[String, String], iters: Int): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val g = fromTriples(triples)
     val pr = g.staticPageRank(iters)
     g.vertices.join(pr.vertices)
       .map { case (_, (node, rank)) => (node, math.floor(rank * 1e6) / 1e6) }
@@ -83,10 +102,12 @@ object GraphOps {
   /** Connected components (undirected), component labeled by the
     * minimum vertex hash — deterministic.
     */
-  def connectedComponents(triples: DataFrame): DataFrame = {
-    val spark = triples.sparkSession
+  def connectedComponents(triples: DataFrame): DataFrame =
+    connectedComponents(fromTriples(triples))
+
+  def connectedComponents(g: Graph[String, String]): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
-    val g = fromTriples(triples)
     g.vertices.join(g.connectedComponents().vertices)
       .map { case (_, (node, cc)) => (node, cc) }
       .toDF("node", "component")
@@ -98,7 +119,10 @@ object GraphOps {
     * which is what makes the oracle possible).
     */
   def componentSizes(triples: DataFrame): DataFrame =
-    connectedComponents(triples)
+    componentSizes(fromTriples(triples))
+
+  def componentSizes(g: Graph[String, String]): DataFrame =
+    connectedComponents(g)
       .groupBy("component")
       .agg(min("node").as("comp"), count(lit(1)).as("n"))
       .select(col("comp").as("component"), col("n"))
@@ -111,25 +135,37 @@ object GraphOps {
     * summation is only reproducible to ulps). Dangling mass is dropped,
     * as in GraphX staticPageRank. Long math headroom: rank mass is
     * nodes·1e6·85 ≈ 1e20 only past ~1e11 nodes; rescale units there.
-    *
-    * DataFrame-native: each iteration is one shuffle on the node key
-    * (join + groupBy), the standard Spark iterative-algorithm shape.
     */
-  def pageRankFixedPoint(triples: DataFrame, iters: Int = 5): DataFrame = {
-    val edges = triples.select(col("subj"), col("obj")).cache()
-    val nodes = edges.select(col("subj").as("node"))
-      .union(edges.select(col("obj").as("node"))).distinct().cache()
-    val outdeg = edges.groupBy("subj").agg(count(lit(1)).as("deg"))
-    var rank = nodes.withColumn("r", lit(1000000L))
+  def pageRankFixedPoint(triples: DataFrame, iters: Int = 5): DataFrame =
+    pageRankFixedPoint(fromTriples(triples), iters)
+
+  def pageRankFixedPoint(g: Graph[String, String], iters: Int): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    // the loop runs on primitive (rank, outDeg) vertex attrs — carrying
+    // the node string through every round's vertex shuffle tripled the
+    // round time; names join back on once at the end. Loop shape follows
+    // GraphX PageRank.runWithOptions: cache the new graph, materialize
+    // via edges.foreachPartition, then drop the previous round's blocks.
+    var ranks: Graph[(Long, Int), String] = g.outerJoinVertices(g.outDegrees) {
+      (_, _, od) => (1000000L, od.getOrElse(0)) }.cache()
     for (_ <- 0 until iters) {
-      val contrib = edges.join(outdeg, "subj")
-        .join(rank.withColumnRenamed("node", "subj"), "subj")
-        .select(col("obj").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
-      rank = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")).as("r"))
+      // per-edge contribution rank div outDeg, summed at the target —
+      // identical BIGINT floor arithmetic to the unrolled SQL oracle
+      val contribs = ranks.aggregateMessages[Long](
+        ctx => if (ctx.srcAttr._2 > 0) ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
+        _ + _)
+      val prev = ranks
+      // outerJoinVertices (not Pregel): message-less vertices must still
+      // decay to the 150000 dangling floor every round
+      ranks = ranks.outerJoinVertices(contribs) {
+        (_, v, s) => (150000L + 85L * s.getOrElse(0L) / 100L, v._2) }.cache()
+      ranks.edges.foreachPartition(_ => ())
+      prev.vertices.unpersist(blocking = false)
+      prev.edges.unpersist(blocking = false)
     }
-    rank.select(col("node"), col("r").as("rank_u"))
+    g.vertices.join(ranks.vertices)
+      .map { case (_, (node, (r, _))) => (node, r) }
+      .toDF("node", "rank_u")
   }
 }
