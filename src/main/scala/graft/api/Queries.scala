@@ -630,10 +630,19 @@ object Queries {
       Some(TextSql.stats)),
 
     "text_langid_eval" -> Q(
-      (s, d) => Tables.documents(s, d)
-        .select(col("lang"), graft.ops.TextOps.langId(col("text")).as("lang_pred"))
-        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "lang_pred"),
+      (s, d) => {
+        val t = graft.ops.TextOps
+        // scores projected once, argmax over the references (see
+        // TextOps.langIdFromScores for why this is two selects)
+        Tables.documents(s, d)
+          .select(col("lang") +:
+            t.stopwords.map { case (l, _) => t.langScore(col("text"), l).as(s"s_$l") }: _*)
+          .select(col("lang"),
+            t.langIdFromScores(t.stopwords.map { case (l, _) => l -> col(s"s_$l") })
+              .as("lang_pred"))
+          .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "lang_pred")
+      },
       Some(TextSql.langidEval)),
 
     // ===== Extension: LLM-pipeline — deduplication =====

@@ -65,20 +65,21 @@ object GraphOps {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     val srcId = Murmur3x64.hash64(source)
-    val init = g.mapVertices((id, attr) =>
-      (attr, if (id == srcId) 0 else Int.MaxValue))
+    // Pregel on a primitive Int depth attr (the node string would ride
+    // along in every vertex shuffle otherwise); names join back on once
+    val init = g.mapVertices((id, _) => if (id == srcId) 0 else Int.MaxValue)
     val bfs = init.pregel(
       initialMsg = Int.MaxValue,
       maxIterations = maxDepth,
       activeDirection = EdgeDirection.In)(
-      vprog = (_, v, msg) => (v._1, math.min(v._2, msg)),
+      vprog = (_, d, msg) => math.min(d, msg),
       // reverse traversal: message flows dst → src
       sendMsg = t =>
-        if (t.dstAttr._2 != Int.MaxValue && t.dstAttr._2 + 1 < t.srcAttr._2)
-          Iterator((t.srcId, t.dstAttr._2 + 1))
+        if (t.dstAttr != Int.MaxValue && t.dstAttr + 1 < t.srcAttr)
+          Iterator((t.srcId, t.dstAttr + 1))
         else Iterator.empty,
       mergeMsg = math.min)
-    bfs.vertices
+    g.vertices.join(bfs.vertices)
       .filter { case (_, (_, d)) => d >= 1 && d != Int.MaxValue }
       .map { case (_, (node, d)) => (node, d) }
       .toDF("node", "depth")

@@ -74,17 +74,26 @@ object TextOps {
     regexp_count(lower(text), lit(stopwordRegex(
       stopwords.toMap.apply(lang))))
 
-  /** Predicted language: argmax over profile scores, ties broken by
-    * profile order, zero hits everywhere → "und" (undetermined).
+  /** Argmax CASE over already-projected profile scores (ties broken by
+    * profile order, zero hits everywhere → "und"). Project the scores in
+    * a separate select and pass the column REFERENCES here: inlining the
+    * regexp_counts into the CASE chain re-evaluates each profile regex
+    * per branch (~5×) because codegen CSE doesn't reach into conditional
+    * branches — and Catalyst won't collapse the two projects precisely
+    * because that would duplicate the expensive expressions.
     */
-  def langId(text: Column): Column = {
-    val scores = stopwords.map { case (l, _) => l -> langScore(text, l) }
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val maxScore = greatest(scores.map(_._2): _*)
-    val chain = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
     }
-    chain
   }
+
+  /** Single-expression language ID (argmax inlined — fine for one-off
+    * use; hot paths should project scores and use [[langIdFromScores]]).
+    */
+  def langId(text: Column): Column =
+    langIdFromScores(stopwords.map { case (l, _) => l -> langScore(text, l) })
 
   /** Heuristic quality score in basis points [0,10000]: length band +
     * punctuation sanity + stopword presence. Reported as
@@ -92,24 +101,42 @@ object TextOps {
     * .5-ulp boundaries differently across engines while `floor` of the
     * same double is always identical.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityFromCounts(tokenCount(text), punctCount(text), langScore(text, "en"))
+
+  /** Quality score over already-projected counts (see
+    * [[langIdFromScores]] for why hot paths pre-project).
+    */
+  def qualityFromCounts(nTokens: Column, nPunct: Column, sEn: Column): Column = {
+    val nTok = nTokens.cast("double")
     val lenScore = least(nTok / lit(50.0), lit(1.0))
-    val punctRatio = punctCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctRatio = nPunct.cast("double") / greatest(nTok, lit(1.0))
     val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(lit(1.0) - punctRatio)
     val swScore = least(
-      langScore(text, "en").cast("double") / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
+      sEn.cast("double") / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
     floor((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3) * 10000).cast("long")
   }
 
-  /** Per-document stats frame over a `documents`-shaped table. */
-  def stats(docs: DataFrame): DataFrame =
-    docs.select(
+  /** (doc_id, counts + per-language scores + fp) projection — every
+    * regex runs exactly once per document here.
+    */
+  def scoreFrame(docs: DataFrame): DataFrame =
+    docs.select(Seq(
       col("doc_id"),
       tokenCount(col("text")).cast("long").as("n_tokens"),
       length(col("text")).cast("long").as("n_chars"),
       punctCount(col("text")).cast("long").as("n_punct"),
-      qualityScore(col("text")).as("quality"),
-      langId(col("text")).as("lang_pred"),
-      fingerprint(col("text")).as("fp"))
+      fingerprint(col("text")).as("fp")) ++
+      stopwords.map { case (l, _) => langScore(col("text"), l).as(s"s_$l") }: _*)
+
+  /** Per-document stats frame over a `documents`-shaped table. */
+  def stats(docs: DataFrame): DataFrame =
+    scoreFrame(docs).select(
+      col("doc_id"),
+      col("n_tokens"),
+      col("n_chars"),
+      col("n_punct"),
+      qualityFromCounts(col("n_tokens"), col("n_punct"), col("s_en")).as("quality"),
+      langIdFromScores(stopwords.map { case (l, _) => l -> col(s"s_$l") }).as("lang_pred"),
+      col("fp"))
 }
