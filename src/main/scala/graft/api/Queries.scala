@@ -726,12 +726,24 @@ object Queries {
           |    (a, b) -> (a * 31 + b) % 1099511627776) AS rh
           |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Float-kmeans IVF (rows-only: parallel float means are only
+    // reproducible to ulps); the fixed-point twin below is oracle-gated.
     "sim_ann_ivf" -> Q(
       (s, d) => graft.ops.Similarity.ivfTopK(
           Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L), k = 10)
         .withColumnRenamed("rank", "rnk")
         .orderBy("query_id", "rnk"),
       None),
+
+    // IVF with integer-arithmetic training — the whole pipeline (scaled
+    // vectors → Lloyd rounds → probing → cosine rank) has a DuckDB
+    // mirror.
+    "sim_ann_ivf_exact" -> Q(
+      (s, d) => graft.ops.Similarity.ivfFixedPointTopK(
+          Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L), k = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk"),
+      Some(TextSql.simAnnIvfExact())),
 
     // Sign-LSH ANN with md5-nibble hyperplanes — the full pipeline
     // (planes → buckets → candidate join → rank) has a DuckDB mirror.

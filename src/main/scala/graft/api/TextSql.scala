@@ -189,6 +189,67 @@ object TextSql {
       |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** Fixed-point IVF mirror: scaled BIGINT vectors, integer squared-L2
+    * argmin assignment (ties to the lowest cell), floor-of-double-mean
+    * centroid updates, `iters` unrolled Lloyd rounds, then nprobe
+    * probing and the exact cosine tail. Every step is order-free, so it
+    * matches Similarity.ivfFixedPointTopK bit-for-bit.
+    */
+  def simAnnIvfExact(nlist: Int = 8, nprobe: Int = 2, iters: Int = 2,
+      k: Int = 10, dim: Int = 64): String = {
+    def distExpr(q: String, c: String): String =
+      s"""list_reduce(list_transform(generate_series(1, $dim),
+         |      i -> ($q[i] - $c[i]) * ($q[i] - $c[i])), (a, b) -> a + b)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS MATERIALIZED (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT v.vec_id, v.q, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${distExpr("v.q", "c.c")}, c.cell) AS rn
+         |    FROM v CROSS JOIN c${r - 1} c) WHERE rn = 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT cell, g.i AS i,
+         |    CAST(floor(CAST(sum(q[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |  FROM a$r CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i) g
+         |  GROUP BY cell, g.i),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(u.c, p.c) AS c
+         |  FROM c${r - 1} p LEFT JOIN
+         |    (SELECT cell, list(m ORDER BY i) AS c FROM m$r GROUP BY cell) u
+         |  ON u.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS c
+       |  FROM v ORDER BY vec_id LIMIT $nlist),
+       |$rounds,
+       |qp AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${distExpr("v.q", "c.c")}, c.cell) AS rn
+       |    FROM v CROSS JOIN c$iters c WHERE v.vec_id IN (0, 1, 2))
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM qp p JOIN a$iters a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    round(list_dot_product(x.e, y.e)
+       |      / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+       |  FROM cand c JOIN v x ON x.vec_id = c.vec_id JOIN v y ON y.vec_id = c.query_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+       |      FROM scored)
+       |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** The decode-stub feature slice that survives any engine: byte count
     * and scaled-integer mean byte, recovered in SQL by hex-expanding the
     * UTF-8 payload. floor(x·10⁴) instead of round() — the usual

@@ -101,6 +101,83 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** Fixed-point IVF ANN — the oracle-gated twin of [[ivfTopK]]: the
+    * k-means runs on BIGINT micro-unit vectors (component → floor(x·1e6))
+    * with integer squared-L2 assignment and floor-of-double-division
+    * centroid means, so training is order-free and bit-identical on any
+    * engine/partitioning. floor(sum/count) in DOUBLE on both sides (sums
+    * stay far below 2^53, so the division is exact) — deliberately NOT
+    * integer division: Spark `div` truncates toward zero while DuckDB
+    * `//` floors, and component sums go negative. Scoring and ranking
+    * reuse the exact cosine tail. Same IVF scale shape: assignment and
+    * probing are column expressions over `nlist` centroid literals; only
+    * 64·nlist centroid summaries ever reach the driver.
+    */
+  def ivfFixedPointTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      nlist: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("q", transform(col("v"), x => floor(x * 1e6).cast("long")))
+      .withColumn("nrm", norm(col("v")))
+      .cache()
+
+    def distCol(c: Array[Long]): Column = aggregate(
+      zip_with(col("q"), array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (s, x) => s + x)
+    // argmin over integer distances; array_position takes the FIRST
+    // minimum, i.e. ties break to the lowest cell — mirrored by the
+    // oracle's ORDER BY dist, cell
+    def cellCol(cs: Array[Array[Long]]): Column = {
+      val arr = array(cs.map(distCol): _*)
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+    }
+
+    var cents: Array[Array[Long]] = v.orderBy("vec_id").limit(nlist)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    for (_ <- 0 until iters) {
+      val means = v.withColumn("cid", cellCol(cents))
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(floor(sum("x") / count(lit(1))).cast("long").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Long]("m")
+      }
+      cents = next
+    }
+
+    val assigned = v.withColumn("cid", cellCol(cents)).cache()
+    val qvecs = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    v.unpersist(blocking = false)
+    def probeCells(q: Array[Long]): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) =>
+        var d = 0L; var j = 0
+        while (j < c.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(identity).take(nprobe).map(_._2).toSeq
+
+    val presentIds = queryIds.filter(qvecs.contains)
+    val empty = assigned.sparkSession.emptyDataFrame
+      .withColumn("query_id", lit(0L)).withColumn("vec_id", lit(0L))
+      .withColumn("cos", lit(0.0d)).limit(0)
+    val perQuery = presentIds.map { qid =>
+      val q = assigned.filter(col("vec_id") === qid)
+        .select(col("v").as("qv"), col("nrm").as("qnrm"))
+      assigned.filter(col("cid").isin(probeCells(qvecs(qid)): _*))
+        .filter(col("vec_id") =!= qid)
+        .crossJoin(broadcast(q))
+        .withColumn("query_id", lit(qid))
+        .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+        .select("query_id", "vec_id", "cos")
+    }.reduceOption(_ unionAll _).getOrElse(empty)
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    perQuery.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
   /** IVF (inverted-file) ANN: k-means cells + nprobe probing.
     *
     * Training: deterministic init (the `nlist` lowest vec_ids), `iters`

@@ -102,6 +102,21 @@ class OpsSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("fixed-point IVF recall is substantial and reruns are bit-identical") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = Similarity.bruteForceTopK(embs, qids, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    def run() = Similarity.ivfFixedPointTopK(embs, qids, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    val a = run()
+    val recall = exact.intersect(a.map(t => (t._1, t._2))).size.toDouble / exact.size
+    assert(recall >= 0.3, s"fixed-point IVF recall $recall too low")
+    // integer training must make the whole result reproducible, not
+    // merely the candidate quality
+    assert(a == run())
+  }
+
   test("bpe token estimate splits long words into pieces") {
     import spark.implicits._
     val df = Seq((1L, "internationalization"), (2L, "a b"), (3L, "x9!")).toDF("doc_id", "text")
