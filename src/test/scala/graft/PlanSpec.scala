@@ -65,6 +65,30 @@ class PlanSpec extends SparkSpecBase {
       s"murmur64 fell out of codegen:\n${p.take(1500)}")
   }
 
+  test("multi-way regional join broadcasts its dimension sides") {
+    val p = plan("join_regional_revenue")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 1, s"nation/region dims not broadcast:\n${p.take(2000)}")
+    // the fact-fact join (lineitem x orders) must NOT broadcast at real
+    // scale — but at sf0.001 AQE may legitimately broadcast everything,
+    // so only assert the dims here.
+  }
+
+  test("language-ID regex duplication in the plan stays bounded") {
+    val df = Queries.registry("text_langid_eval").fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // regexp_count lowers to regexp_extract_all. CollapseProject may
+    // re-inline each projected score into the argmax ONCE (runtime
+    // codegen subexpression elimination dedupes those), but the
+    // pre-projection must keep the chain from exploding to the naive
+    // per-branch expansion (~5 evals per profile).
+    val hits = "regexp_extract_all".r.findAllIn(p).size
+    val profiles = graft.ops.TextOps.stopwords.size
+    assert(hits <= 2 * profiles,
+      s"regex evals exploded: $hits occurrences for $profiles profiles")
+  }
+
   test("events scan prunes to referenced columns only") {
     val p = Queries.registry("regexp_event_props").fn(spark, dir)
       .queryExecution.executedPlan.toString
