@@ -524,6 +524,61 @@ object Queries {
           |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS DOUBLE) AS rev_r
           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
+    // Deterministic hash sampling (the reproducible TABLESAMPLE a
+    // training pipeline needs: same 5% slice on any engine, any run —
+    // seeded-random samplers are engine-internal and unverifiable).
+    "sample_hash_5pct" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .filter(pmod(conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(100L)) < 5)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total")),
+      Some(
+        s"""SELECT count(*) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+           |FROM orders
+           |WHERE ${GraphSql.md5Hash60("CAST(o_orderkey AS VARCHAR)")} % 100 < 5""".stripMargin)),
+
+    // Full outer join with presence classification.
+    "join_full_outer" -> Q(
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val a = ord.filter(year(col("o_orderdate")) === 1995)
+          .select(col("o_orderkey").as("k"), lit(1).as("in_a"))
+        val b = ord.filter(col("o_totalprice").cast("decimal(12,2)") > 150000)
+          .select(col("o_orderkey").as("k"), lit(1).as("in_b"))
+        a.join(b, Seq("k"), "full_outer")
+          .agg(
+            sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1).otherwise(0))
+              .cast("long").as("n_both"),
+            sum(when(col("in_b").isNull, 1).otherwise(0)).cast("long").as("n_a_only"),
+            sum(when(col("in_a").isNull, 1).otherwise(0)).cast("long").as("n_b_only"))
+      },
+      Some(
+        """SELECT
+          |  CAST(sum(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+          |  CAST(sum(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+          |  CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only
+          |FROM (SELECT o_orderkey AS k FROM orders WHERE year(o_orderdate) = 1995) a
+          |FULL OUTER JOIN (SELECT o_orderkey AS k FROM orders
+          |                 WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 150000) b
+          |  ON a.k = b.k""".stripMargin)),
+
+    // Ordered set aggregation to a string (array functions surface;
+    // strings rather than array cells keep the compare representation
+    // engine-neutral).
+    "agg_type_list" -> Q(
+      (s, d) => Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(concat_ws(",", sort_array(collect_set(col("p_type")))).as("types"),
+          countDistinct(col("p_type")).as("n_types"))
+        .orderBy("p_brand"),
+      Some(
+        """SELECT p_brand, string_agg(p_type, ',' ORDER BY p_type) AS types,
+          |  CAST(count(*) AS BIGINT) AS n_types
+          |FROM (SELECT DISTINCT p_brand, p_type FROM part)
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // String functions: filter/group/scalar transforms.
     "string_brand_stats" -> Q(
       (s, d) => Tables.part(s, d)
