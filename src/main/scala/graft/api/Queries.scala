@@ -815,6 +815,19 @@ object Queries {
         .orderBy("format"),
       Some(TextSql.multimodalBytes)),
 
+    // Frame sampling: stride-sampled fixed-size chunks of the payload,
+    // digested portably (the video-pipeline plumbing slice).
+    "multimodal_frame_sample" -> Q(
+      (s, d) => graft.ops.Multimodal.frameSample(Tables.documents(s, d))
+        .orderBy("asset_id", "frame_idx"),
+      Some(TextSql.multimodalFrameSample())),
+
+    // Resize planning: bounding-box target dims from typed metadata.
+    "multimodal_resize" -> Q(
+      (s, d) => graft.ops.Multimodal.resizePlan(Tables.documents(s, d))
+        .orderBy("asset_id"),
+      Some(TextSql.multimodalResize())),
+
     // Decode-stub features; the oracle recovers byte count + scaled mean
     // byte by hex-expanding the payload in SQL.
     "multimodal_features" -> Q(

@@ -269,6 +269,36 @@ object TextSql {
       |  CAST(floor(CAST(bytesum AS DOUBLE) / CAST(greatest(nb, 1) AS DOUBLE) * 10000) AS BIGINT) AS mean_byte_x10k
       |FROM s ORDER BY asset_id""".stripMargin
 
+  /** Frame sampling mirror. The Spark side slices the BLOB natively;
+    * the oracle slices the hex expansion (hex(substring(b)) ==
+    * substr(hex(b)) per byte), digesting the same uppercase hex.
+    */
+  def multimodalFrameSample(frameBytes: Int = 64, every: Int = 2): String = {
+    val fb2 = frameBytes * 2
+    s"""WITH a AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+       |             octet_length(encode(text)) AS n
+       |           FROM documents WHERE octet_length(encode(text)) > 0),
+       |f AS (SELECT asset_id, u.i AS frame_idx,
+       |        substr(hx, CAST(u.i * $fb2 + 1 AS BIGINT), $fb2) AS fh
+       |      FROM a, unnest(generate_series(0,
+       |        CAST(ceil(n / $frameBytes.0) AS BIGINT) - 1, $every)) u(i))
+       |SELECT asset_id, frame_idx,
+       |  CAST(length(fh) // 2 AS BIGINT) AS frame_len,
+       |  md5(fh) AS frame_md5
+       |FROM f ORDER BY asset_id, frame_idx""".stripMargin
+  }
+
+  /** Resize-plan mirror: same metadata formulas, same double op order. */
+  def multimodalResize(maxDim: Int = 224): String =
+    s"""WITH m AS (SELECT doc_id AS asset_id,
+       |             CAST(doc_id % 640 + 16 AS INT) AS width,
+       |             CAST(doc_id % 480 + 16 AS INT) AS height
+       |           FROM documents)
+       |SELECT asset_id, width, height,
+       |  CAST(greatest(floor(width * ($maxDim.0 / greatest(width, height))), 1) AS BIGINT) AS out_w,
+       |  CAST(greatest(floor(height * ($maxDim.0 / greatest(width, height))), 1) AS BIGINT) AS out_h
+       |FROM m ORDER BY asset_id""".stripMargin
+
   val multimodalBytes: String =
     """SELECT format, count(*) AS n, CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
       |FROM (SELECT CASE WHEN doc_id % 3 = 0 THEN 'png'

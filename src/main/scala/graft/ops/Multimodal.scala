@@ -66,6 +66,43 @@ object Multimodal {
     }
   }
 
+  /** Deterministic frame sampling over the binary payload: cut into
+    * `frameBytes` chunks, keep every `every`-th. This is the Spark-side
+    * plumbing of video frame-sampling (the chunk boundaries and stride a
+    * real decoder would use); the frame digest runs over the HEX of the
+    * chunk so any engine reproduces it. Pure column expressions — stays
+    * in whole-stage codegen, no shuffle before the caller's aggregate.
+    */
+  def frameSample(docs: DataFrame, frameBytes: Int = 64, every: Int = 2): DataFrame =
+    assetsFromDocuments(docs).toDF()
+      .select(col("asset_id"), col("content"), length(col("content")).as("n"))
+      .filter(col("n") > 0)
+      // sequence(0, nFrames-1, every); n > 0 so the stop bound is >= 0
+      // (sequence with a negative stop would count DOWN, not be empty)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L),
+          ceil(col("n") / lit(frameBytes.toDouble)).cast("long") - 1, lit(every.toLong))))
+      .withColumn("frame",
+        expr(s"substring(content, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col("asset_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(hex(col("frame"))).as("frame_md5"))
+
+  /** Resize planning (stub): the metadata half of an image resize —
+    * target dims for a `maxDim` bounding box, aspect preserved, floor'd,
+    * min 1. A real decoder consumes these; the arithmetic is the
+    * oracle-checkable slice.
+    */
+  def resizePlan(docs: DataFrame, maxDim: Int = 224): DataFrame =
+    assetsFromDocuments(docs).toDF()
+      .select(col("asset_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .withColumn("scale",
+        lit(maxDim.toDouble) / greatest(col("width"), col("height")).cast("double"))
+      .select(col("asset_id"), col("width"), col("height"),
+        greatest(floor(col("width") * col("scale")), lit(1)).cast("long").as("out_w"),
+        greatest(floor(col("height") * col("scale")), lit(1)).cast("long").as("out_h"))
+
   /** Byte-level stats through the binary column — the oracle-checkable
     * slice of the pipeline (octet counts survive any engine).
     */
