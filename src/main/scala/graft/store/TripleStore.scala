@@ -171,6 +171,30 @@ final class TripleStore(
     all.filter(probe(GraftFunctions.canonicalKey()))
   }
 
+  /** Replication diff: triples whose canonical key does NOT test
+    * positive in the peer's filter — what the peer is missing. The
+    * reference declares the positive probe but never ships the diff
+    * (replication is a TODO there); this is the missing half. A bloom
+    * false positive silently skips a triple, which at the reference's
+    * 1e-9 fpp is ~one triple per 10⁹ — `sync` composes this with the
+    * exact anti-join insert, so even that residue converges on the next
+    * round. Broadcast filter, map-side probe, no shuffle.
+    */
+  def triplesNotMatchingBloom(filter: BloomFilter): DataFrame = {
+    val bcast = spark.sparkContext.broadcast(filter)
+    val probe = udf { (k: String) => bcast.value.mightContainString(k) }
+    all.filter(!probe(GraftFunctions.canonicalKey()))
+  }
+
+  /** One replication round INTO this store from `peer`: ship the triples
+    * the peer computes as missing from our bloom, land them through the
+    * dedup insert. Returns the number actually inserted. The wire cost
+    * is |diff| triples + one ~53 KB filter — the reference's intended
+    * bloom-reconciliation economics (triplestore/triplestore.go:18-22).
+    */
+  def syncFrom(peer: TripleStore): Long =
+    insert(peer.triplesNotMatchingBloom(bloom()))
+
   /** Sign + stamp + insert pipeline (reference: core/http.go:62-92):
     * sets `author`, `sig` (ECDSA over the SHA-1 fingerprint), one
     * `created` timestamp for the whole batch (core/http.go:64).

@@ -169,6 +169,23 @@ class TripleStoreSpec extends SparkSpecBase {
     assert(st.triplesMatchingBloom(empty).count() == 0)
   }
 
+  test("bloom-diff sync converges two stores in one round") {
+    import spark.implicits._
+    val a = freshStore()
+    val b = freshStore()
+    val shared = (0 until 200).map(i => Triple(s"s:$i", "p", s"o$i"))
+    val extra = (0 until 50).map(i => Triple(s"extra:$i", "p", s"e$i"))
+    a.insert((shared ++ extra).toDF())
+    b.insert(shared.toDF())
+    // the diff is exactly A's surplus (bloom fpp 1e-9 over 250 keys —
+    // a false positive here would be a real bug, not bad luck)
+    assert(a.triplesNotMatchingBloom(b.bloom()).count() == 50)
+    assert(b.syncFrom(a) == 50)
+    assert(b.count() == a.count())
+    // second round is a no-op
+    assert(b.syncFrom(a) == 0)
+  }
+
   test("empty JSON query ([]) matches everything — never prunes to zero buckets") {
     val st = loaded()
     val eng = new Engine(st)
