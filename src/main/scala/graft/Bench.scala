@@ -44,10 +44,14 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    // a failed query reports -1 (never a plausible-looking elapsed time)
+    // a failed query reports -1 (never a plausible-looking elapsed time).
+    // Execute via toRdd, NOT .count(): count lets Catalyst prune the
+    // per-row projections away entirely, so transform-shaped queries
+    // (text stats, fingerprints, resize plans) would measure a row count
+    // instead of the query.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
