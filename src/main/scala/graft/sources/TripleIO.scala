@@ -31,9 +31,19 @@ object TripleIO {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     TripleStore.conform(spark.read.parquet(path))
 
+  /** ORC round-trips the schema like parquet (columnar, predicate
+    * pushdown, min/max stats) — included so warehouses standardized on
+    * ORC can consume/produce triple data without a transcode step.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    TripleStore.conform(spark.read.orc(path))
+
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
 }

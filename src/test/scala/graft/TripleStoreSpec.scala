@@ -252,11 +252,14 @@ class TripleStoreSpec extends SparkSpecBase {
     val df = fixture.toDF()
     graft.sources.TripleIO.writeJson(df, s"$dir/j")
     graft.sources.TripleIO.writeCsv(df, s"$dir/c")
+    graft.sources.TripleIO.writeOrc(df, s"$dir/o")
     val fromJson = spo(graft.sources.TripleIO.readJson(spark, s"$dir/j"))
     val fromCsv = spo(graft.sources.TripleIO.readCsv(spark, s"$dir/c"))
+    val fromOrc = spo(graft.sources.TripleIO.readOrc(spark, s"$dir/o"))
     val want = fixture.map(t => (t.subj, t.pred, t.obj)).toSet
     assert(fromJson == want)
     assert(fromCsv == want)
+    assert(fromOrc == want)
     // malformed identities never survive conform
     val bad = Seq(("", "p", null: String)).toDF("subj", "pred", "obj")
     assert(graft.store.TripleStore.conform(bad).count() == 0)
