@@ -61,6 +61,18 @@ object EventStream {
       .queryName(queryName)
       .start()
 
+  /** Exact streaming dedup on event identity within the watermark
+    * horizon — the streaming twin of the batch exact-dup filter. State
+    * is one key per event inside the horizon and is evicted as the
+    * watermark passes, so state size is bounded by (throughput ×
+    * horizon), not by stream length — the property that keeps this
+    * runnable forever at 100 TB/day.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- Continuous triple ingest ----
 
   /** Continuous deduplicating ingest into a TripleStore — the

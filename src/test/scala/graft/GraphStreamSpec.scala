@@ -75,6 +75,28 @@ class GraphStreamSpec extends SparkSpecBase {
     assert(cc("a") != cc("x"))
   }
 
+  test("streaming dedup drops replayed events across micro-batches") {
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-dedup")
+    // the same file twice: maxFilesPerTrigger=1 puts the replay in a
+    // SECOND micro-batch, so dedup must work through state, not within
+    // one batch
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stageDir.resolve("events-000.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stageDir.resolve("events-001.parquet"))
+    val q = EventStream.dedupEvents(EventStream.readEvents(spark, stageDir.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("stream_dedup").count()
+      val distinct = Tables.events(spark, dir).select("event_id").distinct().count()
+      assert(n == distinct, s"streamed $n rows, expected $distinct distinct events")
+    } finally q.stop()
+  }
+
   test("stateful sessionization: completed sessions match batch lag analysis") {
     import spark.implicits._
     val stageDir = java.nio.file.Files.createTempDirectory("graft-sess")
