@@ -14,7 +14,11 @@ import graft.model.{ArrayOp, TriplePattern}
   * Conventions (driver compare protocol):
   *  - column names identical in Spark and oracle SQL (alias everything);
   *  - deterministic ORDER BY on both sides;
-  *  - money math in DECIMAL(12,2) so both engines are exact.
+  *  - money math in DECIMAL(12,2) internally, but every FINAL numeric
+  *    column is DOUBLE or BIGINT: the driver compare normalizes through
+  *    pandas, where DuckDB DECIMAL and HUGEINT silently become float64
+  *    while Spark-parquet DECIMAL stays Decimal — emitting DOUBLE/BIGINT
+  *    keeps both readings identical (tools/compare.py checks both).
   */
 object Queries {
   final case class Q(
@@ -523,6 +527,20 @@ object Queries {
           |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS DOUBLE) AS rev_n,
           |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS DOUBLE) AS rev_r
           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // Sketch aggregates (rows-only: HLL++ and KLL internals are
+    // engine-specific; accuracy is gated in ScalaTest against the exact
+    // values instead). At 100 TB these replace exact distinct/percentile
+    // where a bounded-error answer avoids a full shuffle of the keys.
+    "agg_approx_stats" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("nd_parts_approx"),
+          expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      None),
 
     // Deterministic hash sampling (the reproducible TABLESAMPLE a
     // training pipeline needs: same 5% slice on any engine, any run —

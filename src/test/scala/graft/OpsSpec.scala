@@ -117,6 +117,26 @@ class OpsSpec extends SparkSpecBase {
     assert(a == run())
   }
 
+  test("approx sketch aggregates land within error bounds of exact") {
+    val d = "/root/testdata/sf0.001"
+    val approx = graft.api.Queries.registry("agg_approx_stats").fn(spark, d)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("nd_parts_approx"), r.getAs[Double]("p50_price_approx"))).toMap
+    val exact = graft.api.Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("nd"), r.getAs[Double]("p50"))).toMap
+    exact.foreach { case (flag, (nd, p50)) =>
+      val (ndA, p50A) = approx(flag)
+      assert(math.abs(ndA - nd).toDouble / nd <= 0.05,
+        s"$flag: HLL distinct $ndA vs exact $nd drifts > 5%")
+      assert(math.abs(p50A - p50) / p50 <= 0.05,
+        s"$flag: approx p50 $p50A vs exact $p50 drifts > 5%")
+    }
+  }
+
   test("bpe token estimate splits long words into pieces") {
     import spark.implicits._
     val df = Seq((1L, "internationalization"), (2L, "a b"), (3L, "x9!")).toDF("doc_id", "text")
