@@ -122,7 +122,8 @@ object Queries {
 
     // Operators #18/#19 (bloom build + bloom semi-join). The bloom is
     // FP-1e-9 over ~hundreds of keys, so it matches the exact semi-join
-    // oracle; the UDF probe mirrors triplestore/bloom.go:39-73.
+    // oracle; the codegen'd probe expression mirrors
+    // triplestore/bloom.go:39-73.
     "bloom_semijoin" -> Q(
       (s, d) => {
         val triples = Tables.starTriples(s, d)
@@ -137,8 +138,8 @@ object Queries {
           .treeAggregate(BloomFilter.create(n, 1e-9))(
             (f, x) => { f.putString(x); f }, (a, b) => { a.mergeInPlace(b); a })
         val bc = s.sparkContext.broadcast(bf)
-        val probe = udf((x: String) => bc.value.mightContainString(x))
-        triples.filter(col("pred") === "name" && probe(col("subj")))
+        triples.filter(col("pred") === "name" &&
+          graft.functions.GraftFunctions.bloomProbe(col("subj"), bc))
           .select("subj", "pred", "obj").orderBy("subj")
       },
       Some(withCte(

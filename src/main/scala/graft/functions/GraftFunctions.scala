@@ -27,6 +27,34 @@ case class Murmur64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd bloom probe over a broadcast filter — replaces the Scala
+  * UDF in the replication-diff scan path: the probe runs once per row of
+  * a full table scan, and a UDF there boxes every key and fences
+  * whole-stage codegen. Only the broadcast HANDLE is embedded in the
+  * plan (tasks fetch the filter from the block manager), so filter size
+  * doesn't bloat task binaries.
+  */
+case class BloomProbeExpr(
+    child: Expression,
+    bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_probe"
+
+  override protected def nullSafeEval(v: Any): Any =
+    bf.value.mightContainString(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", bf,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"((org.apache.spark.util.sketch.BloomFilter) $ref.value()).mightContainString($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbeExpr =
+    copy(child = newChild)
+}
+
 /** Column-level function surface of the engine. SQL names are registered
   * under `graft_*` via [[GraftFunctions.register]].
   */
@@ -56,6 +84,13 @@ object GraftFunctions {
   def murmur64(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(Murmur64Expr(ColumnBridge.expression(c.cast("string"))))
+  }
+
+  /** Codegen'd membership probe of a broadcast bloom filter. */
+  def bloomProbe(c: Column,
+      bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BloomProbeExpr(ColumnBridge.expression(c.cast("string")), bf))
   }
 
   /** Canonical binary encoding of a triple's logical content — our

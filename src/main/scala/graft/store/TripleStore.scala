@@ -167,8 +167,7 @@ final class TripleStore(
     */
   def triplesMatchingBloom(filter: BloomFilter): DataFrame = {
     val bcast = spark.sparkContext.broadcast(filter)
-    val probe = udf { (k: String) => bcast.value.mightContainString(k) }
-    all.filter(probe(GraftFunctions.canonicalKey()))
+    all.filter(GraftFunctions.bloomProbe(GraftFunctions.canonicalKey(), bcast))
   }
 
   /** Replication diff: triples whose canonical key does NOT test
@@ -182,8 +181,7 @@ final class TripleStore(
     */
   def triplesNotMatchingBloom(filter: BloomFilter): DataFrame = {
     val bcast = spark.sparkContext.broadcast(filter)
-    val probe = udf { (k: String) => bcast.value.mightContainString(k) }
-    all.filter(!probe(GraftFunctions.canonicalKey()))
+    all.filter(!GraftFunctions.bloomProbe(GraftFunctions.canonicalKey(), bcast))
   }
 
   /** One replication round INTO this store from `peer`: ship the triples

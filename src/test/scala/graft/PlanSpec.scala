@@ -89,6 +89,14 @@ class PlanSpec extends SparkSpecBase {
       s"regex evals exploded: $hits occurrences for $profiles profiles")
   }
 
+  test("bloom probe expression stays inside whole-stage codegen") {
+    val p = plan("bloom_semijoin")
+    assert(p.contains("graft_bloom_probe"), s"probe missing from plan:\n${p.take(1500)}")
+    // the probe must sit in a codegen'd stage, not an interpreted
+    // BatchEvalPython/UDF-style fallback
+    assert(!p.contains("BatchEval"), "bloom probe fell back to interpreted eval")
+  }
+
   test("events scan prunes to referenced columns only") {
     val p = Queries.registry("regexp_event_props").fn(spark, dir)
       .queryExecution.executedPlan.toString
