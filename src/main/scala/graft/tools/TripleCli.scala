@@ -6,12 +6,14 @@ import graft.engine.Engine
 import graft.store.TripleStore
 
 /** Thin driver facade mirroring the reference's REST surface
-  * (reference: core/http.go:30-35 — /api/v1/{insert,query,triples,info}).
+  * (reference: core/http.go:30-35 — /api/v1/{insert,query,triples,info})
+  * plus the bloom-reconciliation round the reference left TODO.
   * Usage:
   *   graft.tools.TripleCli <storePath> insert '<json triples>'
   *   graft.tools.TripleCli <storePath> query  '<json patterns>' [limit]
   *   graft.tools.TripleCli <storePath> triples
   *   graft.tools.TripleCli <storePath> info
+  *   graft.tools.TripleCli <storePath> sync <peerStorePath>
   */
 object TripleCli {
   def main(args: Array[String]): Unit = {
@@ -50,6 +52,11 @@ object TripleCli {
       case "info" =>
         val i = store.info()
         println(s"""{"triples":${i.triples},"diskBytes":${i.diskBytes}}""")
+      case "sync" =>
+        // one bloom-diff replication round FROM the peer store
+        val peer = new TripleStore(spark, args(2))
+        val n = store.syncFrom(peer)
+        println(s"""{"synced":$n,"triples":${store.count()}}""")
       case other => sys.error(s"unknown command: $other")
     } finally spark.stop()
   }
