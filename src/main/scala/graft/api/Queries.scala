@@ -719,6 +719,23 @@ object Queries {
       },
       Some(TextSql.langidEval)),
 
+    // Composed curation pipeline — what the text/dedup operators exist
+    // for: language + quality gates, then exact-dedup keeping the
+    // canonical (smallest) doc per fingerprint. One narrow scoring pass,
+    // one shuffle on the fingerprint.
+    "pipeline_curation" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        graft.ops.TextOps.stats(Tables.documents(s, d))
+          .filter(col("lang_pred") === "en" && col("quality") >= 7000)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "quality")
+          .orderBy("doc_id")
+      },
+      Some(TextSql.curation(minQuality = 7000))),
+
     // ===== Extension: LLM-pipeline — deduplication =====
     "dedup_exact" -> Q(
       (s, d) => graft.ops.Dedup.exactGroups(plantedDocs(s, d, exact = true))

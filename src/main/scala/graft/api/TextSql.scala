@@ -45,6 +45,30 @@ object TextSql {
        |SELECT lang, lang_pred, count(*) AS n FROM p
        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
 
+  /** End-to-end curation mirror: quality + language gates, then exact
+    * dedup keeping the smallest doc_id per fingerprint — the composed
+    * pipeline the text/dedup operators exist for.
+    */
+  def curation(minQuality: Long = 7000): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |    $scoreCols
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(floor((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+       |      + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 0.2 THEN 1.0
+       |              ELSE 1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) END) * 0.3
+       |      + least(CAST(s_en AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3) * 10000) AS BIGINT) AS quality,
+       |    $langPredCase AS lang_pred,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM s),
+       |f AS (
+       |  SELECT doc_id, quality,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |  FROM t WHERE lang_pred = 'en' AND quality >= $minQuality)
+       |SELECT doc_id, quality FROM f WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Planted-duplicate construction shared by the dedup oracles; mirrors
     * Queries.plantedDocs.
     */
