@@ -121,13 +121,13 @@ object Similarity {
       .cache()
 
     def distCol(c: Array[Long]): Column = aggregate(
-      zip_with(col("q"), array(c.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      zip_with(col("q"), array(c.toIndexedSeq.map(lit): _*), (a, b) => (a - b) * (a - b)),
       lit(0L), (s, x) => s + x)
     // argmin over integer distances; array_position takes the FIRST
     // minimum, i.e. ties break to the lowest cell — mirrored by the
     // oracle's ORDER BY dist, cell
     def cellCol(cs: Array[Array[Long]]): Column = {
-      val arr = array(cs.map(distCol): _*)
+      val arr = array(cs.toIndexedSeq.map(distCol): _*)
       (array_position(arr, array_min(arr)) - 1).cast("int")
     }
 
@@ -194,7 +194,7 @@ object Similarity {
     val dim = v.select(size(col("v"))).head().getInt(0)
 
     def centroidLits(cs: Array[Array[Double]]): Seq[Column] =
-      cs.map(c => array(c.map(lit): _*)).toSeq
+      cs.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*))
 
     // squared L2 distance via dots: |x|² - 2x·c + |c|²; |x|² constant per
     // row — irrelevant to argmin, so score by (|c|² - 2x·c)
@@ -203,7 +203,7 @@ object Similarity {
         val c2 = c.map(x => x * x).sum
         lit(c2) - lit(2.0) * dot(col("v"), cl)
       }
-      val arr = array(scores: _*)
+      val arr = array(scores.toIndexedSeq: _*)
       (array_position(arr, array_min(arr)) - 1).cast("int")
     }
 
