@@ -238,6 +238,34 @@ object Queries {
           |  FROM orders) WHERE rn <= 3
           |ORDER BY o_custkey, rn""".stripMargin)),
 
+    // Window breadth: running totals, lag, dense_rank in one frame.
+    "window_running_total" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byDate = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        // no tiebreaker: equal prices share a rank, and the rank is a
+        // function of p alone, so the output stays deterministic
+        val byPrice = Window.partitionBy("o_custkey").orderBy(desc("p"))
+        Tables.orders(s, d).filter(col("o_custkey") <= 100)
+          .withColumn("p", col("o_totalprice").cast("decimal(12,2)"))
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum("p").over(byDate.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double").as("running_total"),
+            lag(col("p"), 1).over(byDate).cast("double").as("prev_price"),
+            dense_rank().over(byPrice).as("price_rank"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some(
+        """SELECT o_custkey, o_orderkey,
+          |  CAST(sum(p) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+          |  CAST(lag(p) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+          |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY p DESC) AS INT) AS price_rank
+          |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+          |        CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          |      FROM orders WHERE o_custkey <= 100)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // Distinct aggregate.
     "agg_distinct_parts" -> Q(
       (s, d) => Tables.lineitem(s, d)
