@@ -447,6 +447,49 @@ object Queries {
           |      FROM events)
           |GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Ordered funnel over the event stream: per user, the first view,
+    // the first click within an hour after it, the first purchase
+    // within an hour after that; stage = how deep the user got. Three keyed
+    // aggregations + two broadcast-able left joins — no window over the
+    // whole stream.
+    "events_funnel" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("vts"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("vts") &&
+            col("ts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+          .groupBy("user_id").agg(min("ts").as("cts"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("cts") &&
+            col("ts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+          .groupBy("user_id").agg(min("ts").as("pts"))
+        v.join(c.select(col("user_id"), lit(1).as("has_c")), Seq("user_id"), "left")
+          .join(p.select(col("user_id"), lit(1).as("has_p")), Seq("user_id"), "left")
+          .withColumn("stage",
+            (lit(1) + coalesce(col("has_c"), lit(0)) + coalesce(col("has_p"), lit(0))).cast("long"))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+          .orderBy("stage")
+      },
+      Some(
+        """WITH v AS (SELECT user_id, min(ts) AS vts FROM events
+          |           WHERE event_type = 'view' GROUP BY user_id),
+          |c AS (SELECT e.user_id, min(e.ts) AS cts FROM events e
+          |      JOIN v ON v.user_id = e.user_id
+          |      WHERE e.event_type = 'click' AND e.ts > v.vts
+          |        AND e.ts <= v.vts + INTERVAL 1 HOUR GROUP BY e.user_id),
+          |p AS (SELECT e.user_id, min(e.ts) AS pts FROM events e
+          |      JOIN c ON c.user_id = e.user_id
+          |      WHERE e.event_type = 'purchase' AND e.ts > c.cts
+          |        AND e.ts <= c.cts + INTERVAL 1 HOUR GROUP BY e.user_id)
+          |SELECT stage, count(*) AS n_users FROM (
+          |  SELECT CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+          |       + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+          |  FROM v LEFT JOIN c ON c.user_id = v.user_id
+          |         LEFT JOIN p ON p.user_id = v.user_id)
+          |GROUP BY stage ORDER BY stage""".stripMargin)),
+
     // As-of join (operator Spark lacks natively): for each error event,
     // the most recent click by the same user at-or-before it. Composed
     // Spark-first as a carry-forward window (sort once per user, no
