@@ -619,8 +619,7 @@ object Queries {
     // seeded-random samplers are engine-internal and unverifiable).
     "sample_hash_5pct" -> Q(
       (s, d) => Tables.orders(s, d)
-        .filter(pmod(conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
-          .cast("long"), lit(100L)) < 5)
+        .filter(pmod(graft.functions.GraftFunctions.md5Hash60(col("o_orderkey")), lit(100L)) < 5)
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total")),
       Some(
@@ -719,7 +718,7 @@ object Queries {
     "shard_distribution" -> Q(
       (s, d) => Tables.starTriples(s, d)
         .withColumn("bucket",
-          pmod(conv(substring(md5(col("subj")), 1, 15), 16, 10).cast("long"), lit(8L)))
+          pmod(graft.functions.GraftFunctions.md5Hash60(col("subj")), lit(8L)))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket"),
       Some(GraphSql.shardDistribution(buckets = 8))),

@@ -39,16 +39,20 @@ object Tables {
     * Must stay in lockstep with [[StarTriples.sqlCte]].
     */
   def starTriples(s: SparkSession, d: String): DataFrame =
-    triplesMemo.computeIfAbsent(s"${System.identityHashCode(s)}:$d",
-      _ => buildStarTriples(s, d).cache())
+    triplesMemo.computeIfAbsent(s,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(d, _ => buildStarTriples(s, d).cache())
 
   /** One cached triples view per (session, dir): every triple/graph
     * query reads the same materialization instead of re-deriving the
-    * 8-way union per query. Keyed by session identity so test
-    * sessions don't leak cache entries into each other.
+    * 8-way union per query. The outer map holds the session WEAKLY, so
+    * a stopped, unreferenced session's cache entries are collectable
+    * (a string key would pin them for the JVM lifetime and could even
+    * collide across sessions).
     */
-  private val triplesMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val triplesMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   private def buildStarTriples(s: SparkSession, d: String): DataFrame = {
     def t(df: DataFrame, subj: org.apache.spark.sql.Column, pred: String,

@@ -251,6 +251,16 @@ object TextSql {
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS c
        |  FROM v ORDER BY vec_id LIMIT $nlist),
        |$rounds,
+       |afinal AS MATERIALIZED (
+       |  -- candidates must come from a re-assignment against the FINAL
+       |  -- centroids (the Spark side assigns after the training loop);
+       |  -- a$iters above was computed against c${iters - 1} inside the
+       |  -- last training round
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${distExpr("v.q", "c.c")}, c.cell) AS rn
+       |    FROM v CROSS JOIN c$iters c) WHERE rn = 1),
        |qp AS (
        |  SELECT vec_id AS query_id, cell FROM (
        |    SELECT v.vec_id, c.cell,
@@ -260,7 +270,7 @@ object TextSql {
        |  WHERE rn <= $nprobe),
        |cand AS (
        |  SELECT DISTINCT p.query_id, a.vec_id
-       |  FROM qp p JOIN a$iters a ON a.cell = p.cell
+       |  FROM qp p JOIN afinal a ON a.cell = p.cell
        |  WHERE a.vec_id <> p.query_id),
        |scored AS (
        |  SELECT c.query_id, c.vec_id,

@@ -86,6 +86,14 @@ object GraftFunctions {
     ColumnBridge.column(Murmur64Expr(ColumnBridge.expression(c.cast("string"))))
   }
 
+  /** The engine-portable 60-bit hash family: the first 15 hex chars of
+    * md5 as a BIGINT. Any engine with md5 reproduces it, which is what
+    * makes the shard / sampling / simhash oracles possible — the SQL
+    * twin is GraphSql.md5Hash60; change them together.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Codegen'd membership probe of a broadcast bloom filter. */
   def bloomProbe(c: Column,
       bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column = {

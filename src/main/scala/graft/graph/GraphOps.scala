@@ -42,17 +42,30 @@ object GraphOps {
   /** Graph construction memo, keyed by (session, source): BFS, PageRank
     * and CC over the same triples view share one cached Graph instead of
     * re-deriving vertices/edges per query — the same reuse a long-lived
-    * engine gets from its materialized graph view. Keys include the
-    * session identity so a stopped test session never leaks a stale RDD
-    * into a new one.
+    * engine gets from its materialized graph view. The outer map holds the
+    * session weakly — a stopped, unreferenced session's graphs are
+    * collectable, and entries can never collide across sessions.
     */
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, Graph[String, String]]()
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Graph[String, String]]]())
 
-  def cachedGraph(triples: DataFrame, sourceKey: String): Graph[String, String] = {
-    val key = s"${System.identityHashCode(triples.sparkSession)}:$sourceKey"
-    memo.computeIfAbsent(key, _ => fromTriples(triples))
+  /** The session that owns this graph's RDDs: prefer the active/default
+    * session only when its context matches — binding result DataFrames
+    * to an arbitrary thread-active session would attach them to a
+    * session that may stop first in multi-session JVMs.
+    */
+  private def sessionOf(g: Graph[_, _]): SparkSession = {
+    val ctx = g.vertices.sparkContext
+    SparkSession.getActiveSession.filter(_.sparkContext eq ctx)
+      .orElse(SparkSession.getDefaultSession.filter(_.sparkContext eq ctx))
+      .getOrElse(SparkSession.active)
   }
+
+  def cachedGraph(triples: DataFrame, sourceKey: String): Graph[String, String] =
+    memo.computeIfAbsent(triples.sparkSession,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Graph[String, String]]())
+      .computeIfAbsent(sourceKey, _ => fromTriples(triples))
 
   /** Pregel BFS from `source`, following edges in reverse (obj → subj),
     * up to `maxDepth`. Returns (node, depth) for reached nodes,
@@ -62,7 +75,7 @@ object GraphOps {
     reverseBfs(fromTriples(triples), source, maxDepth)
 
   def reverseBfs(g: Graph[String, String], source: String, maxDepth: Int): DataFrame = {
-    val spark = org.apache.spark.sql.SparkSession.active
+    val spark = sessionOf(g)
     import spark.implicits._
     val srcId = Murmur3x64.hash64(source)
     // Pregel on a primitive Int depth attr (the node string would ride
@@ -92,7 +105,7 @@ object GraphOps {
     pageRank(fromTriples(triples), iters)
 
   def pageRank(g: Graph[String, String], iters: Int): DataFrame = {
-    val spark = org.apache.spark.sql.SparkSession.active
+    val spark = sessionOf(g)
     import spark.implicits._
     val pr = g.staticPageRank(iters)
     g.vertices.join(pr.vertices)
@@ -107,7 +120,7 @@ object GraphOps {
     connectedComponents(fromTriples(triples))
 
   def connectedComponents(g: Graph[String, String]): DataFrame = {
-    val spark = org.apache.spark.sql.SparkSession.active
+    val spark = sessionOf(g)
     import spark.implicits._
     g.vertices.join(g.connectedComponents().vertices)
       .map { case (_, (node, cc)) => (node, cc) }
@@ -141,7 +154,7 @@ object GraphOps {
     pageRankFixedPoint(fromTriples(triples), iters)
 
   def pageRankFixedPoint(g: Graph[String, String], iters: Int): DataFrame = {
-    val spark = SparkSession.active
+    val spark = sessionOf(g)
     import spark.implicits._
     // the loop runs on primitive (rank, outDeg) vertex attrs — carrying
     // the node string through every round's vertex shuffle tripled the

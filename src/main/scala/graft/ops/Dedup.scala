@@ -110,7 +110,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame, portable: Boolean = false): DataFrame = {
     val tokenHash =
-      if (portable) conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+      if (portable) GraftFunctions.md5Hash60(col("w"))
       else GraftFunctions.murmur64(col("w"))
     docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("w"))

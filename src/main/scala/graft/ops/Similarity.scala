@@ -173,9 +173,16 @@ object Similarity {
         .select("query_id", "vec_id", "cos")
     }.reduceOption(_ unionAll _).getOrElse(empty)
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-    perQuery.withColumn("rank", row_number().over(w))
+    val topk = perQuery.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
+      .cache()
+    // materialize the tiny (k per query) result, then release the
+    // per-vector cache — returning a lazy plan over `assigned` would
+    // pin it in executor storage for the session lifetime
+    topk.count()
+    assigned.unpersist(blocking = false)
+    topk
   }
 
   /** IVF (inverted-file) ANN: k-means cells + nprobe probing.
@@ -252,8 +259,15 @@ object Similarity {
         .select("query_id", "vec_id", "cos")
     }.reduceOption(_ unionAll _).getOrElse(empty)
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-    perQuery.withColumn("rank", row_number().over(w))
+    val topk = perQuery.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
+      .cache()
+    // materialize the tiny (k per query) result, then release the
+    // per-vector cache — returning a lazy plan over `assigned` would
+    // pin it in executor storage for the session lifetime
+    topk.count()
+    assigned.unpersist(blocking = false)
+    topk
   }
 }

@@ -126,10 +126,9 @@ def main():
         print(f"ROWS-ONLY  {name} ({n} rows, no oracle)")
     for name, why in failures:
         print(f"FAIL  {name}: {why}")
-    missing = sorted(set(oracle) - {p.name for p in out_dir.iterdir() if p.is_dir()})
+    missing = sorted(n for n in set(oracle) - {p.name for p in out_dir.iterdir() if p.is_dir()}
+                     if not only or n in only)
     for name in missing:
-        if only and name not in only:
-            continue
         print(f"FAIL  {name}: oracle declared but no spark output")
     sys.exit(1 if failures or missing else 0)
 
