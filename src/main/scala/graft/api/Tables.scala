@@ -38,20 +38,24 @@ object Tables {
     *
     * Must stay in lockstep with [[StarTriples.sqlCte]].
     */
-  def starTriples(s: SparkSession, d: String): DataFrame =
+  def starTriples(s: SparkSession, d: String): DataFrame = {
+    // cached DataFrames strongly reference their session, so a weak key
+    // would never clear (WeakHashMap's documented value->key pitfall);
+    // instead sweep entries of stopped contexts on access — the leak is
+    // then bounded by sessions discarded while their context lives on
+    triplesMemo.keySet.removeIf(sess => sess.sparkContext.isStopped)
     triplesMemo.computeIfAbsent(s,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
       .computeIfAbsent(d, _ => buildStarTriples(s, d).cache())
+  }
 
   /** One cached triples view per (session, dir): every triple/graph
     * query reads the same materialization instead of re-deriving the
-    * 8-way union per query. The outer map holds the session WEAKLY, so
-    * a stopped, unreferenced session's cache entries are collectable
-    * (a string key would pin them for the JVM lifetime and could even
-    * collide across sessions).
+    * 8-way union per query. Keyed by session object identity (no
+    * cross-session collisions); see the sweep above for lifetime.
     */
   private val triplesMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   private def buildStarTriples(s: SparkSession, d: String): DataFrame = {

@@ -15,6 +15,19 @@ object TextSql {
       |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|ein)\b')) AS BIGINT) AS s_de,
       |    CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|et|une|est)\b')) AS BIGINT) AS s_fr""".stripMargin
 
+  /** Shared fragments — stats and curation must emit the SAME quality /
+    * fingerprint expressions or the curation gate silently drifts when
+    * the score weights change.
+    */
+  private val qualityExpr =
+    """CAST(floor((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+      |    + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 0.2 THEN 1.0
+      |            ELSE 1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) END) * 0.3
+      |    + least(CAST(s_en AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3) * 10000) AS BIGINT)""".stripMargin
+
+  private val fpExpr =
+    """md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"""
+
   private val langPredCase =
     """CASE WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
       |     WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
@@ -28,12 +41,9 @@ object TextSql {
        |    $scoreCols
        |  FROM documents)
        |SELECT doc_id, n_tokens, n_chars, n_punct,
-       |  CAST(floor((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-       |    + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 0.2 THEN 1.0
-       |            ELSE 1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) END) * 0.3
-       |    + least(CAST(s_en AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3) * 10000) AS BIGINT) AS quality,
+       |  $qualityExpr AS quality,
        |  $langPredCase AS lang_pred,
-       |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  $fpExpr AS fp
        |FROM s ORDER BY doc_id""".stripMargin
 
   val langidEval: String =
@@ -56,12 +66,9 @@ object TextSql {
        |  FROM documents),
        |t AS (
        |  SELECT doc_id,
-       |    CAST(floor((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
-       |      + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) <= 0.2 THEN 1.0
-       |              ELSE 1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) END) * 0.3
-       |      + least(CAST(s_en AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3) * 10000) AS BIGINT) AS quality,
+       |    $qualityExpr AS quality,
        |    $langPredCase AS lang_pred,
-       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |    $fpExpr AS fp
        |  FROM s),
        |f AS (
        |  SELECT doc_id, quality,

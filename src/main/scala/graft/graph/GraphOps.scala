@@ -59,7 +59,9 @@ object GraphOps {
     val ctx = g.vertices.sparkContext
     SparkSession.getActiveSession.filter(_.sparkContext eq ctx)
       .orElse(SparkSession.getDefaultSession.filter(_.sparkContext eq ctx))
-      .getOrElse(SparkSession.active)
+      .getOrElse(throw new IllegalStateException(
+        "no active or default SparkSession on the graph's SparkContext — " +
+          "run graph ops from a thread bound to the owning session"))
   }
 
   def cachedGraph(triples: DataFrame, sourceKey: String): Graph[String, String] =

@@ -17,7 +17,8 @@ import graft.store.TripleStore
   */
 object TripleCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: TripleCli <storePath> <insert|query|triples|info> [json] [limit]")
+    require(args.length >= 2,
+      "usage: TripleCli <storePath> <insert|query|triples|info|sync> [json|peerPath] [limit]")
     val Array(path, cmd) = args.take(2)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -53,6 +54,7 @@ object TripleCli {
         val i = store.info()
         println(s"""{"triples":${i.triples},"diskBytes":${i.diskBytes}}""")
       case "sync" =>
+        require(args.length >= 3, "usage: TripleCli <storePath> sync <peerStorePath>")
         // one bloom-diff replication round FROM the peer store
         val peer = new TripleStore(spark, args(2))
         val n = store.syncFrom(peer)

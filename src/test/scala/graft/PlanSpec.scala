@@ -91,10 +91,13 @@ class PlanSpec extends SparkSpecBase {
 
   test("bloom probe expression stays inside whole-stage codegen") {
     val p = plan("bloom_semijoin")
-    assert(p.contains("graft_bloom_probe"), s"probe missing from plan:\n${p.take(1500)}")
-    // the probe must sit in a codegen'd stage, not an interpreted
-    // BatchEvalPython/UDF-style fallback
-    assert(!p.contains("BatchEval"), "bloom probe fell back to interpreted eval")
+    // the operator carrying the probe must be inside a codegen'd stage
+    // (prints as `*(n) Filter ... graft_bloom_probe...`), not an
+    // interpreted fallback line without the `*(n)` marker
+    val probeLines = p.linesIterator.filter(_.contains("graft_bloom_probe")).toSeq
+    assert(probeLines.nonEmpty, s"probe missing from plan:\n${p.take(1500)}")
+    assert(probeLines.exists(_.matches(""".*\*\(\d+\).*""")),
+      s"bloom probe fell out of codegen:\n${probeLines.mkString("\n")}")
   }
 
   test("events scan prunes to referenced columns only") {
