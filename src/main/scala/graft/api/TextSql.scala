@@ -90,7 +90,7 @@ object TextSql {
   val dedupExact: String =
     s"""WITH ${plantCte(exact = true)}
        |SELECT fp, count(*) AS n, min(doc_id) AS canonical_id
-       |FROM (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM docs)
+       |FROM (SELECT doc_id, $fpExpr AS fp FROM docs)
        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
   /** 3-gram shingles per doc as a CTE over `docs`. */
