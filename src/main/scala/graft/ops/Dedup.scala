@@ -187,8 +187,14 @@ object Dedup {
     * [[Similarity]] is the scale path.
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double = 0.99): DataFrame = {
-    // norm computed once per vector, not once per pair
-    val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // norm computed once per vector, not once per pair. The probe side
+    // is repartitioned to an EXPLICIT slot count: this O(n²) dot-product
+    // verify is CPU-bound, a small embeddings file arrives as one split,
+    // and AQE would coalesce a keyed repartition right back by byte size
+    // (the one pipeline where the blanket repartition experiment won).
+    val slots = embs.sparkSession.sparkContext.defaultParallelism
+    val v = embs.repartition(slots, col("vec_id"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     val l = v.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val r = v.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
