@@ -316,6 +316,48 @@ object Queries {
           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Explicit GROUPING SETS (the non-hierarchical variant rollup/cube
+    // can't express: per-flag totals and per-status totals, no pairs).
+    "groupingsets_pricing" -> Q(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+        s.sql(
+          """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+            |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            |  count(*) AS n
+            |FROM graft_li_gs
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some(
+        """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Multiset EXCEPT ALL (duplicate-preserving — the variant
+    // setop_except's DISTINCT semantics can't express).
+    "setop_except_all" -> Q(
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        ord.select(col("o_custkey").as("custkey"))
+          .exceptAll(ord.filter(col("o_totalprice").cast("decimal(12,2)") > 150000)
+            .select(col("o_custkey").as("custkey")))
+          .groupBy("custkey").agg(count(lit(1)).as("n"))
+          .orderBy("custkey")
+      },
+      Some(
+        """SELECT custkey, count(*) AS n FROM (
+          |  SELECT o_custkey AS custkey FROM orders
+          |  EXCEPT ALL
+          |  SELECT o_custkey AS custkey FROM orders
+          |  WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 150000)
+          |GROUP BY custkey ORDER BY custkey""".stripMargin)),
+
     // Set ops: INTERSECT / EXCEPT (distinct semantics both engines).
     "setop_intersect" -> Q(
       (s, d) => Tables.orders(s, d).select(col("o_custkey").as("custkey"))
