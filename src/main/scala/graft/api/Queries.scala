@@ -468,6 +468,26 @@ object Queries {
           |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
           |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
 
+    // Two-phase salted aggregation over the 5 hot event types — the
+    // canonical skew shape. Exact decimal partials make the salting
+    // invisible to the result, so the plain GROUP BY is the oracle.
+    "agg_salted_by_type" -> Q(
+      (s, d) => graft.ops.Scale.saltedAgg(
+          Tables.events(s, d).withColumn("v", col("value").cast("decimal(12,2)")),
+          col("event_type"), saltFactor = 8,
+          Seq(
+            ("total", sum(col("v")), sum(col("total"))),
+            ("n", count(lit(1)), sum(col("n")))))
+        .select(col("key").as("event_type"),
+          col("total").cast("double").as("total"),
+          col("n").cast("long").as("n"))
+        .orderBy("event_type"),
+      Some(
+        """SELECT event_type,
+          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+          |  count(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Sessionization: 30-minute inactivity gap, session count per user.
     "events_sessionize" -> Q(
       (s, d) => {
