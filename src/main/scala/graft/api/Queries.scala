@@ -319,17 +319,16 @@ object Queries {
     // Explicit GROUPING SETS (the non-hierarchical variant rollup/cube
     // can't express: per-flag totals and per-status totals, no pairs).
     "groupingsets_pricing" -> Q(
-      (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
-        s.sql(
-          """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
-            |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
-            |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-            |  count(*) AS n
-            |FROM graft_li_gs
-            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-            |ORDER BY l_returnflag, l_linestatus""".stripMargin)
-      },
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("qty", col("l_quantity").cast("decimal(12,2)"))
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("qty").cast("double").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
       Some(
         """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
           |  coalesce(l_linestatus, 'ALL') AS l_linestatus,

@@ -41,8 +41,10 @@ object Tables {
   def starTriples(s: SparkSession, d: String): DataFrame = {
     // cached DataFrames strongly reference their session, so a weak key
     // would never clear (WeakHashMap's documented value->key pitfall);
-    // instead sweep entries of stopped contexts on access — the leak is
-    // then bounded by sessions discarded while their context lives on
+    // instead sweep entries of stopped contexts on access. Residual:
+    // sessions discarded while their shared context lives on stay
+    // pinned — callers churning newSession() per request should clear
+    // caches themselves (this engine uses one long-lived session)
     triplesMemo.keySet.removeIf(sess => sess.sparkContext.isStopped)
     triplesMemo.computeIfAbsent(s,
         _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())

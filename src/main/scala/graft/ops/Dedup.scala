@@ -188,12 +188,14 @@ object Dedup {
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double = 0.99): DataFrame = {
     // norm computed once per vector, not once per pair. The probe side
-    // is repartitioned to an EXPLICIT slot count: this O(n²) dot-product
-    // verify is CPU-bound, a small embeddings file arrives as one split,
-    // and AQE would coalesce a keyed repartition right back by byte size
-    // (the one pipeline where the blanket repartition experiment won).
+    // is round-robin repartitioned to an EXPLICIT slot count: this
+    // O(n²) dot-product verify is CPU-bound, a small embeddings file
+    // arrives as one split, and AQE coalesces count-less repartitions
+    // back by byte size. Round-robin (no key) spreads rows evenly —
+    // hashing ids into slots would leave the tail gated on the fattest
+    // bin.
     val slots = embs.sparkSession.sparkContext.defaultParallelism
-    val v = embs.repartition(slots, col("vec_id"))
+    val v = embs.repartition(slots)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     val l = v.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))

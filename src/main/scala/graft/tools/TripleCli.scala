@@ -32,6 +32,7 @@ object TripleCli {
     val engine = new Engine(store)
     try cmd match {
       case "insert" =>
+        require(args.length >= 3, "usage: TripleCli <storePath> insert '<json triples>'")
         // JSON array of full triples; signed + stamped like the
         // reference's signAndInsertTriples (core/http.go:62-92).
         // Malformed JSON is an error, never a silent null row
@@ -46,6 +47,7 @@ object TripleCli {
         val n = store.insertSigned(df, key)
         println(s"""{"inserted":$n}""")
       case "query" =>
+        require(args.length >= 3, "usage: TripleCli <storePath> query '<json patterns>' [limit]")
         val limit = if (args.length > 3) args(3).toInt else -1
         engine.queryJson(jsonArg(args(2)), limit).toJSON.collect().foreach(println)
       case "triples" =>
