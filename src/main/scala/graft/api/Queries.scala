@@ -487,6 +487,19 @@ object Queries {
           |  count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Day-of-week profile of the event stream (Spark's dayofweek is
+    // 1-based Sunday, DuckDB's 0-based — aligned explicitly).
+    "events_by_dow" -> Q(
+      (s, d) => Tables.events(s, d)
+        .withColumn("dow", (dayofweek(col("ts")) - 1).cast("long"))
+        .groupBy("dow")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("dow"),
+      Some(
+        """SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, count(*) AS n,
+          |  count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY 1 ORDER BY dow""".stripMargin)),
+
     // Sessionization: 30-minute inactivity gap, session count per user.
     "events_sessionize" -> Q(
       (s, d) => {
