@@ -487,6 +487,24 @@ object Queries {
           |  count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // Sliding 1-hour windows every 30 minutes (each event lands in two
+    // windows — the overlap tumbling windows can't express); oracle
+    // replays Spark's epoch-aligned window math in microseconds.
+    "events_sliding" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type"),
+      Some(
+        """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+          |w AS (SELECT event_type, us, unnest([
+          |        (us // 1800000000) * 1800000000,
+          |        (us // 1800000000) * 1800000000 - 1800000000]) AS b FROM e)
+          |SELECT make_timestamp(b) AS w_start, event_type, count(*) AS n
+          |FROM w WHERE b <= us AND us < b + 3600000000
+          |GROUP BY b, event_type ORDER BY w_start, event_type""".stripMargin)),
+
     // Day-of-week profile of the event stream (Spark's dayofweek is
     // 1-based Sunday, DuckDB's 0-based — aligned explicitly).
     "events_by_dow" -> Q(
