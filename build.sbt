@@ -16,6 +16,11 @@ run / fork := true
 // JSON stdout line, and the logger's "[info] " prefix broke that parse
 // in round 1 (BENCH_r01.json "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's own trailing "[success] Total time: ..." line so the
+// Bench JSON line printed after spark.stop() really is the LAST stdout
+// line the driver's tail capture sees (ADVICE round 2).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
