@@ -51,19 +51,45 @@ object Dedup {
     shingleRows(docs, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Frequent-band guard: drop (band, key) groups larger than `cap`
+    * before any band self-join. A boilerplate band (navigation chrome, a
+    * shared header, an empty doc) otherwise degenerates the join to
+    * O(hot²) candidate pairs — THE known skew cliff of banded LSH at
+    * 100 TB. The hot-key table is tiny by construction (only keys with
+    * > cap members), so the anti join broadcasts. Docs in a dropped band
+    * still pair through their other bands; a group that collides ONLY
+    * via a >cap boilerplate band is exactly the case the guard exists to
+    * refuse. `cap <= 0` disables.
+    */
+  private[graft] def dropHotBands(banded: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val hot = banded.groupBy("band", "key")
+        .agg(count(lit(1)).as("c")).filter(col("c") > cap)
+        .select("band", "key")
+      banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    }
+
+  /** Default frequent-band cap, shared by every banded path and its
+    * oracle SQL (TextSql mirrors the same constant).
+    */
+  val DefaultBandCap = 128
+
   /** LSH candidate pairs from banded MD5 MinHash: k hashes in `bands`
     * bands of k/bands rows; docs sharing any full band collide.
+    * Bands hotter than `maxBandFreq` are dropped (see [[dropHotBands]]).
     * Output: (a, b) doc-id pairs, a < b, distinct.
     */
-  def minhashPairs(docs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
+  def minhashPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
+      maxBandFreq: Int = DefaultBandCap): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val sigs = minhashSignatures(docs, k)
-    val banded = (0 until bands).map { b =>
+    val banded = dropHotBands((0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
       sigs.select(col("doc_id"),
         lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _), maxBandFreq)
     val l = banded.select(col("band"), col("key"), col("doc_id").as("a"))
     val rt = banded.select(col("band"), col("key"), col("doc_id").as("b"))
     l.join(rt, Seq("band", "key"))
@@ -77,17 +103,18 @@ object Dedup {
     * murmur3-64) — verified in ScalaTest against the md5 variant's
     * candidate quality instead.
     */
-  def minhashPairsFast(docs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  def minhashPairsFast(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      maxBandFreq: Int = DefaultBandCap): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val aggs = (0 until k).map(i =>
       min(GraftFunctions.murmur64(concat(lit(s"$i#"), col("sh")))).as(s"m$i"))
     val sigs = shingleRows(docs, 3).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val banded = (0 until bands).map { b =>
+    val banded = dropHotBands((0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string"))
       sigs.select(col("doc_id"), lit(b).as("band"),
         GraftFunctions.murmur64(concat_ws("|", cols: _*)).as("key"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _), maxBandFreq)
     val l = banded.select(col("band"), col("key"), col("doc_id").as("a"))
     val rt = banded.select(col("band"), col("key"), col("doc_id").as("b"))
     l.join(rt, Seq("band", "key"))
@@ -124,16 +151,18 @@ object Dedup {
   /** Near-dup candidates: same 16-bit SimHash band, verified by Hamming
     * distance <= maxHamming. With maxHamming <= 3 and 4 bands, banding
     * is exhaustive by pigeonhole (3 differing bits touch at most 3 of
-    * the 4 bands), so the result equals the all-pairs filter — which is
-    * exactly what the oracle computes.
+    * the 4 bands) — the oracle mirrors the banding plus the
+    * frequent-band guard (a band hotter than `maxBandFreq` is dropped on
+    * BOTH sides, so the compare stays deterministic even on boilerplate
+    * corpora).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, maxBandFreq: Int = DefaultBandCap): DataFrame = {
     val sh = simhash(docs, portable)
-    val banded = (0 until 4).map { b =>
+    val banded = dropHotBands((0 until 4).map { b =>
       sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("key"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _), maxBandFreq)
     val l = banded.select(col("band"), col("key"),
       col("doc_id").as("a"), col("simhash").as("sha"))
     val r = banded.select(col("band"), col("key"),
