@@ -101,29 +101,53 @@ object TextSql {
       |    unnest(list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS u(s))""".stripMargin
 
-  val dedupMinhash: String = {
+  /** The frequent-band cap — the SAME constant the Spark guard uses
+    * (Dedup.dropHotBands), quoted into every banded oracle's QUALIFY so
+    * a boilerplate-heavy corpus drops the same hot bands on both sides.
+    */
+  private def bandCap: Int = graft.ops.Dedup.DefaultBandCap
+
+  /** Banded-MinHash candidate CTE chain over `sh`: signatures, bands,
+    * the count-over-window frequent-band cap (mirror of
+    * Dedup.dropHotBands), and the distinct candidate pair set. Shared by
+    * dedupMinhash and the Jaccard prefilter so the two oracles cannot
+    * drift from each other.
+    */
+  private def minhashCandCtes: String = {
     val mins = (0 until 8).map(i =>
       s"min(substr(md5('${i / 2}#' || s), ${1 + (i % 2) * 16}, 16)) AS m$i").mkString(", ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS key FROM sigs")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${plantCte(exact = false)},
-       |$shinglesCte,
-       |sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    s"""sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands0 AS (
+       |  $bands),
        |bands AS (
-       |  $bands)
-       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-       |ORDER BY a, b""".stripMargin
+       |  SELECT doc_id, band, key FROM bands0
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $bandCap),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)""".stripMargin
   }
 
+  val dedupMinhash: String =
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |$minhashCandCtes
+       |SELECT a, b FROM cand ORDER BY a, b""".stripMargin
+
+  /** Jaccard over MinHash-banded candidates only — mirrors the Spark
+    * plan's prefilter (candidates from the capped bands, exact Jaccard
+    * verified by joining the pair list back on the shingle rows).
+    */
   val dedupNgramJaccard: String =
     s"""WITH ${plantCte(exact = false)},
        |$shinglesCte,
+       |$minhashCandCtes,
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
-       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
-       |  FROM sh l JOIN sh r ON l.source = r.source AND l.s = r.s AND l.doc_id < r.doc_id
+       |  SELECT c.a, c.b, count(*) AS i
+       |  FROM cand c JOIN sh l ON l.doc_id = c.a JOIN sh r ON r.doc_id = c.b AND r.s = l.s
        |  GROUP BY 1, 2)
        |SELECT a, b, jaccard FROM (
        |  SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
@@ -132,14 +156,50 @@ object TextSql {
        |  JOIN sizes sb ON sb.doc_id = b)
        |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
 
+  /** ±1 sign-LSH hyperplanes from the parity of md5's first hex nibble
+    * (plane family t·bits+j over dims 0..dim-1) — the engine-portable
+    * construction Similarity.planeSign uses, so buckets replay
+    * bit-for-bit. Shared by simAnnLsh and dedupEmbedding.
+    */
+  private def lshPlanesCte(tables: Int = 8, bits: Int = 6, dim: Int = 64): String =
+    s"""planes AS (
+       |  SELECT t.t, j.j,
+       |    list_transform(generate_series(0, ${dim - 1}), i ->
+       |      CASE WHEN (strpos('0123456789abcdef',
+       |             substr(md5(CAST(t.t * $bits + j.j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+       |           THEN 1.0 ELSE -1.0 END) AS p
+       |  FROM (SELECT unnest(generate_series(0, ${tables - 1})) AS t) t,
+       |       (SELECT unnest(generate_series(0, ${bits - 1})) AS j) j)""".stripMargin
+
+  /** (vec_id, table, bucket) over `v` and `planes`: bucket = Σ 2^j over
+    * non-negative plane dots, matching Similarity.lshBucket.
+    */
+  private def lshBucketsCte: String =
+    """buckets AS (
+      |  SELECT vec_id, t AS tbl,
+      |    CAST(sum(CASE WHEN list_dot_product(e, p) >= 0
+      |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM v CROSS JOIN planes GROUP BY vec_id, t)""".stripMargin
+
+  /** Embedding near-dup mirror: candidates share a sign-LSH
+    * (table, bucket) in any of the 8 tables — the same keyed self-join
+    * the Spark plan runs (no all-pairs on either side) — then the exact
+    * cosine verifies each distinct pair.
+    */
   val dedupEmbedding: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
-      |SELECT a, b, cos FROM (
-      |  SELECT x.vec_id AS a, y.vec_id AS b,
-      |    round(list_dot_product(x.e, y.e)
-      |      / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
-      |  FROM v x JOIN v y ON x.vec_id < y.vec_id)
-      |WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${lshPlanesCte()},
+       |$lshBucketsCte,
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT a, b, cos FROM (
+       |  SELECT c.a, c.b,
+       |    round(list_dot_product(x.e, y.e)
+       |      / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+       |  FROM cand c JOIN v x ON x.vec_id = c.a JOIN v y ON y.vec_id = c.b)
+       |WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
 
   val simCosineTopk: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -155,9 +215,12 @@ object TextSql {
       |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
-  /** Brute-force SimHash pairs — equals the Spark banded result because
-    * 4×16-bit banding is exhaustive at Hamming <= 3 (pigeonhole). Token
-    * hashes are the 60-bit md5 family, mirrored bit-for-bit.
+  /** Banded SimHash pairs — mirrors the Spark plan structurally: 4×16-bit
+    * bands (exhaustive at Hamming <= 3 by pigeonhole), the
+    * frequent-band cap (same QUALIFY mirror as dedupMinhash — a
+    * boilerplate band is dropped on BOTH sides), then the Hamming
+    * verify on band-collision candidates. Token hashes are the 60-bit
+    * md5 family, mirrored bit-for-bit.
     */
   val dedupSimhash: String =
     s"""WITH ${plantCte(exact = false)},
@@ -178,9 +241,16 @@ object TextSql {
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INT)
        |             ELSE 0 END) AS BIGINT) AS h
-       |  FROM bits GROUP BY doc_id)
-       |SELECT x.doc_id AS a, y.doc_id AS b FROM sh x JOIN sh y
-       |  ON x.doc_id < y.doc_id AND bit_count(xor(x.h, y.h)) <= 3
+       |  FROM bits GROUP BY doc_id),
+       |bands0 AS (
+       |  SELECT doc_id, h, g.b AS band, (h >> CAST(g.b * 16 AS INT)) & 65535 AS key
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) g),
+       |bands AS (
+       |  SELECT doc_id, h, band, key FROM bands0
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $bandCap)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |  AND bit_count(xor(x.h, y.h)) <= 3
        |ORDER BY a, b""".stripMargin
 
   /** Sign-LSH top-k, mirrored end-to-end: ±1 hyperplanes from the parity
@@ -190,20 +260,9 @@ object TextSql {
     * accumulates left-to-right, matching the codegen'd Spark expression.
     */
   val simAnnLsh: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |planes AS (
-      |  SELECT t.t, j.j,
-      |    list_transform(generate_series(0, 63), i ->
-      |      CASE WHEN (strpos('0123456789abcdef',
-      |             substr(md5(CAST(t.t * 6 + j.j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
-      |           THEN 1.0 ELSE -1.0 END) AS p
-      |  FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
-      |       (SELECT unnest(generate_series(0, 5)) AS j) j),
-      |buckets AS (
-      |  SELECT vec_id, t AS tbl,
-      |    CAST(sum(CASE WHEN list_dot_product(e, p) >= 0
-      |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM v CROSS JOIN planes GROUP BY vec_id, t),
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |${lshPlanesCte()},
+      |$lshBucketsCte,
       |q AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id IN (0, 1, 2)),
       |cand AS (
       |  SELECT DISTINCT q.query_id, b.vec_id

@@ -42,12 +42,14 @@ object GraphOps {
   /** Graph construction memo, keyed by (session, source): BFS, PageRank
     * and CC over the same triples view share one cached Graph instead of
     * re-deriving vertices/edges per query — the same reuse a long-lived
-    * engine gets from its materialized graph view. The outer map holds the
-    * session weakly — a stopped, unreferenced session's graphs are
-    * collectable, and entries can never collide across sessions.
+    * engine gets from its materialized graph view. NOT a WeakHashMap:
+    * the cached Graph's RDDs come from DataFrame.rdd, whose lineage
+    * strongly retains the owning session, so a weak key would never be
+    * collectable (value → key). Instead, stopped sessions are swept on
+    * access — the same lifetime discipline as Tables.triplesMemo.
     */
   private val memo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, Graph[String, String]]]())
 
   /** The session that owns this graph's RDDs: prefer the active/default
@@ -64,10 +66,12 @@ object GraphOps {
           "run graph ops from a thread bound to the owning session"))
   }
 
-  def cachedGraph(triples: DataFrame, sourceKey: String): Graph[String, String] =
+  def cachedGraph(triples: DataFrame, sourceKey: String): Graph[String, String] = {
+    memo.keySet.removeIf(sess => sess.sparkContext.isStopped)
     memo.computeIfAbsent(triples.sparkSession,
         _ => new java.util.concurrent.ConcurrentHashMap[String, Graph[String, String]]())
       .computeIfAbsent(sourceKey, _ => fromTriples(triples))
+  }
 
   /** Pregel BFS from `source`, following edges in reverse (obj → subj),
     * up to `maxDepth`. Returns (node, depth) for reached nodes,

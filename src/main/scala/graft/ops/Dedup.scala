@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -55,23 +56,26 @@ object Dedup {
     * before any band self-join. A boilerplate band (navigation chrome, a
     * shared header, an empty doc) otherwise degenerates the join to
     * O(hot²) candidate pairs — THE known skew cliff of banded LSH at
-    * 100 TB. The hot-key table is tiny by construction (only keys with
-    * > cap members), so the anti join broadcasts. Docs in a dropped band
-    * still pair through their other bands; a group that collides ONLY
-    * via a >cap boilerplate band is exactly the case the guard exists to
-    * refuse. `cap <= 0` disables.
+    * 100 TB. Implemented as a count-over-window filter (the SQL
+    * `QUALIFY count(*) OVER (PARTITION BY band, key) <= cap`, which is
+    * literally how TextSql's oracles mirror it): the banded frame is
+    * evaluated ONCE, and the window's (band, key) shuffle is the same
+    * partitioning the downstream self-join needs, so the guard adds no
+    * extra pass over the expensive signature subtree. Docs in a dropped
+    * band still pair through their other bands; a group that collides
+    * ONLY via a >cap boilerplate band is exactly the case the guard
+    * exists to refuse. `cap <= 0` disables.
     */
   private[graft] def dropHotBands(banded: DataFrame, cap: Int): DataFrame =
     if (cap <= 0) banded
-    else {
-      val hot = banded.groupBy("band", "key")
-        .agg(count(lit(1)).as("c")).filter(col("c") > cap)
-        .select("band", "key")
-      banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
-    }
+    else banded
+      .withColumn("band_freq", count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("band_freq") <= cap)
+      .drop("band_freq")
 
   /** Default frequent-band cap, shared by every banded path and its
-    * oracle SQL (TextSql mirrors the same constant).
+    * oracle SQL (TextSql.bandCap quotes this constant into the QUALIFY
+    * filters of dedupMinhash / dedupSimhash / the Jaccard prefilter).
     */
   val DefaultBandCap = 128
 
@@ -190,17 +194,26 @@ object Dedup {
           .otherwise(array()))))
       .select("doc_id", "source", "sh")
 
-  /** Exact n-gram Jaccard near-dup pairs, blocked by `source` (the
-    * blocking key bounds the candidate join; at scale swap in a MinHash
-    * pre-filter). Returns (a, b, jaccard) with jaccard >= threshold.
+  /** Exact n-gram Jaccard near-dup pairs, candidate-filtered by banded
+    * MinHash LSH: [[minhashPairs]] (banded equality joins + the
+    * frequent-band cap) proposes (a, b), then the exact Jaccard is
+    * computed ONLY for candidates, by joining the pair list back against
+    * the shingle rows of each side. Every join is keyed — doc id or
+    * (doc id, shingle) — so a hot source/shingle never degenerates to
+    * within-block all-pairs; the cost model is the LSH one
+    * (O(Σ band-group²), groups capped) plus O(candidates · shingles).
+    * Returns (a, b, jaccard) with jaccard >= threshold; recall is that
+    * of the MinHash bands (a true-Jaccard pair colliding in no band is
+    * not proposed — the standard LSH trade, measured in DedupSpec).
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      k: Int = 8, bands: Int = 4, maxBandFreq: Int = DefaultBandCap): DataFrame = {
+    val cand = minhashPairs(docs, k, bands, maxBandFreq)
     val sh = shingleRows(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val l = sh.select(col("source"), col("sh"), col("doc_id").as("a"))
-    val r = sh.select(col("source"), col("sh"), col("doc_id").as("b"))
-    val inter = l.join(r, Seq("source", "sh"))
-      .filter(col("a") < col("b"))
+    val la = sh.select(col("doc_id").as("a"), col("sh"))
+    val rb = sh.select(col("doc_id").as("b"), col("sh"))
+    val inter = cand.join(la, "a").join(rb, Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
@@ -211,20 +224,45 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
-  /** Embedding near-dups: pairs with cosine >= threshold. Brute-force
-    * O(n²) verify — correct baseline; the LSH bucketing in
-    * [[Similarity]] is the scale path.
+  /** Embedding near-dups: pairs with cosine >= threshold, candidates
+    * from OR-amplified sign-LSH (`tables` independent hash tables of
+    * `bits` hyperplanes each — the same plane family as
+    * [[Similarity.lshBucket]], so the DuckDB oracle replays the buckets
+    * bit-for-bit). Candidates come from equality self-joins on the
+    * compact (table, bucket) key — never a cross join — then the exact
+    * cosine verifies each pair once (score-then-distinct: scoring before
+    * the dedup keeps the wide vector columns out of the distinct's
+    * shuffle). Recall is 1-(1-p^bits)^tables for plane-agreement
+    * probability p = 1-θ/π; tune `bits` up for narrower buckets at
+    * scale. Measured against the brute-force baseline in DedupSpec.
     */
-  def embeddingNearDups(embs: DataFrame, threshold: Double = 0.99): DataFrame = {
-    // norm computed once per vector, not once per pair. The probe side
-    // is round-robin repartitioned to an EXPLICIT slot count: this
-    // O(n²) dot-product verify is CPU-bound, a small embeddings file
-    // arrives as one split, and AQE coalesces count-less repartitions
-    // back by byte size. Round-robin (no key) spreads rows evenly —
-    // hashing ids into slots would leave the tail gated on the fattest
-    // bin.
-    val slots = embs.sparkSession.sparkContext.defaultParallelism
-    val v = embs.repartition(slots)
+  def embeddingNearDups(embs: DataFrame, threshold: Double = 0.99,
+      dim: Int = 64, bits: Int = 6, tables: Int = 8): DataFrame = {
+    val v = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val bucketed = (0 until tables).map { t =>
+      v.select(col("vec_id"), col("v"), col("nrm"), lit(t).as("table"),
+        Similarity.lshBucket(col("v"), dim, bits, t).as("bucket"))
+    }.reduce(_ unionAll _)
+    val l = bucketed.select(col("table"), col("bucket"),
+      col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val r = bucketed.select(col("table"), col("bucket"),
+      col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+      .distinct()
+  }
+
+  /** Brute-force O(n²) embedding near-dup baseline — the recall oracle
+    * for [[embeddingNearDups]] in tests; never the declared query's plan.
+    */
+  private[graft] def embeddingNearDupsExact(embs: DataFrame, threshold: Double): DataFrame = {
+    val v = embs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     val l = v.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))

@@ -147,31 +147,26 @@ object Similarity {
     }
 
     val assigned = v.withColumn("cid", cellCol(cents)).cache()
-    val qvecs = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select("vec_id", "q").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     v.unpersist(blocking = false)
-    def probeCells(q: Array[Long]): Seq[Int] =
-      cents.zipWithIndex.map { case (c, i) =>
-        var d = 0L; var j = 0
-        while (j < c.length) { val t = q(j) - c(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(identity).take(nprobe).map(_._2).toSeq
-
-    val presentIds = queryIds.filter(qvecs.contains)
-    val empty = assigned.sparkSession.emptyDataFrame
-      .withColumn("query_id", lit(0L)).withColumn("vec_id", lit(0L))
-      .withColumn("cos", lit(0.0d)).limit(0)
-    val perQuery = presentIds.map { qid =>
-      val q = assigned.filter(col("vec_id") === qid)
-        .select(col("v").as("qv"), col("nrm").as("qnrm"))
-      assigned.filter(col("cid").isin(probeCells(qvecs(qid)): _*))
-        .filter(col("vec_id") =!= qid)
-        .crossJoin(broadcast(q))
-        .withColumn("query_id", lit(qid))
-        .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-        .select("query_id", "vec_id", "cos")
-    }.reduceOption(_ unionAll _).getOrElse(empty)
+    // nprobe nearest cells per query as a pure column expression — sort
+    // (dist, cell) structs and slice; ties break to the lowest cell,
+    // mirroring the oracle's ORDER BY dist, cell. The query set stays a
+    // DataFrame end-to-end: ONE broadcast join on `cid` replaces the
+    // former per-queryId union loop, so the plan is |Q|-independent
+    // (the loop meant one union branch + one broadcast per query id —
+    // a driver-plan explosion at |Q| in the thousands). Absent query
+    // ids simply contribute no probe rows.
+    val distStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(distCol(c).as("d"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val probes = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(slice(array_sort(distStructs), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("p.cell").as("cid"))
+    val perQuery = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select("query_id", "vec_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     val topk = perQuery.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -229,35 +224,28 @@ object Similarity {
     }
 
     val assigned = v.withColumn("cid", cellCol(centroids)).cache()
-    // nprobe nearest cells per query, from driver-side centroid math
-    val qvecs = assigned.filter(col("vec_id").isin(queryIds: _*))
-      .select("vec_id", "v").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     // training caches are warm in `assigned`'s materialization; release
     // the intermediate projection so repeated calls don't pile up cache
     v.unpersist(blocking = false)
-    def probeCells(q: Array[Double]): Seq[Int] =
-      centroids.zipWithIndex.map { case (c, i) =>
-        val d = c.map(x => x * x).sum - 2.0 * c.zip(q).map { case (a, b) => a * b }.sum
-        (d, i)
-      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
-
-    // queryIds absent from embs contribute no rows (same contract as
-    // bruteForceTopK/lshTopK), instead of a driver NoSuchElementException
-    val presentIds = queryIds.filter(qvecs.contains)
-    val empty = assigned.sparkSession.emptyDataFrame
-      .withColumn("query_id", lit(0L)).withColumn("vec_id", lit(0L))
-      .withColumn("cos", lit(0.0d)).limit(0)
-    val perQuery = presentIds.map { qid =>
-      val q = assigned.filter(col("vec_id") === qid)
-        .select(col("v").as("qv"), col("nrm").as("qnrm"))
-      assigned.filter(col("cid").isin(probeCells(qvecs(qid)): _*))
-        .filter(col("vec_id") =!= qid)
-        .crossJoin(broadcast(q))
-        .withColumn("query_id", lit(qid))
-        .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
-        .select("query_id", "vec_id", "cos")
-    }.reduceOption(_ unionAll _).getOrElse(empty)
+    // nprobe nearest cells per query as a pure column expression over
+    // the same (|c|² - 2x·c) scores the assignment uses; ties break to
+    // the lowest cell (struct sort on (d, cell)). The query set stays a
+    // DataFrame: one broadcast join on `cid` — |Q|-independent plan,
+    // no per-queryId union branches, and absent query ids contribute no
+    // probe rows (same contract as bruteForceTopK/lshTopK).
+    val distStructs = array(centroids.zip(centroidLits(centroids)).zipWithIndex.map {
+      case ((c, cl), i) =>
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(col("v"), cl)).as("d"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val probes = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(slice(array_sort(distStructs), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("p.cell").as("cid"))
+    val perQuery = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select("query_id", "vec_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
     val topk = perQuery.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

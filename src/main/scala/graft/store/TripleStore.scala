@@ -124,14 +124,17 @@ final class TripleStore(
 
   def count(): Long = all.count()
 
-  /** Store info (reference: triplestore/triplestore.go:150-170 — COUNT(*)
-    * + file size).
+  /** Store info (reference: triplestore/triplestore.go:150-170 — COUNT(*),
+    * file size, and the free-disk syscall at :158-166; here the
+    * filesystem-portable `FileSystem.getStatus`, which is statvfs on the
+    * local FS and capacity-remaining on HDFS-likes).
     */
   def info(): StoreInfo = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = if (exists) fs.getContentSummary(p).getLength else 0L
-    StoreInfo(count(), bytes)
+    val free = (if (exists) fs.getStatus(p) else fs.getStatus()).getRemaining
+    StoreInfo(count(), bytes, free)
   }
 
   /** Bloom filter over canonical triple keys, optionally restricted to a
@@ -266,7 +269,7 @@ object TripleStore {
   /** Minimum expected-items for bloom sizing (degeneracy guard). */
   val MinBloomItems: Long = 10000L
 
-  final case class StoreInfo(triples: Long, diskBytes: Long)
+  final case class StoreInfo(triples: Long, diskBytes: Long, freeDiskBytes: Long)
 
   /** Conform an arbitrary-schema batch to the triple schema: missing
     * provenance columns default to ""/0 (proto3 zero values).

@@ -49,12 +49,12 @@ object TripleCli {
       case "query" =>
         require(args.length >= 3, "usage: TripleCli <storePath> query '<json patterns>' [limit]")
         val limit = if (args.length > 3) args(3).toInt else -1
-        engine.queryJson(jsonArg(args(2)), limit).toJSON.collect().foreach(println)
+        streamJson(engine.queryJson(jsonArg(args(2)), limit))
       case "triples" =>
-        engine.triples().toJSON.collect().foreach(println)
+        streamJson(engine.triples())
       case "info" =>
         val i = store.info()
-        println(s"""{"triples":${i.triples},"diskBytes":${i.diskBytes}}""")
+        println(s"""{"triples":${i.triples},"diskBytes":${i.diskBytes},"freeDiskBytes":${i.freeDiskBytes}}""")
       case "sync" =>
         require(args.length >= 3, "usage: TripleCli <storePath> sync <peerStorePath>")
         // one bloom-diff replication round FROM the peer store
@@ -63,6 +63,17 @@ object TripleCli {
         println(s"""{"synced":$n,"triples":${store.count()}}""")
       case other => sys.error(s"unknown command: $other")
     } finally spark.stop()
+  }
+
+  /** Print one JSON line per row WITHOUT materializing the full result
+    * on the driver: `toLocalIterator` pulls one partition at a time —
+    * the same batched-iterator contract as TripleStore.eachTripleBatch
+    * (reference EachTripleBatch, triplestore/triplestore.go:173-195) —
+    * so a full-store dump holds at most one partition in driver memory.
+    */
+  private def streamJson(df: org.apache.spark.sql.DataFrame): Unit = {
+    import scala.jdk.CollectionConverters._
+    df.toJSON.toLocalIterator().asScala.foreach(println)
   }
 
   /** `@path` reads JSON from a file (shells and sbt split inline JSON on

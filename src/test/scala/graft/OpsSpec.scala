@@ -67,15 +67,72 @@ class OpsSpec extends SparkSpecBase {
     })
   }
 
-  test("ngram jaccard: planted pairs score high, output is symmetric-free") {
+  test("ngram jaccard: minhash-prefiltered, planted pairs score high, symmetric-free") {
     val out = Dedup.ngramJaccardPairs(planted(exact = false), n = 3, threshold = 0.5)
       .collect()
     val pairs = out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
     assert(out.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
     val expected = (0L until 20L).map(i => (i, i + 100000)).toSet
-    assert(expected.subsetOf(pairs), "every planted pair must exceed 0.5 jaccard")
+    // candidates now come from banded MinHash (keyed joins, no
+    // source-block all-pairs): recall is the bands' — same >=18/20
+    // bound as the minhash test — and every surviving pair is
+    // exact-Jaccard-verified
+    val found = expected.intersect(pairs)
+    assert(found.size >= 18, s"only ${found.size}/20 planted pairs found")
     assert(out.filter(r => expected((r.getAs[Long]("a"), r.getAs[Long]("b"))))
       .forall(_.getAs[Double]("jaccard") > 0.8))
+  }
+
+  test("dropHotBands: hot (band,key) groups refused, cold bands keep pairing") {
+    import spark.implicits._
+    val banded = ((0 until 300).map(i => (i.toLong, 0, "HOT")) ++
+      Seq((1L, 1, "COLD"), (2L, 1, "COLD"))).toDF("doc_id", "band", "key")
+    val kept = Dedup.dropHotBands(banded, cap = 128).collect()
+    // the 300-member group is gone entirely; docs 1 and 2 — members of
+    // the hot band — still co-occur via their cold band
+    assert(kept.length == 2)
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    assert(Dedup.dropHotBands(banded, cap = 0).count() == 302) // disabled
+  }
+
+  /** 500 docs with IDENTICAL text — every (band, key) group they form
+    * has 500 members, far over the 128 cap, so unguarded banded LSH
+    * would emit 500·499/2 ≈ 125k pure-boilerplate candidate pairs. Two
+    * distinct near-dup docs ride along in cold (2-member) bands.
+    */
+  private def boilerplateCorpus: DataFrame = {
+    import spark.implicits._
+    val boiler = (0L until 500L).map(i => (i,
+      "shared boilerplate header nav footer copyright terms privacy contact about", "w"))
+    // long unique docs: one appended token keeps simhash within
+    // hamming 3 (short docs flip too many near-zero bit sums)
+    val uniq = (0 until 100).map(i => s"uniqueword$i").mkString(" ")
+    val near = Seq((9000L, uniq, "w"), (9001L, s"$uniq omega", "w"))
+    (boiler ++ near).toDF("doc_id", "text", "source")
+  }
+
+  test("frequent-band cap: boilerplate bands refused in minhash AND simhash; cold pairs survive") {
+    val mh = Dedup.minhashPairs(boilerplateCorpus, k = 8, bands = 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(!mh.exists { case (a, b) => a < 500 && b < 500 },
+      s"minhash leaked boilerplate pairs (${mh.count { case (a, b) => a < 500 && b < 500 }})")
+    assert(mh((9000L, 9001L)), "minhash lost the cold-band near-dup pair")
+    val sh = Dedup.simhashPairs(boilerplateCorpus, maxHamming = 3, portable = true)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(!sh.exists { case (a, b) => a < 500 && b < 500 },
+      s"simhash leaked boilerplate pairs (${sh.count { case (a, b) => a < 500 && b < 500 }})")
+    assert(sh((9000L, 9001L)), "simhash lost the cold-band near-dup pair")
+  }
+
+  test("LSH-bucketed embedding near-dups: precision 1 vs brute force, recall measured") {
+    def pairsOf(df: DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val exact = pairsOf(Dedup.embeddingNearDupsExact(embs, 0.45))
+    val lsh = pairsOf(Dedup.embeddingNearDups(embs, 0.45))
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH path reported a pair below threshold")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.4, s"embedding LSH recall $recall too low (8 tables × 6 bits)")
   }
 
   test("brute-force cosine top-k is k rows per query, ranked") {
@@ -90,6 +147,20 @@ class OpsSpec extends SparkSpecBase {
       val cos = sorted.map(_.getAs[Double]("cos")).toSeq
       assert(cos.zip(cos.tail).forall { case (x, y) => x >= y })
     }
+  }
+
+  test("IVF ANN carries a 200-id query set through ONE probe join (no per-query branches)") {
+    val qids = (0L until 200L).toSeq
+    val df = Similarity.ivfTopK(embs, qids, k = 3)
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == qids.toSet,
+      s"queries without results: ${(qids.toSet -- byQ.keySet).take(5)}")
+    assert(rows.forall(_.getAs[Int]("rank") <= 3))
+    // the logical lineage must be |Q|-independent: one probe join, no
+    // per-query Union branches (the old shape was one branch per id)
+    val lp = df.queryExecution.analyzed.toString
+    assert(!lp.contains("Union"), "per-query union branches back in the ANN plan")
   }
 
   test("IVF ANN recall vs brute force is substantial and candidate set is pruned") {
@@ -118,7 +189,7 @@ class OpsSpec extends SparkSpecBase {
   }
 
   test("approx sketch aggregates land within error bounds of exact") {
-    val d = "/root/testdata/sf0.001"
+    val d = dir
     val approx = graft.api.Queries.registry("agg_approx_stats").fn(spark, d)
       .collect().map(r => r.getAs[String]("l_returnflag") ->
         (r.getAs[Long]("nd_parts_approx"), r.getAs[Double]("p50_price_approx"))).toMap

@@ -100,6 +100,20 @@ class PlanSpec extends SparkSpecBase {
       s"bloom probe fell out of codegen:\n${probeLines.mkString("\n")}")
   }
 
+  test("embedding near-dup candidates come from keyed LSH-bucket joins — never all-pairs") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("CartesianProduct"),
+      s"cross join in dedup_embedding plan:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in dedup_embedding plan:\n${p.take(2000)}")
+  }
+
+  test("ngram-jaccard plan is keyed joins only (minhash prefilter, no all-pairs)") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in dedup_ngram_jaccard plan:\n${p.take(2000)}")
+  }
+
   test("events scan prunes to referenced columns only") {
     val p = Queries.registry("regexp_event_props").fn(spark, dir)
       .queryExecution.executedPlan.toString

@@ -33,6 +33,20 @@ class TripleStoreSpec extends SparkSpecBase {
     df.select("subj", "pred", "obj").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
 
+  test("info reports triple count, on-disk bytes, and free disk (reference Size())") {
+    val st = loaded()
+    val i = st.info()
+    assert(i.triples == 4)
+    assert(i.diskBytes > 0, "stored parquet must have nonzero size")
+    // reference triplestore.go:158-166 surfaces the statvfs free-bytes
+    // next to count and file size; must be a live positive number here
+    assert(i.freeDiskBytes > 0, "free disk bytes missing from info")
+    // an empty (never-written) store still answers
+    val empty = freshStore()
+    val ie = empty.info()
+    assert(ie.triples == 0 && ie.diskBytes == 0 && ie.freeDiskBytes > 0)
+  }
+
   test("insert returns count, dedup on (subj,pred,obj)") {
     import spark.implicits._
     val st = freshStore()

@@ -38,11 +38,17 @@ def cell_str(v):
         if math.isnan(v):
             return "NaN"
         return repr(v)
-    # pandas NaT / NaN scalars
-    s = str(v)
-    if s in ("NaT", "nan"):
-        return "NULL"
-    return s
+    # pandas NaT / NaN scalars — detected by TYPE (pd.isna on a
+    # non-string scalar), never by string form: a genuine text cell
+    # 'nan' must stay a distinct value, not silently equal NULL.
+    if not isinstance(v, str):
+        try:
+            import pandas as pd
+            if pd.isna(v):
+                return "NULL"
+        except (TypeError, ValueError):
+            pass  # list-like cells (embeddings) — not NA scalars
+    return str(v)
 
 
 def row_key(row):
