@@ -40,7 +40,14 @@ object Dedup {
     * reproduces it bit-for-bit), which is what makes the oracle possible.
     * The murmur variant below is the fast path.
     */
-  def minhashSignatures(docs: DataFrame, k: Int, n: Int = 3): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int, n: Int = 3): DataFrame =
+    sigsFromShingles(shingleRows(docs, n), k)
+
+  /** Signature aggregation over an existing shingle frame — lets callers
+    * that also need the shingles for a verify step (ngram Jaccard)
+    * compute them ONCE.
+    */
+  private def sigsFromShingles(sh: DataFrame, k: Int): DataFrame = {
     require(k % 2 == 0, "k must be even (two 64-bit keys per md5)")
     // each md5 yields two independent 64-bit (16-hex-char) keys — halves
     // the hashing cost vs one digest per hash function
@@ -49,7 +56,7 @@ object Dedup {
       val part = substring(digest, 1 + (i % 2) * 16, 16)
       min(part).as(s"m$i")
     }
-    shingleRows(docs, n).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Frequent-band guard: drop (band, key) groups larger than `cap`
@@ -85,10 +92,17 @@ object Dedup {
     * Output: (a, b) doc-id pairs, a < b, distinct.
     */
   def minhashPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
-      maxBandFreq: Int = DefaultBandCap): DataFrame = {
+      maxBandFreq: Int = DefaultBandCap): DataFrame =
+    minhashPairsFromShingles(shingleRows(docs, 3), k, bands, maxBandFreq)
+
+  /** Banded-LSH pair generation from an existing shingle frame (see
+    * [[minhashPairs]] for the contract).
+    */
+  private[graft] def minhashPairsFromShingles(sh: DataFrame, k: Int, bands: Int,
+      maxBandFreq: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sigs = minhashSignatures(docs, k)
+    val sigs = sigsFromShingles(sh, k)
     val banded = dropHotBands((0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
       sigs.select(col("doc_id"),
@@ -208,8 +222,16 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       k: Int = 8, bands: Int = 4, maxBandFreq: Int = DefaultBandCap): DataFrame = {
-    val cand = minhashPairs(docs, k, bands, maxBandFreq)
+    // the shingle frame feeds four consumers (minhash signatures, both
+    // sides of the intersection join, the size agg). Deliberately NOT
+    // persisted: the exploded frame is the corpus's largest
+    // intermediate, and measured at 10× sf0.1 a MEMORY_AND_DISK persist
+    // costs 40% MORE than re-running the codegen'd tokenize+explode
+    // scan per consumer (cache write + serialization + lost codegen
+    // fusion outweigh the recompute; same lesson as the round-2
+    // repartition experiment).
     val sh = shingleRows(docs, n)
+    val cand = minhashPairsFromShingles(sh, k, bands, maxBandFreq)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val la = sh.select(col("doc_id").as("a"), col("sh"))
     val rb = sh.select(col("doc_id").as("b"), col("sh"))

@@ -114,6 +114,15 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in dedup_ngram_jaccard plan:\n${p.take(2000)}")
   }
 
+  test("banded minhash self-join evaluates the signature subtree once (exchange reuse)") {
+    val p = plan("dedup_minhash")
+    // both sides of the (band, key) self-join descend from the SAME
+    // guarded banded subtree; Spark must reuse the exchange, not
+    // re-evaluate shingle explode + md5 min-agg per side
+    assert(p.contains("ReusedExchange"),
+      s"no exchange reuse in dedup_minhash plan:\n${p.take(3000)}")
+  }
+
   test("events scan prunes to referenced columns only") {
     val p = Queries.registry("regexp_event_props").fn(spark, dir)
       .queryExecution.executedPlan.toString
