@@ -263,10 +263,11 @@ object Dedup {
     val v = embs
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
-    val bucketed = (0 until tables).map { t =>
-      v.select(col("vec_id"), col("v"), col("nrm"), lit(t).as("table"),
-        Similarity.lshBucket(col("v"), dim, bits, t).as("bucket"))
-    }.reduce(_ unionAll _)
+    // one scan computes every table's bucket (posexplode index = table);
+    // a per-table unionAll would read the embeddings `tables` times
+    val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until tables).map(t =>
+        Similarity.lshBucket(col("v"), dim, bits, t)): _*)).as(Seq("table", "bucket")))
     val l = bucketed.select(col("table"), col("bucket"),
       col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val r = bucketed.select(col("table"), col("bucket"),

@@ -82,10 +82,12 @@ object Similarity {
   def lshTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
       dim: Int = 64, bits: Int = 6, tables: Int = 8): DataFrame = {
     val v = withNorm(embs)
-    val bucketed = (0 until tables).map { t =>
-      v.select(col("vec_id"), col("v"), col("nrm"), lit(t).as("table"),
-        lshBucket(col("v"), dim, bits, t).as("bucket"))
-    }.reduce(_ unionAll _)
+    // all `tables` bucket ids in ONE projection + posexplode (pos = the
+    // table index) — a per-table unionAll would re-scan the embeddings
+    // `tables` times: 8× read amplification on the corpus at scale
+    val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("v"), dim, bits, t)): _*)).as(Seq("table", "bucket")))
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
         col("table"), col("bucket"))
