@@ -720,6 +720,21 @@ object Queries {
            |FROM orders
            |WHERE ${GraphSql.md5Hash60("CAST(o_orderkey AS VARCHAR)")} % 100 < 5""".stripMargin)),
 
+    // Stratified deterministic sampling: per-language rates (downsample
+    // the dominant 'en' stratum to 5%, keep 20% elsewhere — the
+    // rebalancing move a curation pipeline makes before training).
+    // Stateless hash-threshold membership: no sort, no count pass, the
+    // same doc survives at any scale and on any executor layout.
+    "sample_stratified" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          pmod(graft.functions.GraftFunctions.md5Hash60(
+            concat(lit("strat:"), col("doc_id").cast("string"))), lit(100L)).as("h"))
+        .filter(col("h") < when(col("lang") === "en", lit(5L)).otherwise(lit(20L)))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id"),
+      Some(TextSql.sampleStratified)),
+
     // Full outer join with presence classification.
     "join_full_outer" -> Q(
       (s, d) => {
@@ -939,6 +954,18 @@ object Queries {
         .orderBy("a", "b"),
       Some(TextSql.dedupEmbedding)),
 
+    // Cluster resolution over the near-dup pair graph: GraphX connected
+    // components label every member with its cluster's min doc id — the
+    // keep-one-per-cluster step pairwise dedup can't express (A~B, B~C
+    // must delete both B and C, not just one of each pair). Oracle is
+    // unrolled min-label propagation over the same capped MinHash
+    // candidate pairs.
+    "dedup_clusters" -> Q(
+      (s, d) => graft.ops.Dedup.duplicateClusters(
+          graft.ops.Dedup.minhashPairs(plantedDocs(s, d, exact = false), k = 8, bands = 4))
+        .orderBy("canonical_id", "doc_id"),
+      Some(TextSql.dedupClusters())),
+
     // ===== Extension: LLM-pipeline — similarity search =====
     "sim_cosine_topk" -> Q(
       (s, d) => graft.ops.Similarity.bruteForceTopK(
@@ -978,6 +1005,24 @@ object Queries {
           |        c -> CAST(unicode(c) AS BIGINT))),
           |    (a, b) -> (a * 31 + b) % 1099511627776) AS rh
           |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // BM25 keyword retrieval over the documents corpus — tf shuffle is
+    // filtered to the query terms BEFORE aggregation, df and corpus
+    // stats broadcast, per-term scores summed in fixed term order (see
+    // TextOps.bm25TopK for the scale/determinism notes).
+    "text_bm25_topk" -> Q(
+      (s, d) => graft.ops.TextOps.bm25TopK(
+          Tables.documents(s, d), terms = Seq("spark", "join", "vector"), k = 20)
+        .orderBy(desc("bm25"), asc("doc_id")),
+      Some(TextSql.bm25Topk(Seq("spark", "join", "vector"), k = 20))),
+
+    // Top-3 TF-IDF terms per doc (df over the FULL corpus, ranked within
+    // a target doc slice).
+    "text_tfidf_topterms" -> Q(
+      (s, d) => graft.ops.TextOps.tfidfTopTerms(
+          Tables.documents(s, d), maxDocId = 30L, perDoc = 3)
+        .orderBy("doc_id", "rnk"),
+      Some(TextSql.tfidfTopTerms(maxDocId = 30, perDoc = 3))),
 
     // Float-kmeans IVF (rows-only: parallel float means are only
     // reproducible to ulps); the fixed-point twin below is oracle-gated.

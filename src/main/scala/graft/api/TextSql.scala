@@ -350,6 +350,112 @@ object TextSql {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Stratified sampling mirror — same 60-bit md5 threshold family as
+    * sample_hash_5pct, per-language rates.
+    */
+  val sampleStratified: String =
+    s"""SELECT lang, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    ${GraphSql.md5Hash60("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 AS h
+       |  FROM documents)
+       |WHERE h < CASE WHEN lang = 'en' THEN 5 ELSE 20 END
+       |ORDER BY lang, doc_id""".stripMargin
+
+  /** Near-dup cluster resolution mirror: the SAME capped MinHash
+    * candidate pairs (minhashCandCtes — the oracles cannot drift), then
+    * `rounds` unrolled min-label propagation rounds (the GraphX
+    * connectedComponents fixpoint; components here are band-collision
+    * cliques, so eccentricity from each component's min node is far
+    * below `rounds` — a shortfall would surface as a label mismatch in
+    * the cross-SF verify sweep, same argument as GraphSql.ccSizes).
+    */
+  def dedupClusters(rounds: Int = 16): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT node, min(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM l${k - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, l.lbl FROM cedges e JOIN l${k - 1} l ON l.node = e.a)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |$minhashCandCtes,
+       |cnodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+       |  SELECT a AS doc_id FROM cand UNION ALL SELECT b FROM cand)),
+       |cedges AS MATERIALIZED (
+       |  SELECT a, b FROM cand UNION SELECT b AS a, a AS b FROM cand),
+       |l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM cnodes),
+       |$steps
+       |SELECT node AS doc_id, lbl AS canonical_id FROM l$rounds
+       |ORDER BY canonical_id, doc_id""".stripMargin
+  }
+
+  /** Tokenized (doc_id, w) rows over `documents` — the retrieval
+    * scorers' shared base (mirror of TextOps.tokenRows).
+    */
+  private val docTokensCte: String =
+    """toks AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      |    FROM documents)
+      |  WHERE w <> '')""".stripMargin
+
+  /** Okapi BM25 mirror of TextOps.bm25TopK. Every double op is in the
+    * same order as the Spark expressions (constants appear as the same
+    * arithmetic — `(1.2 + 1.0)`, not a precomputed 2.2, because the
+    * decimal literal 2.2 is a DIFFERENT double than 1.2 + 1.0); the
+    * per-term partial scores are summed in fixed term order through the
+    * max-CASE pivot.
+    */
+  def bm25Topk(terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN w = '$t' THEN s END) AS s$i"
+    }.mkString(",\n        ")
+    val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    s"""WITH $docTokensCte,
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ($inList) GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT t.doc_id, t.w,
+       |    ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |      * (t.tf * ($k1 + 1.0))
+       |      / (t.tf + $k1 * ((1.0 - $b) + $b * l.dl / (CAST(c.tok_total AS DOUBLE) / c.n_docs))) AS s
+       |  FROM tf t
+       |  JOIN df d ON d.w = t.w
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN corpus c),
+       |p AS (SELECT doc_id,
+       |        $pivots
+       |      FROM scored GROUP BY doc_id)
+       |SELECT doc_id, round($total, 6) AS bm25
+       |FROM p ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** TF-IDF top-terms mirror of TextOps.tfidfTopTerms: df over the FULL
+    * corpus, rank within the target doc slice.
+    */
+  def tfidfTopTerms(maxDocId: Long = 30L, perDoc: Int = 3): String =
+    s"""WITH $docTokensCte,
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |s AS (
+       |  SELECT t.doc_id, t.w,
+       |    round(t.tf * ln(CAST(c.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+       |  FROM tf t JOIN df d ON d.w = t.w CROSS JOIN nd c
+       |  WHERE t.doc_id < $maxDocId),
+       |r AS (SELECT doc_id, w, tfidf,
+       |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rnk
+       |      FROM s)
+       |SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM r
+       |WHERE rnk <= $perDoc ORDER BY doc_id, rnk""".stripMargin
+
   /** The decode-stub feature slice that survives any engine: byte count
     * and scaled-integer mean byte, recovered in SQL by hex-expanding the
     * UTF-8 payload. floor(x·10⁴) instead of round() — the usual

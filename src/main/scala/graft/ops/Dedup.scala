@@ -281,6 +281,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Resolve near-dup pairs into duplicate CLUSTERS: connected
+    * components over the pair graph, labeling every member with the
+    * minimum doc id of its component (the canonical survivor a curation
+    * pipeline keeps). Pairwise output alone under-deletes — if A~B and
+    * B~C, pairwise keep-min retains both A and C even when the cluster
+    * is one boilerplate family — so cluster resolution is the step that
+    * makes near-dedup *composable* with curation.
+    *
+    * Runs GraphX connectedComponents (Pregel min-label propagation):
+    * message volume is frontier-proportional and the vertex state is one
+    * Long, so the cost is O(edges · diameter) with no driver
+    * materialization — near-dup components are band-collision cliques,
+    * so diameters stay small even at 100 TB. Input must expose BIGINT
+    * pair columns (a, b); output is (doc_id, canonical_id), one row per
+    * doc that appears in any pair.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    val labeled = org.apache.spark.graphx.Graph.fromEdges(edges, ())
+      .connectedComponents().vertices
+    spark.createDataFrame(labeled).toDF("doc_id", "canonical_id")
+  }
+
   /** Brute-force O(n²) embedding near-dup baseline — the recall oracle
     * for [[embeddingNearDups]] in tests; never the declared query's plan.
     */

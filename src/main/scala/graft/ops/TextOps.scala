@@ -139,4 +139,72 @@ object TextOps {
       qualityFromCounts(col("n_tokens"), col("n_punct"), col("s_en")).as("quality"),
       langIdFromScores(stopwords.map { case (l, _) => l -> col(s"s_$l") }).as("lang_pred"),
       col("fp"))
+
+  /** Exploded (doc_id, w) token rows — the shared base of the retrieval
+    * scorers below.
+    */
+  private def tokenRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+
+  /** BM25 keyword retrieval: top-k documents for a fixed bag of query
+    * terms (Okapi BM25, k1/b standard).
+    *
+    * Scale shape: the only corpus-wide shuffles are the per-doc length
+    * aggregate (partial-agg'd longs) and the (doc, term) term-frequency
+    * aggregate, which is filtered to the QUERY terms *before* the
+    * shuffle — so tf shuffle volume is O(matching tokens), not
+    * O(corpus). df and the 1-row corpus stats are broadcast. The
+    * per-term partial scores are summed in FIXED term order via a pivot
+    * (floating addition is not associative; a free-order SUM would be
+    * ulp-nondeterministic vs any oracle — same discipline as the
+    * left-to-right dot product in Similarity).
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, k: Int = 20): DataFrame = {
+    val toks = tokenRows(docs)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tok_total"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("tok_total").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("s",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val perTerm = scored.groupBy("doc_id").pivot("w", terms).agg(first("s"))
+    val total = terms.map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduceLeft(_ + _)
+    perTerm.select(col("doc_id"), round(total, 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Top `perDoc` TF-IDF terms for each doc in a target id range, with
+    * document frequencies taken over the FULL corpus. The corpus-wide
+    * (doc, term) tf aggregate is the inherent cost (partial-agg'd
+    * counts); the target slice then joins df on the term key and ranks
+    * within each doc — no corpus-sized sort.
+    */
+  def tfidfTopTerms(docs: DataFrame, maxDocId: Long = 30L,
+      perDoc: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokenRows(docs).groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("w"))
+    tf.filter(col("doc_id") < maxDocId)
+      .join(df, "w")
+      .crossJoin(broadcast(ndocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= perDoc)
+      .select(col("doc_id"), col("w"), col("tfidf"), col("rnk").cast("int").as("rnk"))
+  }
 }

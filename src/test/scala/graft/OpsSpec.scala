@@ -270,6 +270,61 @@ class OpsSpec extends SparkSpecBase {
     assert(n == 2)
   }
 
+  test("duplicate clusters: transitive closure, min-id canonical labels") {
+    import spark.implicits._
+    // chain 1-2-3-7 plus an isolated pair; pairwise keep-min would
+    // retain 3 of the 4 chain members — cluster resolution keeps one
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicate clusters over planted minhash pairs: plant joins its base's cluster") {
+    val labels = Dedup.duplicateClusters(
+        Dedup.minhashPairs(planted(exact = false), k = 8, bands = 4))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    // every clustered doc's canonical is a cluster member <= itself...
+    assert(labels.forall { case (id, c) => c <= id && labels(c) == c })
+    // ...and >= 18/20 plants landed in the same cluster as their base
+    // (same recall bound as the pair-level minhash test)
+    val joined = (0L until 20L).count { i =>
+      labels.get(i + 100000).exists(c => labels.get(i).contains(c))
+    }
+    assert(joined >= 18, s"only $joined/20 plants clustered with their base")
+  }
+
+  test("bm25: rare-term tf ranks first; hand-checked Okapi score") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "apple banana banana"),
+      (1L, "banana banana banana"),
+      (2L, "apple apple banana"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(tiny, Seq("apple"), k = 4).collect()
+    // only the two 'apple' docs score; tf=2 outranks tf=1 at equal dl
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 0L))
+    // doc 0 by hand: tf=1, dl=avgdl=3, N=4, df=2 →
+    // idf = ln((4-2+0.5)/(2+0.5)+1) = ln 2; num = 1·2.2, den = 1+1.2·1
+    val s0 = out.find(_.getAs[Long]("doc_id") == 0L).get.getAs[Double]("bm25")
+    assert(math.abs(s0 - math.log(2.0)) < 1e-6)
+  }
+
+  test("tfidf top terms: rare term outranks ubiquitous term (idf 0)") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "common rare common"),
+      (1L, "common other"),
+      (2L, "common third")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(tiny, maxDocId = 1L, perDoc = 2).collect()
+      .sortBy(_.getAs[Int]("rnk"))
+    assert(out.length == 2)
+    assert(out.head.getAs[String]("w") == "rare") // df=1 → ln 3
+    // 'common' appears in every doc → ln(3/3) = 0 despite tf=2
+    assert(out(1).getAs[String]("w") == "common")
+    assert(out(1).getAs[Double]("tfidf") == 0.0)
+  }
+
   test("text ops: langid hits the dominant profile; fingerprint collapses whitespace") {
     import spark.implicits._
     val df = Seq(
