@@ -966,6 +966,24 @@ object Queries {
         .orderBy("canonical_id", "doc_id"),
       Some(TextSql.dedupClusters())),
 
+    // End-to-end near-dedup keep: resolve MinHash pairs into clusters,
+    // drop every non-canonical member, report per-language survivor
+    // counts — the full "dedup then rebalance" accounting a curation run
+    // emits. The drop list is cluster-resolved (pairwise keep-min would
+    // under-delete chains), and the anti-join is keyed on doc_id.
+    "pipeline_cluster_keep" -> Q(
+      (s, d) => {
+        val docs = plantedDocs(s, d, exact = false)
+        val clusters = graft.ops.Dedup.duplicateClusters(
+          graft.ops.Dedup.minhashPairs(docs, k = 8, bands = 4))
+        val drops = clusters.filter(col("canonical_id") =!= col("doc_id"))
+          .select("doc_id")
+        docs.join(drops, Seq("doc_id"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some(TextSql.pipelineClusterKeep())),
+
     // ===== Extension: LLM-pipeline — similarity search =====
     "sim_cosine_topk" -> Q(
       (s, d) => graft.ops.Similarity.bruteForceTopK(

@@ -82,9 +82,9 @@ object TextSql {
   private def plantCte(exact: Boolean): String = {
     val text = if (exact) "text" else "text || ' planted dup tail'"
     s"""docs AS (
-       |  SELECT doc_id, text, source FROM documents
+       |  SELECT doc_id, text, source, lang FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 100000, $text, source FROM documents WHERE doc_id < 50)""".stripMargin
+       |  SELECT doc_id + 100000, $text, source, lang FROM documents WHERE doc_id < 50)""".stripMargin
   }
 
   val dedupExact: String =
@@ -389,6 +389,21 @@ object TextSql {
        |$steps
        |SELECT node AS doc_id, lbl AS canonical_id FROM l$rounds
        |ORDER BY canonical_id, doc_id""".stripMargin
+  }
+
+  /** End-to-end near-dedup keep mirror: the dedupClusters label chain,
+    * then drop non-canonical members and count survivors per language.
+    */
+  def pipelineClusterKeep(rounds: Int = 16): String = {
+    val labels = dedupClusters(rounds)
+    // reuse the full cluster query as a subselect — the two oracles
+    // cannot drift, and DuckDB flattens the nesting
+    s"""WITH lbl AS MATERIALIZED (
+       |  SELECT * FROM ($labels)),
+       |${plantCte(exact = false).replaceFirst("docs AS", "docs2 AS")}
+       |SELECT lang, count(*) AS n_kept FROM docs2
+       |WHERE doc_id NOT IN (SELECT doc_id FROM lbl WHERE canonical_id <> doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** Tokenized (doc_id, w) rows over `documents` — the retrieval

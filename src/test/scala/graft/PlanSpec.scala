@@ -123,6 +123,39 @@ class PlanSpec extends SparkSpecBase {
       s"no exchange reuse in dedup_minhash plan:\n${p.take(3000)}")
   }
 
+  test("bm25 term filter runs scan-side, before the tf shuffle") {
+    val p = plan("text_bm25_topk")
+    val lines = p.linesIterator.toIndexedSeq
+    // the IN(query terms) filter must sit directly over a parquet scan
+    // with no Exchange between them — tf shuffle volume is O(matching
+    // tokens), not O(corpus)
+    val fi = lines.indexWhere(l => l.contains("Filter") && l.contains("spark") &&
+      l.contains("vector"))
+    assert(fi >= 0, s"term filter missing from plan:\n${p.take(2500)}")
+    val below = lines.drop(fi + 1)
+    val scanAt = below.indexWhere(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scanAt >= 0, s"no scan beneath the term filter:\n${p.take(2500)}")
+    assert(!below.take(scanAt).exists(_.contains("Exchange")),
+      s"shuffle between term filter and scan:\n${below.take(scanAt + 1).mkString("\n")}")
+  }
+
+  test("tfidf target-slice predicate is pushed through the tf aggregate to parquet") {
+    val p = plan("text_tfidf_topterms")
+    // doc_id < 30 filters on a grouping key, so Catalyst must push it
+    // below the (doc_id, w) aggregate and into the target branch's scan
+    assert(p.contains("LessThan(doc_id,30)"),
+      s"doc_id slice not pushed to a parquet scan:\n${p.take(2500)}")
+  }
+
+  test("stratified sample plan is shuffle-free up to the presentation sort") {
+    val p = plan("sample_stratified")
+    // hash-threshold membership needs no aggregate and no hash shuffle;
+    // the only exchange allowed is the final ORDER BY's range partition
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n${p.take(2000)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle:\n${p.take(2000)}")
+  }
+
   test("events scan prunes to referenced columns only") {
     val p = Queries.registry("regexp_event_props").fn(spark, dir)
       .queryExecution.executedPlan.toString
