@@ -1042,6 +1042,69 @@ object Queries {
         .orderBy("doc_id", "rnk"),
       Some(TextSql.tfidfTopTerms(maxDocId = 30, perDoc = 3))),
 
+    // Per-language document-length percentiles (exact interpolated
+    // percentiles — the corpus-QA readout before choosing truncation /
+    // packing lengths). Same cross-engine percentile↔quantile_cont
+    // pairing as percentile_order_value.
+    "text_length_percentiles" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy("lang")
+        .agg(
+          expr("percentile(n_tokens, 0.25)").as("p25"),
+          expr("percentile(n_tokens, 0.5)").as("p50"),
+          expr("percentile(n_tokens, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("lang"),
+      Some(TextSql.lengthPercentiles)),
+
+    // Corpus vocabulary profile: vocabulary size, hapax count (terms in
+    // exactly one doc), hottest document frequency — the one-row corpus
+    // health readout. One (doc, term) distinct + one term agg, both
+    // partial-agg'd.
+    "text_vocab_stats" -> Q(
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(graft.ops.TextOps.tokens(col("text")))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("df"))
+        tf.agg(
+          count(lit(1)).as("vocab"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("hapax"),
+          max("df").as("max_df"))
+      },
+      Some(TextSql.vocabStats)),
+
+    // Highest-document-frequency terms (stopword discovery).
+    "text_top_df_terms" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(graft.ops.TextOps.tokens(col("text")))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("w")).limit(15),
+      Some(TextSql.topDfTerms(15))),
+
+    // Per-dimension embedding stats in fixed-point (floor(x·10⁶) —
+    // integer min/max/mean are order-free, so the parallel aggregation
+    // is bit-reproducible; a double SUM would be ulp-order-dependent).
+    // The embedding-QA readout: dead dims, range drift, centering.
+    "emb_dim_stats" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          floor(col("x") * 1000000).cast("long").as("q"))
+        .groupBy("dim")
+        .agg(
+          count(lit(1)).as("n"),
+          floor(sum("q").cast("double") / count(lit(1))).cast("long").as("mean_x1e6"),
+          min("q").as("min_x1e6"),
+          max("q").as("max_x1e6"))
+        .orderBy("dim"),
+      Some(TextSql.embDimStats)),
+
     // Float-kmeans IVF (rows-only: parallel float means are only
     // reproducible to ulps); the fixed-point twin below is oracle-gated.
     "sim_ann_ivf" -> Q(

@@ -471,6 +471,54 @@ object TextSql {
        |SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM r
        |WHERE rnk <= $perDoc ORDER BY doc_id, rnk""".stripMargin
 
+  /** Per-language length percentiles — quantile_cont is DuckDB's exact
+    * interpolated percentile, the pairing percentile_order_value proved.
+    */
+  val lengthPercentiles: String =
+    """SELECT lang,
+      |  quantile_cont(n_tokens, 0.25) AS p25,
+      |  quantile_cont(n_tokens, 0.5) AS p50,
+      |  quantile_cont(n_tokens, 0.9) AS p90,
+      |  count(*) AS n
+      |FROM (SELECT lang, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |      FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Distinct-per-doc term document frequencies over `documents`. */
+  private val dfCte: String =
+    """tf AS (
+      |  SELECT w, count(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, w FROM (
+      |      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+      |      FROM documents)
+      |    WHERE w <> '')
+      |  GROUP BY w)""".stripMargin
+
+  val vocabStats: String =
+    s"""WITH $dfCte
+       |SELECT count(*) AS vocab,
+       |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |  max(df) AS max_df
+       |FROM tf""".stripMargin
+
+  def topDfTerms(k: Int = 15): String =
+    s"""WITH $dfCte
+       |SELECT w, df FROM tf ORDER BY df DESC, w LIMIT $k""".stripMargin
+
+  /** Fixed-point per-dimension embedding stats — floor(x·10⁶) BIGINTs,
+    * so min/max/mean are aggregation-order-free on both engines (sum of
+    * BIGINT goes HUGEINT in DuckDB; cast to DOUBLE before the mean
+    * division, exact below 2^53).
+    */
+  val embDimStats: String =
+    """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT g.i - 1 AS dim, CAST(floor(e[g.i] * 1000000) AS BIGINT) AS q
+      |      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g)
+      |SELECT dim, count(*) AS n,
+      |  CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_x1e6,
+      |  min(q) AS min_x1e6, max(q) AS max_x1e6
+      |FROM q GROUP BY dim ORDER BY dim""".stripMargin
+
   /** The decode-stub feature slice that survives any engine: byte count
     * and scaled-integer mean byte, recovered in SQL by hex-expanding the
     * UTF-8 payload. floor(x·10⁴) instead of round() — the usual
