@@ -1042,6 +1042,33 @@ object Queries {
         .orderBy("doc_id", "rnk"),
       Some(TextSql.tfidfTopTerms(maxDocId = 30, perDoc = 3))),
 
+    // Deterministic sequence packing: assign docs to fixed token-budget
+    // training sequences by greedy cumulative fill. The cumsum window
+    // partitions by (lang, shard) — shard is a stateless hash of the
+    // doc id — so no partition is ever corpus-sized and the pack is
+    // reproducible on any executor layout (a single global cumsum would
+    // serialize the corpus through one reducer). Docs straddling a
+    // boundary belong to the sequence their PREVIOUS cumulative total
+    // falls in (start-offset packing).
+    "pipeline_pack_sequences" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 4096L
+        val docs = Tables.documents(s, d).select(
+          col("lang"), col("doc_id"),
+          graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          pmod(graft.functions.GraftFunctions.md5Hash60(
+            concat(lit("pack:"), col("doc_id").cast("string"))), lit(8L)).as("shard"))
+        val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        docs.withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("seq_id",
+            floor((col("cum") - col("n_tokens")).cast("double") / budget).cast("long"))
+          .groupBy("lang", "shard", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+          .orderBy("lang", "shard", "seq_id")
+      },
+      Some(TextSql.packSequences(budget = 4096, shards = 8))),
+
     // Per-language document-length percentiles (exact interpolated
     // percentiles — the corpus-QA readout before choosing truncation /
     // packing lengths). Same cross-engine percentile↔quantile_cont

@@ -471,6 +471,26 @@ object TextSql {
        |SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM r
        |WHERE rnk <= $perDoc ORDER BY doc_id, rnk""".stripMargin
 
+  /** Sequence-packing mirror: same stateless shard hash, same running
+    * cumulative window per (lang, shard), same start-offset bucket
+    * assignment.
+    */
+  def packSequences(budget: Long = 4096L, shards: Long = 8L): String =
+    s"""WITH d AS (
+       |  SELECT lang, doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       |    ${GraphSql.md5Hash60("'pack:' || CAST(doc_id AS VARCHAR)")} % $shards AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d)
+       |SELECT lang, shard,
+       |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $budget) AS BIGINT) AS seq_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+       |FROM c GROUP BY lang, shard, seq_id ORDER BY lang, shard, seq_id""".stripMargin
+
   /** Per-language length percentiles — quantile_cont is DuckDB's exact
     * interpolated percentile, the pairing percentile_order_value proved.
     */
