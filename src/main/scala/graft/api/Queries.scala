@@ -1042,6 +1042,22 @@ object Queries {
         .orderBy("doc_id", "rnk"),
       Some(TextSql.tfidfTopTerms(maxDocId = 30, perDoc = 3))),
 
+    // Decontamination: flag corpus docs sharing any 4-gram shingle with
+    // the benchmark set (here: doc_id < 10 stands in for an eval set).
+    // The benchmark shingle set is tiny → broadcast; the probe join is
+    // keyed on the shingle, so cost is one corpus scan + a map-side
+    // hash probe — no shuffle of the corpus at all.
+    "pipeline_decontaminate" -> Q(
+      (s, d) => {
+        val sh = graft.ops.Dedup.shingleRows(Tables.documents(s, d), n = 4)
+        val bench = sh.filter(col("doc_id") < 10).select("sh").distinct()
+        sh.filter(col("doc_id") >= 10)
+          .join(broadcast(bench), "sh")
+          .select("doc_id").distinct()
+          .orderBy("doc_id")
+      },
+      Some(TextSql.decontaminate(n = 4, benchMax = 10))),
+
     // Deterministic sequence packing: assign docs to fixed token-budget
     // training sequences by greedy cumulative fill. The cumsum window
     // partitions by (lang, shard) — shard is a stateless hash of the

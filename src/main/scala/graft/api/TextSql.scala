@@ -471,6 +471,23 @@ object TextSql {
        |SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM r
        |WHERE rnk <= $perDoc ORDER BY doc_id, rnk""".stripMargin
 
+  /** Decontamination mirror: distinct word n-gram shingles per doc over
+    * raw `documents` (same tokenize + shingle construction as
+    * Dedup.shingleRows), benchmark = docs below `benchMax`.
+    */
+  def decontaminate(n: Int = 6, benchMax: Long = 10L): String = {
+    val gram = (0 until n).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, u.s FROM toks,
+       |    unnest(list_transform(generate_series(1, greatest(len(tk) - ${n - 1}, 0)),
+       |      i -> $gram)) AS u(s)),
+       |b AS (SELECT DISTINCT s FROM sh WHERE doc_id < $benchMax)
+       |SELECT DISTINCT doc_id FROM sh JOIN b USING (s)
+       |WHERE doc_id >= $benchMax ORDER BY doc_id""".stripMargin
+  }
+
   /** Sequence-packing mirror: same stateless shard hash, same running
     * cumulative window per (lang, shard), same start-offset bucket
     * assignment.
