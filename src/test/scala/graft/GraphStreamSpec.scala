@@ -152,6 +152,36 @@ class GraphStreamSpec extends SparkSpecBase {
       Set("a", "b", "c", "d"))
   }
 
+  test("stratified sample predicate is stream/batch-identical (stateless)") {
+    // the hash-threshold sampler keeps no state, so applying it to a
+    // document STREAM must admit exactly the batch survivors — this is
+    // the property that makes the sampler safe in an ingest pipeline
+    def sampled(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lang"), col("doc_id"),
+        pmod(graft.functions.GraftFunctions.md5Hash60(
+          concat(lit("strat:"), col("doc_id").cast("string"))), lit(100L)).as("h"))
+      .filter(col("h") < when(col("lang") === "en", lit(5L)).otherwise(lit(20L)))
+      .select("lang", "doc_id")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-strat")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stageDir.resolve("docs-000.parquet"))
+    val docs = Tables.documents(spark, dir)
+    val in = spark.readStream.schema(docs.schema).parquet(stageDir.toString)
+    val q = sampled(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_strat").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_strat").collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+      val batch = sampled(docs).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming hourly window converges to the batch answer") {
     // file source wants a directory of arriving files — stage the fixture
     val stageDir = java.nio.file.Files.createTempDirectory("graft-stream")
