@@ -1042,6 +1042,23 @@ object Queries {
         .orderBy("doc_id", "rnk"),
       Some(TextSql.tfidfTopTerms(maxDocId = 30, perDoc = 3))),
 
+    // Source-mixture weights: per-language keep probability that
+    // equalizes the mixture to the rarest language (the "how much do I
+    // downsample each stratum" companion to sample_stratified). Pure
+    // arithmetic on a 5-row aggregate — the global window runs on the
+    // aggregated frame, never the corpus.
+    "pipeline_mix_weights" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+          .withColumn("keep_pct",
+            floor(min("n").over(Window.partitionBy()) * lit(10000.0) / col("n"))
+              .cast("long"))
+          .orderBy("lang")
+      },
+      Some(TextSql.mixWeights)),
+
     // Decontamination: flag corpus docs sharing any 4-gram shingle with
     // the benchmark set (here: doc_id < 10 stands in for an eval set).
     // The benchmark shingle set is tiny → broadcast; the probe join is

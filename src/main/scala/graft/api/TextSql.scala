@@ -471,6 +471,15 @@ object TextSql {
        |SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM r
        |WHERE rnk <= $perDoc ORDER BY doc_id, rnk""".stripMargin
 
+  /** Mixture-weight mirror: floor(min_n · 10⁴ / n) basis points per
+    * language.
+    */
+  val mixWeights: String =
+    """SELECT lang, n,
+      |  CAST(floor(min(n) OVER () * 10000.0 / n) AS BIGINT) AS keep_pct
+      |FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+      |ORDER BY lang""".stripMargin
+
   /** Decontamination mirror: distinct word n-gram shingles per doc over
     * raw `documents` (same tokenize + shingle construction as
     * Dedup.shingleRows), benchmark = docs below `benchMax`.
