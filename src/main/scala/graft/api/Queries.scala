@@ -238,6 +238,27 @@ object Queries {
           |  FROM orders) WHERE rn <= 3
           |ORDER BY o_custkey, rn""".stripMargin)),
 
+    // The same top-k, as a bounded aggregate instead of a window: the
+    // TopKAggregator keeps k entries per group through a map-side
+    // partial, so the shuffle carries <= k rows per customer — the
+    // window form must shuffle and SORT every order row. Same oracle
+    // as window_topk_per_customer (identical comparator + tie-break).
+    "window_topk_per_customer_agg" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(graft.functions.TopKAggregator.topk(
+          col("o_orderkey"), col("o_totalprice").cast("double"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"), (col("pos") + 1).cast("int").as("rn"))
+        .orderBy("o_custkey", "rn"),
+      Some(
+        """SELECT o_custkey, o_orderkey, rn FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) WHERE rn <= 3
+          |ORDER BY o_custkey, rn""".stripMargin)),
+
     // Window breadth: running totals, lag, dense_rank in one frame.
     "window_running_total" -> Q(
       (s, d) => {

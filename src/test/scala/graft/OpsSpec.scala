@@ -325,6 +325,26 @@ class OpsSpec extends SparkSpecBase {
     assert(out(1).getAs[Double]("tfidf") == 0.0)
   }
 
+  test("bounded top-k aggregator matches the window top-k row for row") {
+    import graft.api.{Queries, Tables}
+    val viaAgg = Queries.registry("window_topk_per_customer_agg").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val viaWindow = Queries.registry("window_topk_per_customer").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(viaAgg.nonEmpty && viaAgg == viaWindow)
+    // and the comparator is row-order-invariant: a shuffled input gives
+    // the same answer (partition-layout determinism)
+    val shuffled = Tables.orders(spark, dir).repartition(7)
+      .groupBy("o_custkey")
+      .agg(graft.functions.TopKAggregator.topk(
+        col("o_orderkey"), col("o_totalprice").cast("double"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "o_orderkey")))
+      .select(col("o_custkey"), col("o_orderkey"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("o_custkey", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(shuffled == viaWindow)
+  }
+
   test("text ops: langid hits the dominant profile; fingerprint collapses whitespace") {
     import spark.implicits._
     val df = Seq(

@@ -156,6 +156,16 @@ class PlanSpec extends SparkSpecBase {
       s"unexpected hash shuffle:\n${p.take(2000)}")
   }
 
+  test("top-k aggregator runs a map-side partial before the shuffle") {
+    val p = plan("window_topk_per_customer_agg")
+    // the Aggregator lowers to ObjectHashAggregate in partial + final
+    // modes around the group-key exchange — the property that caps the
+    // shuffle at k rows per group (a window top-k shuffles everything)
+    val aggs = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"no partial/final aggregate pair:\n${p.take(2500)}")
+    assert(p.contains("partial_topk") || aggs >= 2)
+  }
+
   test("events scan prunes to referenced columns only") {
     val p = Queries.registry("regexp_event_props").fn(spark, dir)
       .queryExecution.executedPlan.toString
