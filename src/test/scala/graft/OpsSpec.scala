@@ -345,6 +345,47 @@ class OpsSpec extends SparkSpecBase {
     assert(shuffled == viaWindow)
   }
 
+  test("property: bounded top-k equals sort-take on random grouped data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { round =>
+      val n = 50 + rnd.nextInt(150)
+      val rows = Seq.fill(n)((rnd.nextInt(10).toLong, rnd.nextInt(2000).toLong,
+        math.floor(rnd.nextDouble() * 1000) / 10.0))
+      val got = rows.toDF("g", "id", "k")
+        .groupBy("g")
+        .agg(graft.functions.TopKAggregator.topk(col("id"), col("k"), 3).as("top"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(t => (t._3, t._2)).sortBy { case (k, id) => (-k, id) }
+          .take(3).map(_._2).toList
+      }
+      assert(got == want, s"round $round: $got != $want")
+    }
+  }
+
+  test("property: duplicateClusters labels equal union-find components") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 4).foreach { round =>
+      val edges = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Dedup.duplicateClusters(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .groupBy(find).flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }
+      assert(got == want.toMap, s"round $round")
+    }
+  }
+
   test("text ops: langid hits the dominant profile; fingerprint collapses whitespace") {
     import spark.implicits._
     val df = Seq(
