@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Scale a testdata SF directory by key-shifted replication.
 
-Usage: python3 tools/make_sf.py <src_sf_dir> <out_dir> <factor>
+Usage: python3 tools/make_sf.py <src_sf_dir> <out_dir> <factor> [--perturb]
 
 Produces a join-structure-preserving larger dataset: each fact/entity
 table is replicated <factor> times with every key column offset by
@@ -11,8 +11,19 @@ copied once. This is a THROUGHPUT benchmark input (more rows through
 the same plans), not a statistical twin of a genuinely larger TPC-H scale —
 selectivities per copy match the source SF exactly.
 
+Without --perturb, copies keep IDENTICAL text/embedding values, so every
+copy is a genuine near-dup of its siblings: dedup-family output (and
+cost) grows ~copies² by construction — useful as a dedup stress test,
+misleading as a throughput ratio. With --perturb, copy > 0 rows get a
+copy-seeded token shuffle (documents.text: same token multiset, so
+tf/df/length stats are unchanged, but contiguous n-grams break) and a
+circular shift of the embedding array by `copy` positions (same norm
+and value distribution, different direction) — cross-copy near-dups
+disappear and the 10x run measures throughput.
+
 Driver-side tooling only (pyarrow); not part of the shipped library.
 """
+import random
 import sys
 from pathlib import Path
 
@@ -34,7 +45,24 @@ KEYED = {
 COPY_ONCE = ["region", "nation"]
 
 
-def main(src: Path, out: Path, factor: int) -> None:
+def shuffle_text(col: pa.ChunkedArray, copy: int) -> pa.Array:
+    out = []
+    for i, v in enumerate(col.to_pylist()):
+        toks = v.split(" ")
+        random.Random((copy << 32) | i).shuffle(toks)
+        out.append(" ".join(toks))
+    return pa.array(out, type=col.type)
+
+
+def roll_embedding(col: pa.ChunkedArray, copy: int) -> pa.Array:
+    out = []
+    for v in col.to_pylist():
+        k = copy % len(v)
+        out.append(v[k:] + v[:k])
+    return pa.array(out, type=col.type)
+
+
+def main(src: Path, out: Path, factor: int, perturb: bool) -> None:
     out.mkdir(parents=True, exist_ok=True)
     for t in COPY_ONCE:
         pq.write_table(pq.read_table(src / f"{t}.parquet"), out / f"{t}.parquet")
@@ -49,6 +77,10 @@ def main(src: Path, out: Path, factor: int) -> None:
                 col = tbl[name]
                 if name in units and c > 0:
                     col = pa.compute.add(col, c * units[name])
+                elif perturb and c > 0 and t == "documents" and name == "text":
+                    col = shuffle_text(col, c)
+                elif perturb and c > 0 and t == "embeddings" and name == "embedding":
+                    col = roll_embedding(col, c)
                 cols.append(col)
             copies.append(pa.table(cols, names=tbl.column_names))
         big = pa.concat_tables(copies)
@@ -57,4 +89,5 @@ def main(src: Path, out: Path, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    main(Path(sys.argv[1]), Path(sys.argv[2]), int(sys.argv[3]))
+    args = [a for a in sys.argv[1:] if a != "--perturb"]
+    main(Path(args[0]), Path(args[1]), int(args[2]), "--perturb" in sys.argv)
