@@ -281,6 +281,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus-size-aware [[embeddingNearDups]]: picks the LSH bucket
+    * width from the corpus so candidate volume stays bounded as data
+    * grows. Cost of the bucket self-join is O(tables · n² / 2^bits);
+    * holding `bits` fixed while n grows 10× grows every bucket 10× and
+    * the join 100× (measured: the sf0.1-tuned default pays 50 s on a
+    * 10× corpus where bits+4/tables×8 finds MORE pairs in the same
+    * time — SCALE.md "Embedding near-dup"). Schedule:
+    * bits = log2(n / targetBucket) clamped to [4, 12], tables doubled
+    * per +2 bits to hold the 1-(1-p^bits)^tables recall. The count()
+    * is one cheap driver action against a columnar footer, not a scan.
+    */
+  def embeddingNearDupsAuto(embs: DataFrame, threshold: Double = 0.99,
+      dim: Int = 64, targetBucket: Int = 256): DataFrame = {
+    val n = embs.count()
+    val bits = math.min(12, math.max(4,
+      (math.log(math.max(n / targetBucket.toDouble, 1.0)) / math.log(2.0)).ceil.toInt))
+    val tables = math.min(64, 8 << math.max(0, (bits - 6) / 2))
+    embeddingNearDups(embs, threshold, dim, bits, tables)
+  }
+
   /** Resolve near-dup pairs into duplicate CLUSTERS: connected
     * components over the pair graph, labeling every member with the
     * minimum doc id of its component (the canonical survivor a curation

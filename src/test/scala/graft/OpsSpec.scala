@@ -135,6 +135,19 @@ class OpsSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"embedding LSH recall $recall too low (8 tables × 6 bits)")
   }
 
+  test("auto-tuned embedding near-dup stays a subset of brute force; small corpus keeps small-corpus knobs") {
+    def pairsOf(df: DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val auto = pairsOf(Dedup.embeddingNearDupsAuto(embs, 0.45))
+    val exact = pairsOf(Dedup.embeddingNearDupsExact(embs, 0.45))
+    assert(auto.nonEmpty && auto.subsetOf(exact))
+    // at the fixture's n (< targetBucket * 2^6) the schedule must not
+    // exceed the small-corpus default, so recall is >= the fixed-knob
+    // variant's measured floor
+    val recall = auto.size.toDouble / exact.size
+    assert(recall >= 0.4, s"auto-tuned recall $recall")
+  }
+
   test("brute-force cosine top-k is k rows per query, ranked") {
     val out = Similarity.bruteForceTopK(embs, Seq(0L, 1L), k = 5).collect()
     assert(out.length == 10)
