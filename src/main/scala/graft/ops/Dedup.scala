@@ -98,16 +98,23 @@ object Dedup {
   /** Banded-LSH pair generation from an existing shingle frame (see
     * [[minhashPairs]] for the contract).
     */
-  private[graft] def minhashPairsFromShingles(sh: DataFrame, k: Int, bands: Int,
-      maxBandFreq: Int): DataFrame = {
+  /** (doc_id, band, key) band keys from a signature frame — the LSH
+    * blocking keys shared by pair generation and the streaming ingest
+    * index.
+    */
+  private[graft] def bandKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sigs = sigsFromShingles(sh, k)
-    val banded = dropHotBands((0 until bands).map { b =>
+    (0 until bands).map { b =>
       val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
       sigs.select(col("doc_id"),
         lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
-    }.reduce(_ unionAll _), maxBandFreq)
+    }.reduce(_ unionAll _)
+  }
+
+  private[graft] def minhashPairsFromShingles(sh: DataFrame, k: Int, bands: Int,
+      maxBandFreq: Int): DataFrame = {
+    val banded = dropHotBands(bandKeys(sigsFromShingles(sh, k), k, bands), maxBandFreq)
     val l = banded.select(col("band"), col("key"), col("doc_id").as("a"))
     val rt = banded.select(col("band"), col("key"), col("doc_id").as("b"))
     l.join(rt, Seq("band", "key"))

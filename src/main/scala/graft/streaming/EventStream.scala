@@ -92,6 +92,57 @@ object EventStream {
       }
       .start()
 
+  /** Near-dup-suppressing document ingest: each arriving micro-batch's
+    * banded MinHash keys probe a persisted band index; a doc sharing
+    * any band with an already-ingested doc (or with a smaller-id doc in
+    * its own batch) is dropped, survivors append to the corpus sink and
+    * their bands to the index. This is the streaming form of
+    * minhash-LSH dedup — collision alone (no Jaccard verify) is the
+    * standard conservative suppression choice for ingest: the band
+    * probability IS the near-dup test, false-positive drops are
+    * accepted, and the per-batch cost is one keyed join against the
+    * index plus one window over the batch's own bands.
+    *
+    * Scale: the index holds `bands` rows per ingested doc keyed by
+    * (band, key) — parquet-partitionable, probed with a keyed join that
+    * broadcasts the (small) batch side; nothing is ever driver-resident.
+    * Within-batch suppression keeps the min doc id per colliding band
+    * group (a doc dropped against another dropped doc is kept — slight
+    * under-suppression vs cluster resolution, resolved by the batch
+    * `duplicateClusters` pass if exactness matters).
+    */
+  def streamNearDedupIngest(docs: DataFrame, indexDir: String, outDir: String,
+      k: Int = 8, bands: Int = 4): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val spark = batch.sparkSession
+        val banded = graft.ops.Dedup
+          .bandKeys(graft.ops.Dedup.minhashSignatures(batch, k), k, bands)
+        val index =
+          try spark.read.parquet(indexDir).select("band", "key")
+          catch { case _: Throwable =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("band", IntegerType),
+                StructField("key", StringType))))
+          }
+        val seenDup = banded.join(index, Seq("band", "key"), "left_semi")
+          .select("doc_id").distinct()
+        val batchDup = banded
+          .withColumn("mn", min("doc_id").over(Window.partitionBy("band", "key")))
+          .filter(col("doc_id") =!= col("mn"))
+          .select("doc_id").distinct()
+        val drops = seenDup.unionByName(batchDup).distinct()
+        batch.join(drops, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outDir)
+        banded.join(drops, Seq("doc_id"), "left_anti")
+          .select("band", "key")
+          .write.mode("append").parquet(indexDir)
+        ()
+      }
+      .start()
+
   // ---- Stateful sessionization (flatMapGroupsWithState) ----
 
   final case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)

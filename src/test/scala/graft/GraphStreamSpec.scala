@@ -152,6 +152,44 @@ class GraphStreamSpec extends SparkSpecBase {
       Set("a", "b", "c", "d"))
   }
 
+  test("streaming near-dup ingest suppresses cross-batch and within-batch collisions") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft-neardup")
+    val idx = tmpDir("neardup-idx") + "/idx"
+    val out = tmpDir("neardup-out") + "/out"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val b1 = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+    b1.coalesce(1).write.parquet(stage.resolve("b1").toString)
+    // batch 2: fresh docs, EXACT copies of batch-1 docs (identical text
+    // → identical signature → guaranteed full-band collision with the
+    // index), and an identical within-batch twin pair built from
+    // unique tokens (no accidental collision with the corpus)
+    val plants = b1.filter(org.apache.spark.sql.functions.col("doc_id") < 5)
+      .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id") + 100000)
+    val fresh = docs.filter(org.apache.spark.sql.functions.col("doc_id").between(10, 14))
+    val uniq = (0 until 100).map(i => s"uniqueword$i").mkString(" ")
+    val twins = Seq((9000L, uniq), (9001L, uniq)).toDF("doc_id", "text")
+    fresh.unionByName(plants).unionByName(twins)
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val in = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+    val q = EventStream.streamNearDedupIngest(in, idx, out)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // batch-1 survivors = all docs not band-colliding with a smaller id
+    // (the ingest runs uncapped, so mirror with maxBandFreq = 0)
+    val drops1 = graft.ops.Dedup.minhashPairs(b1, k = 8, bands = 4, maxBandFreq = 0)
+      .collect().map(_.getAs[Long]("b")).toSet
+    assert(got.intersect((0L until 10L).toSet) == (0L until 10L).toSet.diff(drops1))
+    // within-batch twin: smaller id survives, larger is suppressed
+    assert(got(9000L) && !got(9001L))
+    // exact copies of already-ingested docs never land
+    assert(!(100000L until 100005L).exists(got))
+    // the index holds bands only for survivors
+    assert(spark.read.parquet(idx).count() == got.size * 4L)
+  }
+
   test("stratified sample predicate is stream/batch-identical (stateless)") {
     // the hash-threshold sampler keeps no state, so applying it to a
     // document STREAM must admit exactly the batch survivors — this is
