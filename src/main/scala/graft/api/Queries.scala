@@ -1063,6 +1063,26 @@ object Queries {
         .orderBy("doc_id", "rnk"),
       Some(TextSql.tfidfTopTerms(maxDocId = 30, perDoc = 3))),
 
+    // PII audit + redaction: detect emails / IPs / phone numbers and
+    // fingerprint the redacted text. The synthetic corpus carries no
+    // PII, so docs with doc_id < 25 get a deterministic PII tail
+    // planted (same construction in the oracle) — the detector must
+    // count exactly those and the clean docs must pass through with
+    // fingerprints unchanged by redaction. Pure codegen'd regex
+    // projection: one scan, no shuffle before the presentation sort.
+    "text_pii_scrub" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d).select("doc_id", "text")
+        val planted = base.filter(col("doc_id") < 25).select(
+          (col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or +1 555-123-4567 host 10.0."),
+            col("doc_id") % 256, lit(".1")).as("text"))
+        graft.ops.TextOps.piiScrub(base.unionByName(planted))
+          .orderBy("doc_id")
+      },
+      Some(TextSql.piiScrub(plantMax = 25))),
+
     // Source-mixture weights: per-language keep probability that
     // equalizes the mixture to the rarest language (the "how much do I
     // downsample each stratum" companion to sample_stratified). Pure

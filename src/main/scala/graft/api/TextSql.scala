@@ -471,6 +471,32 @@ object TextSql {
        |SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM r
        |WHERE rnk <= $perDoc ORDER BY doc_id, rnk""".stripMargin
 
+  /** PII scrub mirror: same planted-tail construction, same RE2-safe
+    * patterns, same email → ip → phone redaction order. DuckDB
+    * regexp_replace needs the explicit 'g' flag to match Spark's
+    * replace-all semantics.
+    */
+  def piiScrub(plantMax: Long = 25L): String = {
+    val email = graft.ops.TextOps.emailRe
+    val phone = graft.ops.TextOps.phoneRe
+    val ip = graft.ops.TextOps.ipRe
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com or +1 555-123-4567 host 10.0.'
+       |      || CAST(doc_id % 256 AS VARCHAR) || '.1'
+       |  FROM documents WHERE doc_id < $plantMax)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$phone', '[PHONE]', 'g')) AS redacted_fp
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   /** Mixture-weight mirror: floor(min_n · 10⁴ / n) basis points per
     * language.
     */

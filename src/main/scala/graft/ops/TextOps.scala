@@ -140,6 +140,34 @@ object TextOps {
       langIdFromScores(stopwords.map { case (l, _) => l -> col(s"s_$l") }).as("lang_pred"),
       col("fp"))
 
+  /** PII detection/redaction regexes — RE2-safe subset (no lookaround,
+    * no \b) so the same pattern runs identically in any engine's regex
+    * dialect; greedy leftmost-longest semantics agree between Java
+    * regex and RE2 for these shapes.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+  val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Per-doc PII counts + the fingerprint of the redacted text. Order
+    * matters: IPs redact BEFORE phones cannot collide (disjoint
+    * shapes), but emails must go first — the email local part may
+    * contain digit runs a later pattern could clip.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "[EMAIL]"),
+        ipRe, "[IP]"),
+      phoneRe, "[PHONE]")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(ipRe)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+      md5(redacted).as("redacted_fp"))
+  }
+
   /** Exploded (doc_id, w) token rows — the shared base of the retrieval
     * scorers below.
     */

@@ -358,6 +358,29 @@ class OpsSpec extends SparkSpecBase {
     assert(shuffled == viaWindow)
   }
 
+  test("pii scrub: detects and redacts each family; clean docs pass through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at a.b+c@mail-host.org or +44 123-456-7890 from 192.168.0.1"),
+      (2L, "no pii here just words")).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(df).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1)
+    assert(out(1L).getAs[Long]("n_phones") == 1)
+    assert(out(1L).getAs[Long]("n_ips") == 1)
+    assert(out(2L).getAs[Long]("n_emails") == 0 &&
+      out(2L).getAs[Long]("n_phones") == 0 && out(2L).getAs[Long]("n_ips") == 0)
+    // a clean doc's redacted fingerprint is the raw text fingerprint
+    val fp2 = df.filter(col("doc_id") === 2).select(md5(col("text"))).collect()(0).getString(0)
+    assert(out(2L).getAs[String]("redacted_fp") == fp2)
+    // the PII doc's redaction really removed the spans
+    val redacted = df.filter(col("doc_id") === 1).select(
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        TextOps.emailRe, "[EMAIL]"), TextOps.ipRe, "[IP]"),
+        TextOps.phoneRe, "[PHONE]")).collect()(0).getString(0)
+    assert(redacted.contains("[EMAIL]") && redacted.contains("[PHONE]") &&
+      redacted.contains("[IP]") && !redacted.contains("@"))
+  }
+
   test("property: bounded top-k equals sort-take on random grouped data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
