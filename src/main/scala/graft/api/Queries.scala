@@ -1063,6 +1063,30 @@ object Queries {
         .orderBy("doc_id", "rnk"),
       Some(TextSql.tfidfTopTerms(maxDocId = 30, perDoc = 3))),
 
+    // Intra-document repetition: duplicate 3-gram ratio in basis points
+    // — the "looping/boilerplate text" quality signal (high ratio =
+    // degenerate text). One codegen'd projection per doc, no shuffle
+    // before the presentation sort.
+    "text_repetition" -> Q(
+      (s, d) => {
+        val t = graft.ops.TextOps
+        val grams = Tables.documents(s, d).select(col("doc_id"),
+          t.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            when(size(col("toks")) >= 3,
+              transform(sequence(lit(0), size(col("toks")) - 3),
+                i => concat_ws(" ", col("toks")(i), col("toks")(i + 1), col("toks")(i + 2))))
+              .otherwise(array()).as("g"))
+        grams.select(col("doc_id"),
+            size(col("g")).cast("long").as("n_grams"),
+            size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+          .withColumn("dup_pct_bp",
+            floor((col("n_grams") - col("n_distinct")) * lit(10000.0) /
+              greatest(col("n_grams"), lit(1L))).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(TextSql.repetition)),
+
     // PII audit + redaction: detect emails / IPs / phone numbers and
     // fingerprint the redacted text. The synthetic corpus carries no
     // PII, so docs with doc_id < 25 get a deterministic PII tail

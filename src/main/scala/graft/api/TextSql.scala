@@ -471,6 +471,22 @@ object TextSql {
        |SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM r
        |WHERE rnk <= $perDoc ORDER BY doc_id, rnk""".stripMargin
 
+  /** Repetition mirror: contiguous (non-distinct) 3-grams, duplicate
+    * ratio in basis points.
+    */
+  val repetition: String =
+    """SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+      |  CAST(floor((len(g) - len(list_distinct(g))) * 10000.0
+      |    / greatest(len(g), 1)) AS BIGINT) AS dup_pct_bp
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   /** PII scrub mirror: same planted-tail construction, same RE2-safe
     * patterns, same email → ip → phone redaction order. DuckDB
     * regexp_replace needs the explicit 'g' flag to match Spark's
