@@ -488,6 +488,34 @@ object Queries {
           |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
           |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
 
+    // Hourly anomaly detection: flag (type, hour) buckets whose count
+    // sits more than 2σ from the type's mean hourly rate. Mean and
+    // variance come from exact integer partials (sum, sum-of-squares
+    // are BIGINTs — aggregation-order-free), so the flagging is
+    // deterministic on any layout; the per-type stats frame is tiny and
+    // broadcasts back onto the hourly counts.
+    "events_anomalous_hours" -> Q(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .withColumn("hr", date_trunc("hour", col("ts")))
+          .groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+        val st = hourly.groupBy("event_type").agg(
+          count(lit(1)).as("hours"),
+          sum("n").as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+        hourly.join(broadcast(st), "event_type")
+          .withColumn("mean", col("s1").cast("double") / col("hours"))
+          .withColumn("variance",
+            col("s2").cast("double") / col("hours") - col("mean") * col("mean"))
+          .filter((col("n") - col("mean")) * (col("n") - col("mean")) >
+            lit(4.0) * col("variance"))
+          .select(col("event_type"), col("hr"), col("n"),
+            floor(abs(col("n") - col("mean")) /
+              sqrt(greatest(col("variance"), lit(1e-12))) * 100).cast("long").as("z_x100"))
+          .orderBy("event_type", "hr")
+      },
+      Some(TextSql.anomalousHours)),
+
     // Two-phase salted aggregation over the 5 hot event types — the
     // canonical skew shape. Exact decimal partials make the salting
     // invisible to the result, so the plain GROUP BY is the oracle.

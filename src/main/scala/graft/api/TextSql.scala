@@ -471,6 +471,29 @@ object TextSql {
        |SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM r
        |WHERE rnk <= $perDoc ORDER BY doc_id, rnk""".stripMargin
 
+  /** Anomalous-hours mirror: exact integer sum / sum-of-squares per
+    * type, identical double op order for mean / variance / the 2σ
+    * filter and the scaled z score.
+    */
+  val anomalousHours: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*) AS hours, sum(n) AS s1, sum(n * n) AS s2
+      |  FROM hourly GROUP BY event_type),
+      |j AS (
+      |  SELECT h.event_type, h.hr, h.n,
+      |    CAST(s.s1 AS DOUBLE) / s.hours AS mean,
+      |    CAST(s.s2 AS DOUBLE) / s.hours
+      |      - (CAST(s.s1 AS DOUBLE) / s.hours) * (CAST(s.s1 AS DOUBLE) / s.hours) AS variance
+      |  FROM hourly h JOIN st s USING (event_type))
+      |SELECT event_type, hr, n,
+      |  CAST(floor(abs(n - mean) / sqrt(greatest(variance, 1e-12)) * 100) AS BIGINT) AS z_x100
+      |FROM j
+      |WHERE (n - mean) * (n - mean) > 4.0 * variance
+      |ORDER BY event_type, hr""".stripMargin
+
   /** Repetition mirror: contiguous (non-distinct) 3-grams, duplicate
     * ratio in basis points.
     */
