@@ -488,6 +488,35 @@ object Queries {
           |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
           |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin)),
 
+    // Cohort retention: users bucketed by first-seen day, distinct
+    // actives per (cohort, day offset) across the first week. Exact
+    // integer date math; the first-seen frame joins back keyed on
+    // user_id (shuffle co-located with the per-user aggregate), and
+    // countDistinct runs as the standard two-phase expand/agg.
+    "events_retention" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+        ev.join(first, "user_id")
+          .withColumn("offset_days", datediff(col("day"), col("cohort")).cast("long"))
+          .filter(col("offset_days") <= 7)
+          // string cohort: the compare's pandas reading coerces DATE to
+          // Timestamp, so date-typed result columns never hash-match
+          .groupBy(col("cohort").cast("string").as("cohort"), col("offset_days"))
+          .agg(countDistinct("user_id").as("users"))
+          .orderBy("cohort", "offset_days")
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+          |f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id)
+          |SELECT CAST(cohort AS VARCHAR) AS cohort,
+          |  CAST(day - cohort AS BIGINT) AS offset_days,
+          |  count(DISTINCT user_id) AS users
+          |FROM ev JOIN f USING (user_id)
+          |WHERE day - cohort <= 7
+          |GROUP BY 1, 2 ORDER BY cohort, offset_days""".stripMargin)),
+
     // Hourly anomaly detection: flag (type, hour) buckets whose count
     // sits more than 2σ from the type's mean hourly rate. Mean and
     // variance come from exact integer partials (sum, sum-of-squares
