@@ -156,6 +156,32 @@ object TextSql {
        |  JOIN sizes sb ON sb.doc_id = b)
        |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
 
+  /** Containment mirror of Dedup.containmentPairs: the stop-shingle cap
+    * (same QUALIFY shape and constant as the band caps), intersections
+    * via the shingle-keyed inverted-index join, sizes over the SAME
+    * kept-shingle space, min-denominator ratio and smaller-side
+    * contained_id.
+    */
+  val dedupContainment: String =
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |shf AS (
+       |  SELECT doc_id, s FROM sh
+       |  QUALIFY count(*) OVER (PARTITION BY s) <= $bandCap),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+       |  FROM shf l JOIN shf r ON r.s = l.s AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, containment, contained_id FROM (
+       |  SELECT a, b,
+       |    round(CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment,
+       |    CASE WHEN sa.sz <= sb.sz THEN a ELSE b END AS contained_id
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b)
+       |WHERE containment >= 0.8 ORDER BY a, b""".stripMargin
+
   /** ±1 sign-LSH hyperplanes from the parity of md5's first hex nibble
     * (plane family t·bits+j over dims 0..dim-1) — the engine-portable
     * construction Similarity.planeSign uses, so buckets replay

@@ -253,6 +253,54 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Containment near-dup pairs: C(A,B) = |A∩B| / min(|A|, |B|) over
+    * word n-gram shingles — the asymmetric-overlap signal Jaccard
+    * misses. A 50-shingle quote fully contained in a 5000-shingle page
+    * has Jaccard ≈ 0.01 (invisible to MinHash banding, which estimates
+    * Jaccard) but containment 1.0; this is the operator that catches
+    * quote/boilerplate inclusion and partial copies between
+    * differently-sized docs.
+    *
+    * Candidates come from an inverted-index self-join keyed on the
+    * shingle, with a stop-shingle guard: shingles appearing in more than
+    * `maxShingleDf` docs are dropped BEFORE the join (the same
+    * count-over-window shape as [[dropHotBands]], and the same skew
+    * argument — a boilerplate shingle otherwise fans out O(df²) pairs).
+    * Intersections and sizes are both counted over the KEPT shingle
+    * space, so the guard shrinks the universe consistently instead of
+    * biasing the ratio; the oracle mirrors the cap in QUALIFY. Cost is
+    * O(Σ_sh df²) ≤ cap · |shingle rows| — linear in the corpus for a
+    * fixed cap, every join keyed on the shingle or the (a, b) pair.
+    *
+    * Output: (a, b, containment, contained_id) with a < b,
+    * containment >= threshold; `contained_id` is the smaller-set side
+    * (ties to a), i.e. the doc a curation pass would drop.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Int = DefaultBandCap): DataFrame = {
+    val sh0 = shingleRows(docs, n).select("doc_id", "sh")
+    val sh = if (maxShingleDf <= 0) sh0
+      else sh0
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") <= maxShingleDf)
+        .drop("df")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val la = sh.select(col("doc_id").as("a"), col("sh"))
+    val rb = sh.select(col("doc_id").as("b"), col("sh"))
+    val inter = la.join(rb, "sh")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(col("sza"), col("szb")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .withColumn("contained_id",
+        when(col("sza") <= col("szb"), col("a")).otherwise(col("b")))
+      .select("a", "b", "containment", "contained_id")
+  }
+
   /** Embedding near-dups: pairs with cosine >= threshold, candidates
     * from OR-amplified sign-LSH (`tables` independent hash tables of
     * `bits` hyperplanes each — the same plane family as
