@@ -1027,10 +1027,28 @@ object Queries {
         .orderBy("a", "b"),
       Some(TextSql.dedupNgramJaccard)),
 
+    // Asymmetric-overlap containment: catches a short quote fully
+    // embedded in a long doc, which Jaccard-estimating detectors miss
+    // (the planted quotes sit at Jaccard ≈ 0.01, containment 1.0).
+    // Default args on BOTH sides — the oracle def pins them.
+    "dedup_containment" -> Q(
+      (s, d) => graft.ops.Dedup.containmentPairs(plantedQuoteDocs(s, d))
+        .orderBy("a", "b"),
+      Some(TextSql.dedupContainment())),
+
     "dedup_embedding" -> Q(
       (s, d) => graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy("a", "b"),
       Some(TextSql.dedupEmbedding)),
+
+    // Corpus-size-aware knob schedule (bits/tables picked from n) —
+    // rows-only like the _fast twins: the oracle's fixed hyperplane
+    // family can't follow auto-chosen bits, so correctness rides on the
+    // fixed-knob gated query above plus the OpsSpec subset/recall test.
+    "dedup_embedding_auto" -> Q(
+      (s, d) => graft.ops.Dedup.embeddingNearDupsAuto(Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy("a", "b"),
+      None),
 
     // Cluster resolution over the near-dup pair graph: GraphX connected
     // components label every member with its cluster's min doc id — the
@@ -1362,6 +1380,20 @@ object Queries {
     val plants = if (exact) p0
       else p0.withColumn("text", concat(col("text"), lit(" planted dup tail")))
     base.unionByName(plants)
+  }
+
+  /** Contained-quote plants for the containment detector: docs with
+    * doc_id < 20 re-appended under doc_id+200000 with text = their first
+    * 40 whitespace tokens — fully embedded in the parent (containment
+    * 1.0) yet near-invisible to Jaccard (≈ 38/|parent shingles|). Same
+    * construction in the SQL oracle (TextSql.plantQuoteCte).
+    */
+  private def plantedQuoteDocs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val quotes = base.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("text", concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 40)))
+    base.unionByName(quotes)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

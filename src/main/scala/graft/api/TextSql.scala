@@ -156,18 +156,37 @@ object TextSql {
        |  JOIN sizes sb ON sb.doc_id = b)
        |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
 
+  /** Contained-quote plant shared with Queries.plantedQuoteDocs: docs
+    * with doc_id < 20 re-appended under doc_id+200000 with text = the
+    * first 40 whitespace tokens of the parent. A 38-shingle quote fully
+    * embedded in its parent has containment 1.0 but Jaccard ≈
+    * 38/|parent shingles| — the fixture that makes the containment
+    * operator's signal distinct from every Jaccard-estimating detector.
+    */
+  private val plantQuoteCte: String =
+    """docs AS (
+      |  SELECT doc_id, text, source, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |    array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 1, 40), ' '),
+      |    source, lang
+      |  FROM documents WHERE doc_id < 20)""".stripMargin
+
   /** Containment mirror of Dedup.containmentPairs: the stop-shingle cap
     * (same QUALIFY shape and constant as the band caps), intersections
     * via the shingle-keyed inverted-index join, sizes over the SAME
     * kept-shingle space, min-denominator ratio and smaller-side
-    * contained_id.
+    * contained_id. The shingle width n is pinned to 3 by shinglesCte;
+    * a registration must pass the SAME (threshold, maxShingleDf) to the
+    * Scala operator or the compare silently diverges.
     */
-  val dedupContainment: String =
-    s"""WITH ${plantCte(exact = false)},
+  def dedupContainment(threshold: Double = 0.8,
+      maxShingleDf: Int = graft.ops.Dedup.DefaultBandCap): String =
+    s"""WITH $plantQuoteCte,
        |$shinglesCte,
        |shf AS (
        |  SELECT doc_id, s FROM sh
-       |  QUALIFY count(*) OVER (PARTITION BY s) <= $bandCap),
+       |  QUALIFY count(*) OVER (PARTITION BY s) <= $maxShingleDf),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
        |inter AS (
        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
@@ -180,7 +199,7 @@ object TextSql {
        |  FROM inter
        |  JOIN sizes sa ON sa.doc_id = a
        |  JOIN sizes sb ON sb.doc_id = b)
-       |WHERE containment >= 0.8 ORDER BY a, b""".stripMargin
+       |WHERE containment >= $threshold ORDER BY a, b""".stripMargin
 
   /** ±1 sign-LSH hyperplanes from the parity of md5's first hex nibble
     * (plane family t·bits+j over dims 0..dim-1) — the engine-portable

@@ -226,6 +226,13 @@ object Dedup {
     * Returns (a, b, jaccard) with jaccard >= threshold; recall is that
     * of the MinHash bands (a true-Jaccard pair colliding in no band is
     * not proposed — the standard LSH trade, measured in DedupSpec).
+    *
+    * Threshold semantics: the >= filter is applied to the 6-decimal
+    * ROUNDED ratio (a pair at true Jaccard threshold − 5e-7 rounds up
+    * into the output). Deliberate: the oracle rounds identically before
+    * its own filter, and a filter-then-round would hash-compare floats
+    * the two engines compute to different ulps. Same contract in
+    * [[containmentPairs]].
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       k: Int = 8, bands: Int = 4, maxBandFreq: Int = DefaultBandCap): DataFrame = {
@@ -274,7 +281,9 @@ object Dedup {
     *
     * Output: (a, b, containment, contained_id) with a < b,
     * containment >= threshold; `contained_id` is the smaller-set side
-    * (ties to a), i.e. the doc a curation pass would drop.
+    * (ties to a), i.e. the doc a curation pass would drop. The
+    * threshold compares the 6-decimal ROUNDED ratio, same contract (and
+    * reason) as [[ngramJaccardPairs]].
     */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Int = DefaultBandCap): DataFrame = {

@@ -124,6 +124,31 @@ class OpsSpec extends SparkSpecBase {
     assert(sh((9000L, 9001L)), "simhash lost the cold-band near-dup pair")
   }
 
+  test("containment: stop-shingle cap refuses boilerplate; quote-in-doc pair scores 1.0 where Jaccard misses it") {
+    import spark.implicits._
+    val uniq = (0 until 100).map(i => s"uniqueword$i").mkString(" ")
+    // a 10-word quote fully embedded in the 100-word doc: containment
+    // 8/8 = 1.0, Jaccard 8/98 ≈ 0.08 — the asymmetric-overlap case
+    val quote = (0 until 10).map(i => s"uniqueword$i").mkString(" ")
+    val docs = ((0L until 500L).map(i => (i,
+      "shared boilerplate header nav footer copyright terms privacy contact about", "w")) ++
+      Seq((9000L, uniq, "w"), (9100L, quote, "w"))).toDF("doc_id", "text", "source")
+    val out = Dedup.containmentPairs(docs, threshold = 0.8).collect()
+    val pairs = out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // every boilerplate shingle has df = 500 > cap: dropped BEFORE the
+    // inverted-index join, so the 500·499/2 all-pairs block never forms
+    assert(!pairs.exists { case (a, b) => a < 500 && b < 500 },
+      s"stop-shingle cap leaked boilerplate pairs (${pairs.count { case (a, b) => a < 500 && b < 500 }})")
+    val q = out.find(r => r.getAs[Long]("a") == 9000L && r.getAs[Long]("b") == 9100L)
+    assert(q.isDefined, "contained quote pair missing")
+    assert(q.get.getAs[Double]("containment") == 1.0)
+    assert(q.get.getAs[Long]("contained_id") == 9100L, "contained_id must be the smaller-set side")
+    // the Jaccard detector (same corpus, same shingles) cannot see it
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(!jac((9000L, 9100L)), "quote pair should be invisible to Jaccard at 0.5")
+  }
+
   test("LSH-bucketed embedding near-dups: precision 1 vs brute force, recall measured") {
     def pairsOf(df: DataFrame) =
       df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
