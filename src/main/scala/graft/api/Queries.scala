@@ -927,10 +927,11 @@ object Queries {
           |  WHERE w.pred = 'region' AND w.obj = 'region:2' AND w.subj = t.obj)
           |ORDER BY depth, node""".stripMargin))),
 
-    // PageRank over the triples graph (GraphX staticPageRank — rows-only:
-    // parallel float summation is only reproducible to ulps, so no
-    // hash-exact SQL oracle; graph_pagerank_exact below is the gated
-    // twin). Top-100 for bounded output.
+    // PageRank over the triples graph (staticPageRank semantics on the
+    // shared cached graph — rows-only: parallel float summation is only
+    // reproducible to ulps, so no hash-exact SQL oracle;
+    // graph_pagerank_exact below is the gated twin). Top-100 for
+    // bounded output.
     "graph_pagerank" -> Q(
       (s, d) => graft.graph.GraphOps
         .pageRank(graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d), iters = 5)

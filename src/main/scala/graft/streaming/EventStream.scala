@@ -110,12 +110,20 @@ object EventStream {
     * group (a doc dropped against another dropped doc is kept — slight
     * under-suppression vs cluster resolution, resolved by the batch
     * `duplicateClusters` pass if exactness matters).
+    *
+    * Maintenance: each micro-batch appends one file-set to the index, so
+    * a long-running stream would otherwise degrade its own probe scan
+    * (thousands of tiny footers). Every `compactEvery` batches the index
+    * is rewritten in place — [[compactBandIndex]], the same two-phase
+    * rename as TripleStore.compact — so the live file count is bounded
+    * by compactEvery + compactFiles regardless of stream length.
     */
   def streamNearDedupIngest(docs: DataFrame, indexDir: String, outDir: String,
-      k: Int = 8, bands: Int = 4): StreamingQuery =
+      k: Int = 8, bands: Int = 4, compactEvery: Int = 8,
+      compactFiles: Int = 4): StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.expressions.Window
         val spark = batch.sparkSession
         val banded = graft.ops.Dedup
@@ -139,9 +147,44 @@ object EventStream {
         banded.join(drops, Seq("doc_id"), "left_anti")
           .select("band", "key")
           .write.mode("append").parquet(indexDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactBandIndex(spark, indexDir, compactFiles)
         ()
       }
       .start()
+
+  /** Rewrite the band index's accumulated per-micro-batch appends into
+    * `files` files clustered and sorted on (band, key) — restores probe
+    * locality and bounds the footer count. Two-phase rename (write to a
+    * sibling `.compacting` dir, swap, keep `.precompact` until the swap
+    * lands) so a crash mid-compaction never loses the index; safe inside
+    * foreachBatch because micro-batches are serialized — no concurrent
+    * reader of the directory exists while it runs. At 100 TB, partition
+    * the rewrite by `band` (or a key hash bucket) instead of a fixed
+    * file count — the shape, one clustered rewrite amortized over
+    * compactEvery appends, is what matters.
+    */
+  private[graft] def compactBandIndex(spark: SparkSession, indexDir: String,
+      files: Int = 4): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val t = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".precompact")
+    fs.delete(t, true)
+    fs.delete(old, true)
+    spark.read.parquet(indexDir)
+      .repartition(files, col("band"), col("key"))
+      .sortWithinPartitions("band", "key")
+      .write.mode("overwrite").parquet(t.toString)
+    fs.rename(p, old)
+    if (!fs.rename(t, p)) {
+      fs.rename(old, p) // roll back
+      throw new java.io.IOException(
+        s"compactBandIndex: rename $t -> $p failed; rolled back")
+    }
+    fs.delete(old, true)
+  }
 
   // ---- Stateful sessionization (flatMapGroupsWithState) ----
 

@@ -190,6 +190,41 @@ class GraphStreamSpec extends SparkSpecBase {
     assert(spark.read.parquet(idx).count() == got.size * 4L)
   }
 
+  test("band index compaction bounds file count; suppression survives the rewrite") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft-compact")
+    val idx = tmpDir("compact-idx") + "/idx"
+    val out = tmpDir("compact-out") + "/out"
+    def doc(id: Long) = (id, (0 until 60).map(j => s"tok${id}x$j").mkString(" "))
+    // six single-file micro-batches of fresh unique-token docs; the LAST
+    // batch re-sends batch-0's doc 0 under a new id — it must still
+    // collide after the index has been compacted twice in between
+    val batches: Seq[Seq[(Long, String)]] =
+      Seq(Seq(doc(0), doc(1)), Seq(doc(2), doc(3)), Seq(doc(4)),
+        Seq(doc(5)), Seq(doc(6)), Seq(doc(7), (100000L, doc(0)._2)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(stage.resolve(s"b$i").toString)
+    }
+    val in = spark.readStream
+      .schema(batches.head.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+    val q = EventStream.streamNearDedupIngest(in, idx, out,
+      compactEvery = 2, compactFiles = 2)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0L to 7L).toSet, s"unexpected survivors $got")
+    // 6 micro-batches → compactions after batches 2, 4 and 6 (the last
+    // append included): the live index is exactly the final rewrite,
+    // never the per-batch file accumulation
+    val dataFiles = new java.io.File(idx).listFiles.filter { f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")
+    }
+    assert(dataFiles.length <= 2, s"index not compacted: ${dataFiles.length} files")
+    assert(spark.read.parquet(idx).count() == got.size * 4L)
+  }
+
   test("stratified sample predicate is stream/batch-identical (stateless)") {
     // the hash-threshold sampler keeps no state, so applying it to a
     // document STREAM must admit exactly the batch survivors — this is
