@@ -129,14 +129,13 @@ object Queries {
         val triples = Tables.starTriples(s, d)
         val wanted = triples.filter(col("pred") === "nation" && col("subj").startsWith("supp:"))
           .select(col("obj").as("k"))
-        import org.apache.spark.util.sketch.BloomFilter
-        // same degeneracy floor as TripleStore.bloom: tiny filters make
-        // double-hashing probes collapse and FPs appear at any fpp
-        val n = math.max(wanted.count(), graft.store.TripleStore.MinBloomItems)
-        val bf = wanted.select(col("k")).na.drop()
-          .rdd.map(_.getString(0))
-          .treeAggregate(BloomFilter.create(n, 1e-9))(
-            (f, x) => { f.putString(x); f }, (a, b) => { a.mergeInPlace(b); a })
+        // one-pass build: count folded into the filter aggregate, sized
+        // at the MinBloomItems floor (one-nation-per-supplier keys stay
+        // dimension-scale; a corpus exceeding the floor triggers
+        // bloomOnePass's exact rebuild — the old two-job shape, never
+        // worse)
+        val bf = graft.store.TripleStore.bloomOnePass(
+          wanted, graft.store.TripleStore.MinBloomItems, 1e-9)
         val bc = s.sparkContext.broadcast(bf)
         triples.filter(col("pred") === "name" &&
           graft.functions.GraftFunctions.bloomProbe(col("subj"), bc))

@@ -149,19 +149,33 @@ final class TripleStore(
       case None     => all
     }
     val keyed = slice.select(GraftFunctions.canonicalKey().as("k"))
-    // Floor the size estimate: a few-hundred-bit filter degenerates —
-    // Spark's double-hashing probes (h1 + i·h2 mod numBits) collapse to
-    // one bit whenever h2 ≡ 0 mod numBits, which is likely at tiny
-    // numBits and makes the real FP rate orders of magnitude worse than
-    // fpp. 10k items ⇒ ~53 KB at 1e-9 — negligible, non-degenerate.
-    val n = math.max(keyed.count(), TripleStore.MinBloomItems)
-    // Partial filters built per partition, merged pairwise on executors
-    // (treeAggregate), one small filter to the driver — scales to any
-    // row count without driver-side row materialization.
-    import org.apache.spark.sql.Encoders
-    keyed.as[String](Encoders.STRING).rdd.treeAggregate(BloomFilter.create(n, fpp))(
-      (f, s) => { f.putString(s); f },
-      (a, b) => { a.mergeInPlace(b); a })
+    // Capacity bound from parquet footers — a driver-side metadata read,
+    // NOT a Spark job (the old shape paid a count() action before the
+    // build). Exact for the unsliced store; for a keyspace slice it
+    // over-sizes by the slice fraction (≤2× for the reference's
+    // half-ring), which only lowers the realized FP rate.
+    TripleStore.bloomOnePass(keyed, metadataRowCount, fpp)
+  }
+
+  /** Exact store row count summed from parquet footers on the driver —
+    * metadata IO only, no executor job, no column data read.
+    */
+  private def metadataRowCount: Long = {
+    if (!exists) return 0L
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
   }
 
   /** Triples whose canonical key tests positive in `filter` — the
@@ -268,6 +282,36 @@ object TripleStore {
 
   /** Minimum expected-items for bloom sizing (degeneracy guard). */
   val MinBloomItems: Long = 10000L
+
+  /** One-pass bloom build: the filter is sized at `max(bound,
+    * MinBloomItems)` and the SAME treeAggregate counts the items as it
+    * inserts them; only if the count exceeds the capacity (the bound was
+    * wrong) does an exact-size rebuild run. So the common path — any
+    * bound that holds, including the default floor for dimension-scale
+    * key sets — is ONE job where size-then-build always paid two, and
+    * the worst case equals the old shape. Partial filters are built per
+    * partition and merged pairwise on executors; one small filter
+    * reaches the driver.
+    *
+    * The MinBloomItems floor is the degeneracy guard: a few-hundred-bit
+    * filter collapses — Spark's double-hashing probes
+    * (h1 + i·h2 mod numBits) hit one bit whenever h2 ≡ 0 mod numBits,
+    * likely at tiny numBits, making the real FP rate orders of magnitude
+    * worse than fpp. 10k items ⇒ ~53 KB at 1e-9 — negligible.
+    */
+  private[graft] def bloomOnePass(keyed: DataFrame, bound: Long,
+      fpp: Double): BloomFilter = {
+    import org.apache.spark.sql.Encoders
+    val keys = keyed.na.drop().as[String](Encoders.STRING).rdd
+    val cap = math.max(bound, MinBloomItems)
+    val (n, bf) = keys.treeAggregate((0L, BloomFilter.create(cap, fpp)))(
+      { case ((c, f), s) => f.putString(s); (c + 1, f) },
+      { case ((ca, a), (cb, b)) => a.mergeInPlace(b); (ca + cb, a) })
+    if (n <= cap) bf
+    else keys.treeAggregate(BloomFilter.create(n, fpp))(
+      (f, s) => { f.putString(s); f },
+      (a, b) => { a.mergeInPlace(b); a })
+  }
 
   final case class StoreInfo(triples: Long, diskBytes: Long, freeDiskBytes: Long)
 
