@@ -114,6 +114,12 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in dedup_ngram_jaccard plan:\n${p.take(2000)}")
   }
 
+  test("containment plan is keyed joins only (shingle inverted index, no all-pairs)") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in dedup_containment plan:\n${p.take(2000)}")
+  }
+
   test("banded minhash self-join evaluates the signature subtree once (exchange reuse)") {
     val p = plan("dedup_minhash")
     // both sides of the (band, key) self-join descend from the SAME
