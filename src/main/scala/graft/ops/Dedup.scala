@@ -278,6 +278,13 @@ object Dedup {
     * biasing the ratio; the oracle mirrors the cap in QUALIFY. Cost is
     * O(Σ_sh df²) ≤ cap · |shingle rows| — linear in the corpus for a
     * fixed cap, every join keyed on the shingle or the (a, b) pair.
+    * A prefix-filtered (rarest-(1-t)·sz-shingles probe) variant was
+    * measured and REJECTED: on a vocab-saturated corpus no shingle is
+    * rare, so the prefix prunes nothing while its separate
+    * candidates-then-verify rejoin multiplies pairs × full doc shingles
+    * — 3-5× slower at 10× sf0.1 on both the replicated and perturbed
+    * corpora (SCALE.md round-5); the direct join only ever materializes
+    * co-occurrence rows. Lower `maxShingleDf` is the scale knob here.
     *
     * Output: (a, b, containment, contained_id) with a < b,
     * containment >= threshold; `contained_id` is the smaller-set side
