@@ -991,6 +991,24 @@ object Queries {
       },
       Some(TextSql.curation(minQuality = 7000))),
 
+    // Mixture-shaping quota: per predicted language keep the top-5 docs
+    // by quality (tie → smallest doc_id) — the selection step after
+    // scoring. One narrow scoring pass, one shuffle on lang_pred; with
+    // small quotas over many groups the bounded TopKAggregator form
+    // (window_topk_per_customer_agg) substitutes unchanged — ≤k rows
+    // per group through the shuffle instead of a full sort window.
+    "pipeline_quota_sample" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang_pred").orderBy(desc("quality"), asc("doc_id"))
+        graft.ops.TextOps.stats(Tables.documents(s, d))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("lang_pred", "doc_id", "quality")
+          .orderBy("lang_pred", "doc_id")
+      },
+      Some(TextSql.quotaSample(perLang = 5))),
+
     // ===== Extension: LLM-pipeline — deduplication =====
     "dedup_exact" -> Q(
       (s, d) => graft.ops.Dedup.exactGroups(plantedDocs(s, d, exact = true))

@@ -76,6 +76,26 @@ object TextSql {
        |  FROM t WHERE lang_pred = 'en' AND quality >= $minQuality)
        |SELECT doc_id, quality FROM f WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Per-language quality quota mirror: keep the top `perLang` docs by
+    * (quality DESC, doc_id ASC) within each PREDICTED language — the
+    * mixture-shaping selection a curation pipeline runs after scoring.
+    * Same quality/langid expressions as stats/curation (shared
+    * fragments), so the gate catches drift in either.
+    */
+  def quotaSample(perLang: Int = 5): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |    $scoreCols
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, $qualityExpr AS quality, $langPredCase AS lang_pred FROM s),
+       |r AS (
+       |  SELECT doc_id, lang_pred, quality,
+       |    row_number() OVER (PARTITION BY lang_pred ORDER BY quality DESC, doc_id) AS rn
+       |  FROM t)
+       |SELECT lang_pred, doc_id, quality FROM r WHERE rn <= $perLang
+       |ORDER BY lang_pred, doc_id""".stripMargin
+
   /** Planted-duplicate construction shared by the dedup oracles; mirrors
     * Queries.plantedDocs.
     */
