@@ -1351,6 +1351,27 @@ object Queries {
         .orderBy("query_id", "rnk"),
       Some(TextSql.simAnnLsh)),
 
+    // Recall@10 of the ANN path vs the brute-force baseline, in-engine —
+    // the measurement every ANN deployment needs as a standing health
+    // check (run it on a sampled query set at scale). Left join on the
+    // exact top-k so misses count as 0; both sides' own oracles compose
+    // into this one's.
+    "sim_ann_recall" -> Q(
+      (s, d) => {
+        val sim = graft.ops.Similarity
+        val exact = sim.bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L), k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val ann = sim.lshTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L), k = 10)
+          .select(col("query_id").as("aq"), col("vec_id").as("av"))
+        exact.join(ann,
+            col("query_id") === col("aq") && col("vec_id") === col("av"), "left")
+          .groupBy("query_id")
+          .agg(count(col("av")).as("hits"),
+            (count(col("av")) * 10).as("recall_pct"))
+          .orderBy("query_id")
+      },
+      Some(TextSql.simAnnRecall)),
+
     // ===== Extension: LLM-pipeline — multimodal columns =====
     "multimodal_bytes" -> Q(
       (s, d) => graft.ops.Multimodal.byteStats(Tables.documents(s, d))

@@ -344,6 +344,20 @@ object TextSql {
       |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** ANN recall report mirror: recall@10 of the sign-LSH path against
+    * the brute-force baseline per query id — the two existing mirrors
+    * composed as subqueries, so drift in EITHER pipeline breaks this
+    * gate too.
+    */
+  val simAnnRecall: String =
+    s"""WITH e AS (SELECT query_id, vec_id FROM ($simCosineTopk)),
+       |a AS (SELECT query_id, vec_id FROM ($simAnnLsh))
+       |SELECT e.query_id,
+       |  CAST(count(a.vec_id) AS BIGINT) AS hits,
+       |  CAST(count(a.vec_id) * 10 AS BIGINT) AS recall_pct
+       |FROM e LEFT JOIN a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
   /** Fixed-point IVF mirror: scaled BIGINT vectors, integer squared-L2
     * argmin assignment (ties to the lowest cell), floor-of-double-mean
     * centroid updates, `iters` unrolled Lloyd rounds, then nprobe
