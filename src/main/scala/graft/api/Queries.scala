@@ -736,6 +736,40 @@ object Queries {
           |GROUP BY user_id, session_id
           |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Event-sequence mining: the per-user next-event transition matrix
+    // (first-order Markov counts) with a fixed-point conditional
+    // probability. One shuffle on user_id feeds the lead(); the matrix
+    // itself is |event_types|² rows at ANY corpus size, so the final
+    // aggregate map-side combines down to almost nothing. p is derived
+    // in exact integer arithmetic (n·10⁶ / row-total) so both engines
+    // floor the same IEEE quotient.
+    "events_markov_transitions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val counts = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("p_x1e6",
+            floor(col("n") * lit(1000000L) /
+              sum("n").over(Window.partitionBy("event_type"))).cast("long"))
+          .orderBy("event_type", "next_type")
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT event_type, lead(event_type) OVER
+          |      (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          |  FROM events),
+          |c AS (SELECT event_type, next_type, count(*) AS n FROM t
+          |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT event_type, next_type, n,
+          |  CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY event_type)) AS BIGINT) AS p_x1e6
+          |FROM c ORDER BY event_type, next_type""".stripMargin)),
+
     // Exact percentiles (interpolated) per group.
     "percentile_order_value" -> Q(
       (s, d) => Tables.orders(s, d)
@@ -952,6 +986,20 @@ object Queries {
         .componentSizes(graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d))
         .orderBy(desc("n"), asc("component")).limit(20),
       Some(GraphSql.ccSizes(rounds = 20, limit = 20))),
+
+    // Degree distribution of the triples graph (the classic power-law
+    // sanity report): out-degree per subject, then a histogram over
+    // degrees. Two map-side-combining aggregates, key spaces |V| then
+    // |distinct degrees| — no wide row ever materializes.
+    "graph_degree_distribution" -> Q(
+      (s, d) => Tables.starTriples(s, d)
+        .groupBy("subj").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg"),
+      Some(withCte(
+        """SELECT deg, count(*) AS n_nodes
+          |FROM (SELECT subj, count(*) AS deg FROM triples GROUP BY subj)
+          |GROUP BY deg ORDER BY deg""".stripMargin))),
 
     // ===== Extension: LLM-pipeline — text analysis =====
     "text_stats" -> Q(
@@ -1305,6 +1353,78 @@ object Queries {
         .orderBy(desc("df"), asc("w")).limit(15),
       Some(TextSql.topDfTerms(15))),
 
+    // Training-prep chunking: fixed token windows (size 32, stride 24,
+    // i.e. 8-token overlap) per document — the context-window slicing a
+    // pretokenization pipeline runs before packing. (Window sized to the
+    // 10–100-token synthetic docs so multi-chunk splitting is actually
+    // exercised; a production corpus would use 1024/768 — the plan is
+    // size-independent.) Only the token COUNT enters the plan (window
+    // boundaries are arithmetic over it), so this is a codegen
+    // projection + explode: no token arrays materialize, no shuffle
+    // before the output sort.
+    "text_chunk_windows" -> Q(
+      (s, d) => {
+        val size = 32L; val stride = 24L
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+          .withColumn("n_chunks",
+            when(col("n_tok") <= size, lit(1L))
+              .otherwise(lit(1L) +
+                ceil((col("n_tok") - size).cast("double") / stride).cast("long")))
+          .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+          .select(col("doc_id"), col("chunk_idx"),
+            least(lit(size), col("n_tok") - col("chunk_idx") * stride).as("chunk_tokens"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(
+        """WITH d AS (SELECT doc_id,
+          |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+          |  FROM documents),
+          |c AS (SELECT doc_id, n_tok,
+          |    CASE WHEN n_tok <= 32 THEN 1
+          |         ELSE 1 + CAST(ceil((n_tok - 32) / 24.0) AS BIGINT) END AS n_chunks
+          |  FROM d),
+          |u AS (SELECT doc_id, n_tok,
+          |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx FROM c)
+          |SELECT doc_id, chunk_idx,
+          |  CAST(least(32, n_tok - chunk_idx * 24) AS BIGINT) AS chunk_tokens
+          |FROM u ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Bigram language-model statistics: adjacent-token pair counts with
+    // a fixed-point conditional probability p(w2|w1), top 50 by count.
+    // The bigram explode is corpus-linear (tokens − docs rows); the
+    // count aggregate map-side combines on (w1,w2); the top-50 is a
+    // TakeOrdered, never a full sort.
+    "text_bigram_topk" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = Tables.documents(s, d)
+          .select(expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t != '')").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(explode(expr(
+            "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+        pairs
+          .withColumn("p_x1e6",
+            floor(col("n") * lit(1000000L) /
+              sum("n").over(Window.partitionBy("w1"))).cast("long"))
+          .orderBy(desc("n"), asc("w1"), asc("w2")).limit(50)
+      },
+      Some(
+        """WITH t AS (SELECT list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |u AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          |      FROM t WHERE len(tk) >= 2),
+          |c AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS n
+          |      FROM u GROUP BY 1, 2)
+          |SELECT w1, w2, n,
+          |  CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY w1)) AS BIGINT) AS p_x1e6
+          |FROM c ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin)),
+
     // Per-dimension embedding stats in fixed-point (floor(x·10⁶) —
     // integer min/max/mean are order-free, so the parallel aggregation
     // is bit-reproducible; a double SUM would be ulp-order-dependent).
@@ -1322,6 +1442,46 @@ object Queries {
           max("q").as("max_x1e6"))
         .orderBy("dim"),
       Some(TextSql.embDimStats)),
+
+    // Embedding-quantization QA: per-label mean reconstruction error of
+    // symmetric int8 quantization (q = floor(x·127/max|x|), recon =
+    // q·max|x|/127) — the report a pipeline runs before shipping
+    // quantized vectors to an ANN index. All math happens in
+    // floor(x·10⁶) fixed-point so both engines aggregate exact BIGINTs
+    // (the two interior divisions are IEEE-double quotients of exact
+    // integers — bit-identical cross-engine); the whole query is one
+    // codegen projection over the vectors plus a map-side-combining
+    // aggregate on the tiny label key space.
+    "emb_quantize_error" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000) as bigint))").as("q"))
+        .withColumn("smax",
+          expr("aggregate(q, cast(0 as bigint), (a, x) -> greatest(a, abs(x)))"))
+        .filter(col("smax") > 0)
+        .withColumn("err", expr(
+          """aggregate(q, cast(0 as bigint), (a, x) -> a + abs(x -
+            |cast(floor(cast(floor(x * 127.0 / smax) as bigint) * smax / 127.0) as bigint)))""".stripMargin))
+        .withColumn("dims", size(col("q")).cast("long"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          floor(sum(col("err")).cast("double") / sum(col("dims"))).cast("long")
+            .as("mean_abs_err_x1e6"))
+        .orderBy("label"),
+      Some(
+        """WITH v AS (SELECT label, list_transform(CAST(embedding AS DOUBLE[]),
+          |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS q FROM embeddings),
+          |m AS (SELECT label, q, list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT), list_transform(q, x -> abs(x))),
+          |    (a, b) -> greatest(a, b)) AS smax FROM v),
+          |e AS (SELECT label, len(q) AS dims, list_reduce(
+          |    list_prepend(CAST(0 AS BIGINT), list_transform(q,
+          |      x -> abs(x - CAST(floor(CAST(floor(x * 127.0 / smax) AS BIGINT) * smax / 127.0) AS BIGINT)))),
+          |    (a, b) -> a + b) AS err
+          |  FROM m WHERE smax > 0)
+          |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+          |  CAST(floor(CAST(sum(err) AS DOUBLE) / CAST(sum(dims) AS DOUBLE)) AS BIGINT) AS mean_abs_err_x1e6
+          |FROM e GROUP BY label ORDER BY label""".stripMargin)),
 
     // Float-kmeans IVF (rows-only: parallel float means are only
     // reproducible to ulps); the fixed-point twin below is oracle-gated.
@@ -1403,7 +1563,36 @@ object Queries {
             floor(c("mean_byte") * 10000).cast("long").as("mean_byte_x10k"))
           .orderBy("asset_id")
       },
-      Some(TextSql.multimodalFeatures))
+      Some(TextSql.multimodalFeatures)),
+
+    // Exact-duplicate detection over the binary asset payload — the
+    // multimodal face of dedup_exact: one digest groupBy on md5 of the
+    // hex payload (hex so any engine reproduces the digest input),
+    // groups > 1 kept, canonical = min asset id. At scale this is a
+    // single shuffle on a 128-bit key, identical to text exact dedup.
+    // Runs over the planted corpus (exact copies under id+100000) so
+    // the detector has real duplicates to find.
+    "multimodal_dedup" -> Q(
+      (s, d) => graft.ops.Multimodal.assetsFromDocuments(
+          plantedDocs(s, d, exact = true)).toDF()
+        .select(col("asset_id"), md5(hex(col("content"))).as("digest"),
+          length(col("content")).cast("long").as("nb"))
+        .groupBy("digest")
+        .agg(count(lit(1)).as("n_assets"), min("asset_id").as("canonical_id"),
+          min("nb").as("n_bytes"))
+        .filter(col("n_assets") > 1)
+        .orderBy("digest"),
+      Some(
+        """WITH docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+          |a AS (SELECT doc_id AS asset_id, md5(hex(encode(text))) AS digest,
+          |        CAST(octet_length(encode(text)) AS BIGINT) AS nb
+          |      FROM docs)
+          |SELECT digest, count(*) AS n_assets, min(asset_id) AS canonical_id,
+          |  min(nb) AS n_bytes
+          |FROM a GROUP BY digest HAVING count(*) > 1 ORDER BY digest""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -464,4 +464,79 @@ class OpsSpec extends SparkSpecBase {
     assert(out(3L)._1 == "und")
     assert(out(4L)._2 == out(5L)._2, "fingerprint must normalize case+whitespace")
   }
+
+  test("markov transitions: rows are a probability matrix (per-source p sums to ~1e6)") {
+    val rows = api.Queries.registry("events_markov_transitions")
+      .fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[String]("event_type"))
+    bySrc.foreach { case (src, rs) =>
+      val pSum = rs.map(_.getAs[Long]("p_x1e6")).sum
+      // floor() loses < 1 per destination row
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length,
+        s"$src: p sums to $pSum over ${rs.length} rows")
+    }
+  }
+
+  test("chunk windows: every doc fully covered, windows in (0, size]") {
+    val rows = api.Queries.registry("text_chunk_windows").fn(spark, dir).collect()
+    assert(rows.forall { r =>
+      val t = r.getAs[Long]("chunk_tokens"); t > 0 && t <= 32
+    })
+    // the furthest window must end exactly at the doc's token count
+    val nTok = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    val maxEnd = rows.groupBy(_.getAs[Long]("doc_id")).map { case (id, rs) =>
+      id -> rs.map(r => r.getAs[Long]("chunk_idx") * 24 + r.getAs[Long]("chunk_tokens")).max
+    }
+    assert(maxEnd == nTok.filter { case (_, n) => n > 0 })
+    // the fixture must actually exercise multi-chunk docs
+    assert(rows.exists(_.getAs[Long]("chunk_idx") > 0), "no doc split into >1 chunk")
+  }
+
+  test("bigram topk: hand-built corpus yields the expected pair and conditional p") {
+    import spark.implicits._
+    val tiny = Seq((0L, "a b a b c"), (1L, "a b")).toDF("doc_id", "text")
+    // bigrams: (a,b)x3 via docs 0+1, (b,a)x1, (b,c)x1
+    val toks = tiny.select(expr(
+        "filter(split(lower(text), '\\\\s+'), t -> t != '')").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2")).groupBy("w1", "w2").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+    assert(toks == Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L))
+    // and the declared query runs with sane conditionals
+    val rows = api.Queries.registry("text_bigram_topk").fn(spark, dir).collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getAs[Long]("p_x1e6") > 0 && r.getAs[Long]("p_x1e6") <= 1000000L))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not sorted by n desc")
+  }
+
+  test("quantize error: bounded by one quantization step, labels distinct") {
+    val real = api.Queries.registry("emb_quantize_error").fn(spark, dir).collect()
+    assert(real.nonEmpty)
+    // error is in fixed-point 1e6 units; one quantization step is
+    // smax/127 ≤ max|x|·1e6/127 — embeddings are unit-ish, so < 16000
+    assert(real.forall { r =>
+      val e = r.getAs[Long]("mean_abs_err_x1e6"); e >= 0 && e < 16000
+    })
+    val labels = real.map(_.getAs[Long]("label"))
+    assert(labels.distinct.length == labels.length)
+  }
+
+  test("multimodal dedup: exactly the planted payload copies, canonical original") {
+    val rows = api.Queries.registry("multimodal_dedup").fn(spark, dir).collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getAs[Long]("n_assets") == 2L))
+    assert(rows.forall(_.getAs[Long]("canonical_id") < 50))
+  }
+
+  test("degree distribution: mass balance against the triples view") {
+    val rows = api.Queries.registry("graph_degree_distribution").fn(spark, dir).collect()
+    val mass = rows.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
+    assert(mass == api.Tables.starTriples(spark, dir).count())
+  }
 }
