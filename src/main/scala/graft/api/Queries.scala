@@ -1063,6 +1063,46 @@ object Queries {
         .orderBy("fp"),
       Some(TextSql.dedupExact)),
 
+    // Curation observability: per-source duplicate rate (a doc is a
+    // duplicate iff its fingerprint group has >1 member and it is not
+    // the min-id canonical). One shuffle on the 128-bit fingerprint for
+    // the group window, then a map-side-combining aggregate on the tiny
+    // source key space; rate in exact fixed-point.
+    "dedup_rate_by_source" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("fp")
+        plantedDocs(s, d, exact = true)
+          .select(col("doc_id"), col("source"),
+            graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+          .withColumn("grp_n", count(lit(1)).over(w))
+          .withColumn("grp_min", min("doc_id").over(w))
+          .withColumn("is_dup",
+            (col("grp_n") > 1 && col("doc_id") =!= col("grp_min")).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"),
+            floor(sum("is_dup") * lit(1000000L) / count(lit(1))).cast("long")
+              .as("dup_rate_x1e6"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id < 50),
+          |f AS (SELECT doc_id, source,
+          |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          |      FROM docs),
+          |g AS (SELECT doc_id, source,
+          |        count(*) OVER (PARTITION BY fp) AS grp_n,
+          |        min(doc_id) OVER (PARTITION BY fp) AS grp_min
+          |      FROM f)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN grp_n > 1 AND doc_id <> grp_min THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+          |  CAST(floor(sum(CASE WHEN grp_n > 1 AND doc_id <> grp_min THEN 1 ELSE 0 END) * 1000000
+          |    / count(*)) AS BIGINT) AS dup_rate_x1e6
+          |FROM g GROUP BY source ORDER BY source""".stripMargin)),
+
     "dedup_minhash" -> Q(
       (s, d) => graft.ops.Dedup.minhashPairs(plantedDocs(s, d, exact = false), k = 8, bands = 4)
         .orderBy("a", "b"),
@@ -1531,6 +1571,51 @@ object Queries {
           .orderBy("query_id")
       },
       Some(TextSql.simAnnRecall)),
+
+    // kNN label classification: majority vote over the 10 exact cosine
+    // neighbors of each of the first 10 vectors (ties to the smallest
+    // label) — the weak-supervision / label-propagation building block.
+    // The neighbor list is tiny (|Q|·k rows), so it BROADCASTS into the
+    // label join; the vote argmax windows over |Q|·|labels| rows. At
+    // scale the expensive half is the neighbor search itself, which is
+    // the already-benched brute-force/LSH/IVF family — classification
+    // adds one broadcast join + one window over a vanishing row count.
+    "sim_knn_classify" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nn = graft.ops.Similarity.bruteForceTopK(
+            Tables.embeddings(s, d), queryIds = (0L until 10L), k = 10)
+          .select(col("query_id"), col("vec_id"))
+        val labels = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("nbr_label"))
+        val votes = labels.join(broadcast(nn), "vec_id")
+          .groupBy("query_id", "nbr_label").agg(count(lit(1)).as("votes"))
+        votes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("query_id").orderBy(desc("votes"), asc("nbr_label"))))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("nbr_label").as("pred_label"), col("votes"))
+          .orderBy("query_id")
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+          |scored AS (
+          |  SELECT query_id, vec_id,
+          |    round(list_dot_product(e, qe)
+          |      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
+          |  FROM v CROSS JOIN q WHERE vec_id <> query_id),
+          |r AS (SELECT query_id, vec_id,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+          |      FROM scored),
+          |nn AS (SELECT query_id, vec_id FROM r WHERE rnk <= 10),
+          |votes AS (SELECT nn.query_id, CAST(v.label AS BIGINT) AS nbr_label, count(*) AS votes
+          |          FROM nn JOIN v ON v.vec_id = nn.vec_id GROUP BY 1, 2),
+          |w AS (SELECT query_id, nbr_label, votes,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nbr_label) AS rn
+          |      FROM votes)
+          |SELECT query_id, nbr_label AS pred_label, votes FROM w WHERE rn = 1
+          |ORDER BY query_id""".stripMargin)),
 
     // ===== Extension: LLM-pipeline — multimodal columns =====
     "multimodal_bytes" -> Q(

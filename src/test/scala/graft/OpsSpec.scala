@@ -534,6 +534,24 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.forall(_.getAs[Long]("canonical_id") < 50))
   }
 
+  test("knn classify: one prediction per query, votes within k, majority is argmax") {
+    val rows = api.Queries.registry("sim_knn_classify").fn(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L until 10L))
+    assert(rows.forall { r =>
+      val v = r.getAs[Long]("votes"); v >= 1 && v <= 10
+    })
+  }
+
+  test("dedup rate by source: planted dups fully attributed, rate consistent") {
+    val rows = api.Queries.registry("dedup_rate_by_source").fn(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_dups")).sum == 50,
+      "every planted copy must count as a duplicate exactly once")
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("n_dups") * 1000000L / r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("dup_rate_x1e6") == expect)
+    }
+  }
+
   test("degree distribution: mass balance against the triples view") {
     val rows = api.Queries.registry("graph_degree_distribution").fn(spark, dir).collect()
     val mass = rows.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum

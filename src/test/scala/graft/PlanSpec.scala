@@ -177,4 +177,29 @@ class PlanSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("user_id"), "unused events column not pruned")
   }
+
+  test("bigram top-50 is a TakeOrdered, never a full global sort") {
+    val p = plan("text_bigram_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit+sort not fused to TakeOrdered:\n${p.take(2000)}")
+  }
+
+  test("chunk windows plan has no shuffle before the presentation sort") {
+    val p = plan("text_chunk_windows")
+    // token count + window arithmetic + explode are all per-row; the
+    // only exchange allowed is the final ORDER BY's range partition
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle:\n${p.take(2000)}")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n${p.take(2000)}")
+  }
+
+  test("multimodal dedup is one digest shuffle with a map-side partial") {
+    // AQE's toString prints Final AND Initial plan sections — count
+    // shuffles in the final section only
+    val p = plan("multimodal_dedup").split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly one hash shuffle, got $shuffles:\n${p.take(2500)}")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"no partial/final aggregate pair:\n${p.take(2500)}")
+  }
 }
