@@ -230,4 +230,44 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  // ---- Stateful transition mining (the streaming twin of
+  //      events_markov_transitions) ----
+
+  final case class TypedEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  final case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, src: String, dst: String)
+
+  /** Per-user next-event transition pairs with explicit keyed state: the
+    * last-seen event survives in the state store across micro-batches,
+    * so a pair is emitted for every consecutive event pair in the
+    * stream, including pairs that straddle a batch boundary. State is
+    * ONE row per active user (the property that keeps it runnable
+    * forever); downstream counting is an ordinary streaming aggregate
+    * over the emitted pairs. Same in-batch sort + monotone-batch
+    * assumption as [[sessionize]].
+    */
+  def transitions(events: org.apache.spark.sql.Dataset[TypedEvent])
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(user: Long, it: Iterator[TypedEvent],
+        state: GroupState[LastEvent]): Iterator[Transition] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var last = state.getOption
+      val out = Seq.newBuilder[Transition]
+      sorted.foreach { e =>
+        last.foreach(l => out += Transition(user, l.event_type, e.event_type))
+        last = Some(LastEvent(e.ts_us, e.event_id, e.event_type))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

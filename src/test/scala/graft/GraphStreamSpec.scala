@@ -278,4 +278,68 @@ class GraphStreamSpec extends SparkSpecBase {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stateful transitions converge to batch lead() counts; pairs straddle batches") {
+    import spark.implicits._
+    // explicit two-batch fixture: user 1's last batch-1 event (t=30,
+    // view) pairs with its first batch-2 event (t=40, click) ONLY if
+    // the last-event state survives the micro-batch boundary
+    val stage = java.nio.file.Files.createTempDirectory("graft-trans")
+    Seq((1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "view"),
+        (2L, 15L, 4L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Seq((1L, 40L, 5L, "click"), (2L, 25L, 6L, "purchase"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val in = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+      .as[EventStream.TypedEvent]
+    val q = EventStream.transitions(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_transitions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_transitions")
+        .groupBy("src", "dst").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+      // user 1: view→click, click→view, view→click(cross-batch);
+      // user 2: view→purchase(cross-batch)
+      assert(got == Map(("view", "click") -> 2L, ("click", "view") -> 1L,
+        ("view", "purchase") -> 1L), s"got $got")
+    } finally q.stop()
+
+    // and on the real corpus: streamed counts equal the batch window query
+    val stage2 = java.nio.file.Files.createTempDirectory("graft-trans2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage2.resolve("events-000.parquet"))
+    val in2 = EventStream.readEvents(spark, stage2.toString)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[EventStream.TypedEvent]
+    val q2 = EventStream.transitions(in2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_transitions2").start()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("stream_transitions2")
+        .groupBy("src", "dst").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val batch = Tables.events(spark, dir)
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst")).count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("count")).toMap
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q2.stop()
+  }
 }
