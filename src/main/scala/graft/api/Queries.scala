@@ -1039,6 +1039,33 @@ object Queries {
       },
       Some(TextSql.curation(minQuality = 7000))),
 
+    // Curation observability: survivor counts at each pipeline stage
+    // (all → langid → quality gate → exact dedup). Stages 0-2 come from
+    // ONE aggregate over the scoring pass (stack() pivots the row to
+    // stage rows); only the dedup stage needs its fingerprint window.
+    // Two jobs total at any corpus size.
+    "pipeline_filter_funnel" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = graft.ops.TextOps.stats(Tables.documents(s, d))
+        val flat = t.agg(
+            count(lit(1)).as("n_all"),
+            sum((col("lang_pred") === "en").cast("long")).as("n_lang"),
+            sum((col("lang_pred") === "en" && col("quality") >= 7000)
+              .cast("long")).as("n_q"))
+          .selectExpr(
+            "stack(3, '0_all', n_all, '1_lang_en', n_lang, '2_quality', n_q) AS (stage, n_docs)")
+        val kept = t.filter(col("lang_pred") === "en" && col("quality") >= 7000)
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("stage", lit("3_dedup"))
+          .select("stage", "n_docs")
+        flat.unionByName(kept).orderBy("stage")
+      },
+      Some(TextSql.curationFunnel(minQuality = 7000))),
+
     // Mixture-shaping quota: per predicted language keep the top-5 docs
     // by quality (tie → smallest doc_id) — the selection step after
     // scoring. One narrow scoring pass, one shuffle on lang_pred; with
@@ -1382,6 +1409,48 @@ object Queries {
           max("df").as("max_df"))
       },
       Some(TextSql.vocabStats)),
+
+    // Heaps-law vocabulary growth: new terms and cumulative vocabulary
+    // per log2 doc-id bucket, via each term's FIRST document — one
+    // aggregate on the term key (min doc_id), then a ~log(n)-row
+    // histogram + running sum. The naive form (distinct-count per
+    // growing prefix) rescans the corpus once per point; the
+    // first-occurrence trick gets the whole curve from one scan + one
+    // term-keyed shuffle, at any corpus size. Buckets are log-spaced
+    // because vocabulary growth concentrates early (the synthetic
+    // corpus saturates its fixed token set within the first docs —
+    // linear deciles collapse to one row); the bucket index is the
+    // BINARY-STRING length of first_doc+1, exact integer semantics in
+    // both engines (no float log2 at power-of-two boundaries).
+    "text_vocab_growth" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(graft.ops.TextOps.tokens(col("text")))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(min("doc_id").as("first_doc"))
+          .withColumn("log2_bucket",
+            (length(bin(col("first_doc") + 1)) - 1).cast("long"))
+          .groupBy("log2_bucket").agg(count(lit(1)).as("new_terms"))
+          .withColumn("cum_vocab",
+            sum("new_terms").over(Window.orderBy("log2_bucket")
+              .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+          .orderBy("log2_bucket")
+      },
+      Some(
+        """WITH fd AS (
+          |  SELECT w, min(doc_id) AS first_doc FROM (
+          |    SELECT DISTINCT doc_id, w FROM (
+          |      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+          |      FROM documents)
+          |    WHERE w <> '') GROUP BY w),
+          |h AS (SELECT CAST(length(bin(first_doc + 1)) - 1 AS BIGINT) AS log2_bucket,
+          |        count(*) AS new_terms
+          |      FROM fd GROUP BY 1)
+          |SELECT log2_bucket, new_terms,
+          |  CAST(sum(new_terms) OVER (ORDER BY log2_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+          |FROM h ORDER BY log2_bucket""".stripMargin)),
 
     // Highest-document-frequency terms (stopword discovery).
     "text_top_df_terms" -> Q(

@@ -96,6 +96,36 @@ object TextSql {
        |SELECT lang_pred, doc_id, quality FROM r WHERE rn <= $perLang
        |ORDER BY lang_pred, doc_id""".stripMargin
 
+  /** Stage-by-stage survivor counts of the curation pipeline (all →
+    * langid → quality gate → exact dedup) — same shared fragments as
+    * stats/curation, so the funnel drifts with them.
+    */
+  def curationFunnel(minQuality: Long = 7000): String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |    $scoreCols
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    $qualityExpr AS quality,
+       |    $langPredCase AS lang_pred,
+       |    $fpExpr AS fp
+       |  FROM s),
+       |c AS (SELECT count(*) AS n_all,
+       |        sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS n_lang,
+       |        sum(CASE WHEN lang_pred = 'en' AND quality >= $minQuality THEN 1 ELSE 0 END) AS n_q
+       |      FROM t),
+       |k AS (SELECT count(*) AS n_kept FROM (
+       |        SELECT row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |        FROM t WHERE lang_pred = 'en' AND quality >= $minQuality)
+       |      WHERE rn = 1)
+       |SELECT stage, n_docs FROM (
+       |  SELECT '0_all' AS stage, CAST(n_all AS BIGINT) AS n_docs FROM c
+       |  UNION ALL SELECT '1_lang_en', CAST(n_lang AS BIGINT) FROM c
+       |  UNION ALL SELECT '2_quality', CAST(n_q AS BIGINT) FROM c
+       |  UNION ALL SELECT '3_dedup', CAST(n_kept AS BIGINT) FROM k)
+       |ORDER BY stage""".stripMargin
+
   /** Planted-duplicate construction shared by the dedup oracles; mirrors
     * Queries.plantedDocs.
     */

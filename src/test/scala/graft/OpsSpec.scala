@@ -552,6 +552,26 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("vocab growth: cumulative curve is monotone and ends at the total vocabulary") {
+    val rows = api.Queries.registry("text_vocab_growth").fn(spark, dir).collect()
+    val cums = rows.map(_.getAs[Long]("cum_vocab"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+    assert(cums.last == api.Queries.registry("text_vocab_stats").fn(spark, dir)
+      .collect().head.getAs[Long]("vocab"))
+    assert(rows.map(_.getAs[Long]("new_terms")).sum == cums.last)
+  }
+
+  test("filter funnel: stage counts are monotone and end at the curation survivors") {
+    val rows = api.Queries.registry("pipeline_filter_funnel").fn(spark, dir)
+      .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    assert(rows.keySet == Set("0_all", "1_lang_en", "2_quality", "3_dedup"))
+    assert(rows("0_all") >= rows("1_lang_en"))
+    assert(rows("1_lang_en") >= rows("2_quality"))
+    assert(rows("2_quality") >= rows("3_dedup"))
+    assert(rows("3_dedup") ==
+      api.Queries.registry("pipeline_curation").fn(spark, dir).count())
+  }
+
   test("degree distribution: mass balance against the triples view") {
     val rows = api.Queries.registry("graph_degree_distribution").fn(spark, dir).collect()
     val mass = rows.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
