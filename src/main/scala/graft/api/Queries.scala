@@ -1039,6 +1039,22 @@ object Queries {
       },
       Some(TextSql.curation(minQuality = 7000))),
 
+    // Deterministic epoch shuffle: each doc's position comes from
+    // md5(seed ‖ doc_id) — stateless, so ANY executor layout reproduces
+    // the same epoch order, and changing the seed re-shuffles. At scale
+    // this is the standard total-sort-on-random-key training shuffle;
+    // the top-100 form here is a TakeOrdered (no global sort
+    // materializes for a bounded preview).
+    "pipeline_epoch_shuffle" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(md5(concat(lit("epoch7:"), col("doc_id"))), 1, 15).as("rkey"))
+        .orderBy("rkey", "doc_id")
+        .limit(100),
+      Some(
+        """SELECT doc_id, substr(md5('epoch7:' || doc_id), 1, 15) AS rkey
+          |FROM documents ORDER BY rkey, doc_id LIMIT 100""".stripMargin)),
+
     // Curation observability: survivor counts at each pipeline stage
     // (all → langid → quality gate → exact dedup). Stages 0-2 come from
     // ONE aggregate over the scoring pass (stack() pivots the row to
@@ -1718,6 +1734,47 @@ object Queries {
           .orderBy("asset_id")
       },
       Some(TextSql.multimodalFeatures)),
+
+    // Frame-level near-dup detection across assets: pairs of assets
+    // sharing identical sampled frames (re-encoded copies, clipped
+    // videos and boilerplate intros surface here while whole-payload
+    // digests differ). Same candidate discipline as containment: a
+    // distinct (asset, frame-digest) inverted index, hot digests capped
+    // (boilerplate frames would otherwise join df² pairs), equality
+    // self-join on the digest — never an all-pairs comparison.
+    "multimodal_shared_frames" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val fr = graft.ops.Multimodal.frameSample(plantedDocs(s, d, exact = true))
+          .select(col("asset_id"), col("frame_md5")).distinct()
+        val capped = fr
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("frame_md5")))
+          .filter(col("df") <= 64).drop("df")
+        val la = capped.select(col("asset_id").as("a"), col("frame_md5"))
+        val rb = capped.select(col("asset_id").as("b"), col("frame_md5"))
+        la.join(rb, "frame_md5").filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+          .orderBy("a", "b")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+          |a AS (SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+          |        octet_length(encode(text)) AS n
+          |      FROM docs WHERE octet_length(encode(text)) > 0),
+          |f AS (SELECT DISTINCT asset_id,
+          |        md5(substr(hx, CAST(u.i * 128 + 1 AS BIGINT), 128)) AS fm
+          |      FROM a, unnest(generate_series(0,
+          |        CAST(ceil(n / 64.0) AS BIGINT) - 1, 2)) u(i)),
+          |c AS (SELECT asset_id, fm FROM (
+          |        SELECT asset_id, fm, count(*) OVER (PARTITION BY fm) AS df FROM f)
+          |      WHERE df <= 64),
+          |p AS (SELECT l.asset_id AS a, r.asset_id AS b, count(*) AS n_shared
+          |      FROM c l JOIN c r ON l.fm = r.fm AND l.asset_id < r.asset_id
+          |      GROUP BY 1, 2)
+          |SELECT a, b, n_shared FROM p ORDER BY a, b""".stripMargin)),
 
     // Exact-duplicate detection over the binary asset payload — the
     // multimodal face of dedup_exact: one digest groupBy on md5 of the

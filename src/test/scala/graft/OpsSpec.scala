@@ -572,6 +572,30 @@ class OpsSpec extends SparkSpecBase {
       api.Queries.registry("pipeline_curation").fn(spark, dir).count())
   }
 
+  test("shared frames: planted exact copies share frames with their parents") {
+    val pairs = api.Queries.registry("multimodal_shared_frames").fn(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    // every planted copy shares ALL its frames with the parent; the hot-
+    // frame cap may drop a doc built entirely of boilerplate chunks, so
+    // allow a small miss margin
+    val found = (0L until 50L).count(i => pairs((i, i + 100000)))
+    assert(found >= 45, s"only $found/50 planted frame-sharing pairs found")
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("epoch shuffle: deterministic order, distinct docs, sorted by the random key") {
+    val rows = api.Queries.registry("pipeline_epoch_shuffle").fn(spark, dir).collect()
+    assert(rows.length == math.min(100, docs.count()).toInt)
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    val keys = rows.map(_.getAs[String]("rkey"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b }, "not sorted by rkey")
+    // same seed → same order on a second run
+    val again = api.Queries.registry("pipeline_epoch_shuffle").fn(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(again.toSeq == ids.toSeq)
+  }
+
   test("degree distribution: mass balance against the triples view") {
     val rows = api.Queries.registry("graph_degree_distribution").fn(spark, dir).collect()
     val mass = rows.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
