@@ -1468,6 +1468,62 @@ object Queries {
           |  CAST(sum(new_terms) OVER (ORDER BY log2_bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
           |FROM h ORDER BY log2_bucket""".stripMargin)),
 
+    // Source-drift observability: each source's most over-represented
+    // term vs the corpus (frequency ratio in exact fixed-point integer
+    // arithmetic — floor(tf_s·total_c·10⁶ / (total_s·tf_c))). ONE
+    // (source, term) shuffle produces the base aggregate; the source
+    // totals, corpus dfs and corpus total all derive from it by further
+    // (small) aggregation, so the corpus is scanned exactly once. Terms
+    // with corpus tf < 5 are dropped (hapax ratios are noise).
+    "text_source_divergence" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bySrc = Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("source", "w").agg(count(lit(1)).as("tf_s"))
+        val srcTot = bySrc.groupBy("source").agg(sum("tf_s").as("total_s"))
+        val byCorp = bySrc.groupBy("w").agg(sum("tf_s").as("tf_c"))
+          .filter(col("tf_c") >= 5)
+        val corpTot = srcTot.agg(sum("total_s").as("total_c"))
+        bySrc.join(byCorp, "w").join(srcTot, "source")
+          .crossJoin(broadcast(corpTot))
+          .withColumn("ratio_x1e6",
+            floor(col("tf_s") * col("total_c") * lit(1000000L) /
+              (col("total_s") * col("tf_c"))).cast("long"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(desc("ratio_x1e6"), asc("w"))))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("w").as("top_term"), col("ratio_x1e6"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT source, w FROM (
+          |    SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+          |    FROM documents)
+          |  WHERE w <> ''),
+          |by_src AS (SELECT source, w, count(*) AS tf_s FROM tok GROUP BY 1, 2),
+          |src_tot AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS total_s
+          |            FROM by_src GROUP BY 1),
+          |by_corp AS (SELECT w, CAST(sum(tf_s) AS BIGINT) AS tf_c
+          |            FROM by_src GROUP BY 1 HAVING sum(tf_s) >= 5),
+          |corp_tot AS (SELECT CAST(sum(total_s) AS BIGINT) AS total_c FROM src_tot),
+          |scored AS (
+          |  SELECT b.source, b.w,
+          |    CAST(floor(b.tf_s * t.total_c * 1000000 / (s.total_s * c.tf_c)) AS BIGINT) AS ratio_x1e6
+          |  FROM by_src b
+          |  JOIN by_corp c ON c.w = b.w
+          |  JOIN src_tot s ON s.source = b.source
+          |  CROSS JOIN corp_tot t),
+          |r AS (SELECT source, w, ratio_x1e6,
+          |        row_number() OVER (PARTITION BY source
+          |          ORDER BY ratio_x1e6 DESC, w) AS rn
+          |      FROM scored)
+          |SELECT source, w AS top_term, ratio_x1e6 FROM r WHERE rn = 1
+          |ORDER BY source""".stripMargin)),
+
     // Highest-document-frequency terms (stopword discovery).
     "text_top_df_terms" -> Q(
       (s, d) => Tables.documents(s, d)

@@ -596,6 +596,15 @@ class OpsSpec extends SparkSpecBase {
     assert(again.toSeq == ids.toSeq)
   }
 
+  test("source divergence: one top term per source, over-represented vs corpus") {
+    val rows = api.Queries.registry("text_source_divergence").fn(spark, dir).collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(rows.length == nSources)
+    // a source's TOP term is over-represented unless the source exactly
+    // matches the corpus distribution (impossible on this fixture)
+    assert(rows.forall(_.getAs[Long]("ratio_x1e6") > 1000000L))
+  }
+
   test("degree distribution: mass balance against the triples view") {
     val rows = api.Queries.registry("graph_degree_distribution").fn(spark, dir).collect()
     val mass = rows.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum

@@ -193,6 +193,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n${p.take(2000)}")
   }
 
+  test("knn classify: the tiny neighbor list broadcasts into the label join") {
+    val p = plan("sim_knn_classify")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"neighbor list not broadcast:\n${p.take(2000)}")
+  }
+
+  test("epoch shuffle preview is a TakeOrdered, never a global sort") {
+    val p = plan("pipeline_epoch_shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit+sort not fused to TakeOrdered:\n${p.take(2000)}")
+  }
+
   test("multimodal dedup is one digest shuffle with a map-side partial") {
     // AQE's toString prints Final AND Initial plan sections — count
     // shuffles in the final section only
