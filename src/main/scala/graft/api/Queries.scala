@@ -1106,6 +1106,43 @@ object Queries {
         .orderBy("fp"),
       Some(TextSql.dedupExact)),
 
+    // In-engine prefilter evaluation: recall and precision of the capped
+    // banded-MinHash candidate set against the TRUE jaccard>=0.5 pairs.
+    // The truth side needs no all-pairs scan — a pair at jaccard>=0.5
+    // must share a shingle, so the exhaustive truth comes from the
+    // UNCAPPED shingle inverted-index join (bounded on audit-sized
+    // corpora; a production audit samples docs first). Everything is
+    // keyed joins; the full-outer pair join feeds one global aggregate.
+    "dedup_band_eval" -> Q(
+      (s, d) => {
+        val docs = plantedDocs(s, d, exact = false)
+        val sh = graft.ops.Dedup.shingleRows(docs, 3).select("doc_id", "sh")
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = sh.select(col("doc_id").as("a"), col("sh"))
+          .join(sh.select(col("doc_id").as("b"), col("sh")), "sh")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("i"))
+        val truth = inter
+          .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+          .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+          .withColumn("jaccard", round(col("i").cast("double") /
+            (col("sza") + col("szb") - col("i")).cast("double"), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a"), col("b"), lit(1L).as("is_t"))
+        val cand = graft.ops.Dedup.minhashPairs(docs, k = 8, bands = 4)
+          .select(col("a"), col("b"), lit(1L).as("is_c"))
+        truth.join(cand, Seq("a", "b"), "full_outer")
+          .select(coalesce(col("is_t"), lit(0L)).as("is_t"),
+            coalesce(col("is_c"), lit(0L)).as("is_c"))
+          .agg(sum("is_t").as("n_true"), sum("is_c").as("n_cand"),
+            sum(col("is_t") * col("is_c")).as("n_hit"))
+          .withColumn("recall_x1e4",
+            floor(col("n_hit") * 10000 / col("n_true")).cast("long"))
+          .withColumn("precision_x1e4",
+            floor(col("n_hit") * 10000 / col("n_cand")).cast("long"))
+      },
+      Some(TextSql.dedupBandEval)),
+
     // Curation observability: per-source duplicate rate (a doc is a
     // duplicate iff its fingerprint group has >1 member and it is not
     // the min-id canonical). One shuffle on the 128-bit fingerprint for
@@ -1390,6 +1427,55 @@ object Queries {
           .orderBy("lang", "shard", "seq_id")
       },
       Some(TextSql.packSequences(budget = 4096, shards = 8))),
+
+    // Packing-efficiency readout: fill-rate histogram of the packed
+    // sequences (bucket = floor(seq_tokens·10/budget); bucket 10+ =
+    // overfilled packs, whose last doc straddles the budget). Derives
+    // from the same shard-local cumsum as pipeline_pack_sequences —
+    // the histogram adds one tiny aggregate.
+    "pipeline_pack_efficiency" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 4096L
+        val docs = Tables.documents(s, d).select(
+          col("lang"), col("doc_id"),
+          graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          pmod(graft.functions.GraftFunctions.md5Hash60(
+            concat(lit("pack:"), col("doc_id").cast("string"))), lit(8L)).as("shard"))
+        val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        docs.withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("seq_id",
+            floor((col("cum") - col("n_tokens")).cast("double") / budget).cast("long"))
+          .groupBy("lang", "shard", "seq_id")
+          .agg(sum("n_tokens").as("seq_tokens"))
+          .withColumn("fill_bucket",
+            floor(col("seq_tokens") * 10 / budget).cast("long"))
+          .groupBy("fill_bucket")
+          .agg(count(lit(1)).as("n_seqs"),
+            floor(sum("seq_tokens").cast("double") / count(lit(1))).cast("long")
+              .as("mean_tokens"))
+          .orderBy("fill_bucket")
+      },
+      Some(
+        s"""WITH d AS (
+           |  SELECT lang, doc_id,
+           |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+           |    ${GraphSql.md5Hash60("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+           |  FROM documents),
+           |c AS (
+           |  SELECT lang, shard, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM d),
+           |p AS (
+           |  SELECT lang, shard,
+           |    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS seq_id,
+           |    CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+           |  FROM c GROUP BY lang, shard, seq_id)
+           |SELECT CAST(floor(seq_tokens * 10 / 4096) AS BIGINT) AS fill_bucket,
+           |  count(*) AS n_seqs,
+           |  CAST(floor(CAST(sum(seq_tokens) AS DOUBLE) / count(*)) AS BIGINT) AS mean_tokens
+           |FROM p GROUP BY fill_bucket ORDER BY fill_bucket""".stripMargin)),
 
     // Per-language document-length percentiles (exact interpolated
     // percentiles — the corpus-QA readout before choosing truncation /

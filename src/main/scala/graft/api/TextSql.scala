@@ -186,6 +186,38 @@ object TextSql {
        |$minhashCandCtes
        |SELECT a, b FROM cand ORDER BY a, b""".stripMargin
 
+  /** Prefilter-quality evaluation: recall/precision of the capped
+    * banded-MinHash candidates vs the TRUE jaccard>=0.5 pair set. The
+    * truth side needs no all-pairs scan — a pair at jaccard>=0.5 must
+    * share a shingle, so the exhaustive truth comes from the UNCAPPED
+    * shingle inverted-index join (audit-sized corpora; a production
+    * audit samples first).
+    */
+  val dedupBandEval: String =
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |$minhashCandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+       |  FROM sh l JOIN sh r ON r.s = l.s AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+       |    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+       |  WHERE jaccard >= 0.5),
+       |j AS (SELECT
+       |        CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END AS is_t,
+       |        CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS is_c
+       |      FROM truth t FULL OUTER JOIN cand c ON c.a = t.a AND c.b = t.b)
+       |SELECT CAST(sum(is_t) AS BIGINT) AS n_true,
+       |  CAST(sum(is_c) AS BIGINT) AS n_cand,
+       |  CAST(sum(is_t * is_c) AS BIGINT) AS n_hit,
+       |  CAST(floor(sum(is_t * is_c) * 10000 / sum(is_t)) AS BIGINT) AS recall_x1e4,
+       |  CAST(floor(sum(is_t * is_c) * 10000 / sum(is_c)) AS BIGINT) AS precision_x1e4
+       |FROM j""".stripMargin
+
   /** Jaccard over MinHash-banded candidates only — mirrors the Spark
     * plan's prefilter (candidates from the capped bands, exact Jaccard
     * verified by joining the pair list back on the shingle rows).

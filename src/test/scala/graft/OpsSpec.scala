@@ -605,6 +605,25 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.forall(_.getAs[Long]("ratio_x1e6") > 1000000L))
   }
 
+  test("band eval: hits bounded by both sides, high recall on the planted corpus") {
+    val r = api.Queries.registry("dedup_band_eval").fn(spark, dir).collect().head
+    val (nT, nC, nH) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_cand"), r.getAs[Long]("n_hit"))
+    assert(nH <= math.min(nT, nC))
+    assert(r.getAs[Long]("recall_x1e4") >= 9000,
+      s"banded recall ${r.getAs[Long]("recall_x1e4")} < 0.9 on near-identical plants")
+    assert(r.getAs[Long]("precision_x1e4") <= 10000)
+  }
+
+  test("pack efficiency: histogram masses equal the pack count, means inside buckets") {
+    val rows = api.Queries.registry("pipeline_pack_efficiency").fn(spark, dir).collect()
+    val nSeqs = api.Queries.registry("pipeline_pack_sequences").fn(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_seqs")).sum == nSeqs)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("fill_bucket"); val m = r.getAs[Long]("mean_tokens")
+      assert(m >= b * 4096 / 10 && m < (b + 1) * 4096 / 10.0 + 1, s"bucket $b mean $m")
+    }
+  }
+
   test("degree distribution: mass balance against the triples view") {
     val rows = api.Queries.registry("graph_degree_distribution").fn(spark, dir).collect()
     val mass = rows.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
