@@ -987,6 +987,30 @@ object Queries {
         .orderBy(desc("n"), asc("component")).limit(20),
       Some(GraphSql.ccSizes(rounds = 20, limit = 20))),
 
+    // BFS depth profile: frontier size per hop from a seed (the
+    // reachability fan-out report). The Pregel traversal prunes to the
+    // frontier each round — message volume is the frontier's in-edges,
+    // never the graph; the oracle unrolls the layered star schema.
+    "graph_bfs_profile" -> Q(
+      (s, d) => graft.graph.GraphOps
+        .reverseBfs(graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d),
+          "region:2", maxDepth = 4)
+        .groupBy(col("depth").cast("long").as("depth"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("depth"),
+      Some(s"""WITH ${StarTriples.sqlCte},
+        |d1 AS (SELECT DISTINCT subj FROM triples
+        |       WHERE pred = 'region' AND obj = 'region:2'),
+        |d2 AS (SELECT DISTINCT t.subj FROM triples t
+        |       JOIN d1 ON t.obj = d1.subj WHERE t.pred = 'nation'),
+        |d3 AS (SELECT DISTINCT t.subj FROM triples t
+        |       JOIN d2 ON t.obj = d2.subj WHERE t.pred = 'customer')
+        |SELECT depth, count(*) AS n_nodes FROM (
+        |  SELECT subj, CAST(1 AS BIGINT) AS depth FROM d1
+        |  UNION ALL SELECT subj, 2 FROM d2
+        |  UNION ALL SELECT subj, 3 FROM d3)
+        |GROUP BY depth ORDER BY depth""".stripMargin)),
+
     // Degree distribution of the triples graph (the classic power-law
     // sanity report): out-degree per subject, then a histogram over
     // degrees. Two map-side-combining aggregates, key spaces |V| then
@@ -1105,6 +1129,20 @@ object Queries {
       (s, d) => graft.ops.Dedup.exactGroups(plantedDocs(s, d, exact = true))
         .orderBy("fp"),
       Some(TextSql.dedupExact)),
+
+    // Threshold-tuning readout: the Jaccard distribution of the banded
+    // candidates (bucket = floor(j·10)) — pick the dedup threshold by
+    // looking at where the mass sits instead of guessing. Same plan as
+    // dedup_ngram_jaccard minus the threshold filter; the histogram
+    // adds one tiny aggregate over the verified pairs.
+    "dedup_jaccard_histogram" -> Q(
+      (s, d) => graft.ops.Dedup.ngramJaccardPairs(
+          plantedDocs(s, d, exact = false), threshold = 0.0)
+        .withColumn("j_bucket",
+          least(lit(9L), floor(col("jaccard") * 10).cast("long")).as("j_bucket"))
+        .groupBy("j_bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("j_bucket"),
+      Some(TextSql.dedupJaccardHistogram)),
 
     // In-engine prefilter evaluation: recall and precision of the capped
     // banded-MinHash candidate set against the TRUE jaccard>=0.5 pairs.

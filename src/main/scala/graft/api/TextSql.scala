@@ -218,6 +218,28 @@ object TextSql {
        |  CAST(floor(sum(is_t * is_c) * 10000 / sum(is_c)) AS BIGINT) AS precision_x1e4
        |FROM j""".stripMargin
 
+  /** Jaccard histogram of the banded candidates (bucket = floor(j·10),
+    * capped at 9 so j = 1.0 lands with the 0.9s) — the threshold-tuning
+    * readout over the same candidate/verify CTEs as the Jaccard gate.
+    */
+  val dedupJaccardHistogram: String =
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |$minhashCandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS i
+       |  FROM cand c JOIN sh l ON l.doc_id = c.a JOIN sh r ON r.doc_id = c.b AND r.s = l.s
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b)
+       |SELECT least(9, CAST(floor(jaccard * 10) AS BIGINT)) AS j_bucket,
+       |  count(*) AS n_pairs
+       |FROM jac GROUP BY 1 ORDER BY j_bucket""".stripMargin
+
   /** Jaccard over MinHash-banded candidates only — mirrors the Spark
     * plan's prefilter (candidates from the capped bands, exact Jaccard
     * verified by joining the pair list back on the shingle rows).

@@ -624,6 +624,27 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("bfs profile: layered star schema yields exactly depths 1-3, widening frontiers") {
+    val rows = api.Queries.registry("graph_bfs_profile").fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("depth") -> r.getAs[Long]("n_nodes")).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) < rows(2L) && rows(2L) < rows(3L),
+      s"star schema frontier should widen each hop: $rows")
+  }
+
+  test("jaccard histogram: mass balance with the candidate set and the gate query") {
+    val rows = api.Queries.registry("dedup_jaccard_histogram").fn(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    // same corpus the registry query plants (doc_id < 50, tail-perturbed)
+    val p0 = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" planted dup tail")))
+    val corpus = docs.unionByName(p0)
+    assert(total == Dedup.ngramJaccardPairs(corpus, threshold = 0.0).count())
+    val above = rows.filter(_.getAs[Long]("j_bucket") >= 5).map(_.getAs[Long]("n_pairs")).sum
+    assert(above == api.Queries.registry("dedup_ngram_jaccard").fn(spark, dir).count())
+  }
+
   test("degree distribution: mass balance against the triples view") {
     val rows = api.Queries.registry("graph_degree_distribution").fn(spark, dir).collect()
     val mass = rows.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
