@@ -1145,15 +1145,21 @@ object Queries {
       Some(TextSql.dedupJaccardHistogram)),
 
     // In-engine prefilter evaluation: recall and precision of the capped
-    // banded-MinHash candidate set against the TRUE jaccard>=0.5 pairs.
-    // The truth side needs no all-pairs scan — a pair at jaccard>=0.5
-    // must share a shingle, so the exhaustive truth comes from the
-    // UNCAPPED shingle inverted-index join (bounded on audit-sized
-    // corpora; a production audit samples docs first). Everything is
-    // keyed joins; the full-outer pair join feeds one global aggregate.
+    // banded-MinHash candidate set against the TRUE jaccard>=0.5 pairs,
+    // over a deterministic 20% audit sample (hash membership on the
+    // BASE doc id, so a plant follows its parent into the sample and
+    // planted pairs stay evaluable). The truth side needs no all-pairs
+    // scan — a pair at jaccard>=0.5 must share a shingle, so the
+    // exhaustive truth comes from the UNCAPPED shingle inverted-index
+    // join; sampling is what bounds it (every shingle df drops by the
+    // sample rate, so the Σdf² join volume drops by its square — the
+    // unsampled form measured 268 s at 10× sf0.1, the audit-sample form
+    // stays proportional to the sample).
     "dedup_band_eval" -> Q(
       (s, d) => {
         val docs = plantedDocs(s, d, exact = false)
+          .filter(pmod(graft.functions.GraftFunctions.md5Hash60(
+            col("doc_id") % 100000), lit(5L)) === 0)
         val sh = graft.ops.Dedup.shingleRows(docs, 3).select("doc_id", "sh")
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val inter = sh.select(col("doc_id").as("a"), col("sh"))

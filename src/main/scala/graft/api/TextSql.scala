@@ -187,15 +187,18 @@ object TextSql {
        |SELECT a, b FROM cand ORDER BY a, b""".stripMargin
 
   /** Prefilter-quality evaluation: recall/precision of the capped
-    * banded-MinHash candidates vs the TRUE jaccard>=0.5 pair set. The
-    * truth side needs no all-pairs scan — a pair at jaccard>=0.5 must
-    * share a shingle, so the exhaustive truth comes from the UNCAPPED
-    * shingle inverted-index join (audit-sized corpora; a production
-    * audit samples first).
+    * banded-MinHash candidates vs the TRUE jaccard>=0.5 pair set, on a
+    * deterministic 20% audit sample keyed by the BASE doc id (plants
+    * follow their parents, so planted pairs stay evaluable). The truth
+    * side needs no all-pairs scan — a pair at jaccard>=0.5 must share a
+    * shingle, so the exhaustive truth comes from the UNCAPPED shingle
+    * inverted-index join; the sample bounds its Σdf² volume.
     */
   val dedupBandEval: String =
     s"""WITH ${plantCte(exact = false)},
-       |$shinglesCte,
+       |sampled AS (SELECT * FROM docs
+       |  WHERE ${GraphSql.md5Hash60("CAST(doc_id % 100000 AS VARCHAR)")} % 5 = 0),
+       |${shinglesCte.replace("FROM docs", "FROM sampled")},
        |$minhashCandCtes,
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (

@@ -109,4 +109,37 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"op=$op")
     }
   }
+
+  test("property: chunk-window arithmetic covers every token count exactly") {
+    // plain-Scala reference of the text_chunk_windows math: windows of
+    // `size` every `stride`, last window ends exactly at n
+    def refChunks(n: Long, size: Long, stride: Long): Seq[(Long, Long)] = {
+      val k = if (n <= size) 1L
+        else 1L + math.ceil((n - size).toDouble / stride).toLong
+      (0L until k).map(i => i -> math.min(size, n - i * stride))
+    }
+    val spark = SparkSpecBase.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val size = 32L; val stride = 24L
+    val ns = samples(Gen.chooseNum(1L, 500L), 120).distinct
+    val got = ns.toDF("n_tok")
+      .withColumn("n_chunks",
+        when(col("n_tok") <= size, lit(1L))
+          .otherwise(lit(1L) +
+            ceil((col("n_tok") - size).cast("double") / stride).cast("long")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("n_tok"), col("chunk_idx"),
+        least(lit(size), col("n_tok") - col("chunk_idx") * stride).as("t"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (n, rs) =>
+        n -> rs.sortBy(_.getLong(1)).map(r => r.getLong(1) -> r.getLong(2)).toSeq }
+    ns.foreach { n =>
+      val want = refChunks(n, size, stride)
+      assert(got(n) == want, s"n=$n")
+      // coverage invariants the query's consumers rely on
+      assert(want.last._1 * stride + want.last._2 == n)
+      assert(want.forall { case (_, t) => t > 0 && t <= size })
+    }
+  }
 }
