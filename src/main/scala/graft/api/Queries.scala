@@ -736,6 +736,46 @@ object Queries {
           |GROUP BY user_id, session_id
           |ORDER BY user_id, session_start""".stripMargin)),
 
+    // Association mining over the behavioral stream: event-type pairs
+    // co-performed by the same user, with support and lift in exact
+    // fixed-point (lift = n_ab·n_users·10⁶/(n_a·n_b)). The per-user
+    // distinct-type frame is at most |types| rows per user; the pair
+    // self-join is keyed on user_id and bounded by |types|² per user —
+    // never corpus-quadratic.
+    "events_cooccurrence" -> Q(
+      (s, d) => {
+        val ut = Tables.events(s, d).select("user_id", "event_type").distinct()
+        val nUsers = Tables.events(s, d).agg(
+          countDistinct(col("user_id")).as("n_users"))
+        val single = ut.groupBy("event_type").agg(count(lit(1)).as("n_single"))
+        val pairs = ut.select(col("user_id"), col("event_type").as("ta"))
+          .join(ut.select(col("user_id"), col("event_type").as("tb")), "user_id")
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(single.select(col("event_type").as("ta"), col("n_single").as("n_a")), "ta")
+          .join(single.select(col("event_type").as("tb"), col("n_single").as("n_b")), "tb")
+          .crossJoin(broadcast(nUsers))
+          .withColumn("lift_x1e6",
+            floor(col("n_both") * col("n_users") * lit(1000000L) /
+              (col("n_a") * col("n_b"))).cast("long"))
+          .select("ta", "tb", "n_both", "lift_x1e6")
+          .orderBy("ta", "tb")
+      },
+      Some(
+        """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+          |n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+          |s AS (SELECT event_type, count(*) AS n_single FROM ut GROUP BY 1),
+          |p AS (SELECT l.event_type AS ta, r.event_type AS tb, count(*) AS n_both
+          |      FROM ut l JOIN ut r ON r.user_id = l.user_id AND l.event_type < r.event_type
+          |      GROUP BY 1, 2)
+          |SELECT ta, tb, n_both,
+          |  CAST(floor(n_both * n.n_users * 1000000 / (sa.n_single * sb.n_single)) AS BIGINT) AS lift_x1e6
+          |FROM p JOIN s sa ON sa.event_type = ta
+          |       JOIN s sb ON sb.event_type = tb
+          |       CROSS JOIN n
+          |ORDER BY ta, tb""".stripMargin)),
+
     // Event-sequence mining: the per-user next-event transition matrix
     // (first-order Markov counts) with a fixed-point conditional
     // probability. One shuffle on user_id feeds the lead(); the matrix
@@ -1556,6 +1596,38 @@ object Queries {
       },
       Some(TextSql.vocabStats)),
 
+    // Stopword-coverage readout: what fraction of all corpus tokens the
+    // top-k document-frequency terms account for (the payoff curve of a
+    // stopword list). One token scan into a term aggregate; the top-k
+    // and the totals both derive from it.
+    "text_stopword_coverage" -> Q(
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("tf"))
+        val top = tf.orderBy(desc("tf"), asc("w")).limit(15)
+          .agg(sum("tf").as("top_tf"), count(lit(1)).as("k"))
+        val tot = tf.agg(sum("tf").as("total_tf"))
+        top.crossJoin(tot)
+          .select(col("k"),
+            col("top_tf"), col("total_tf"),
+            floor(col("top_tf") * lit(1000000L) / col("total_tf")).cast("long")
+              .as("coverage_x1e6"))
+      },
+      Some(
+        """WITH tf AS (
+          |  SELECT w, count(*) AS tf FROM (
+          |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+          |    FROM documents)
+          |  WHERE w <> '' GROUP BY w),
+          |top AS (SELECT CAST(sum(tf) AS BIGINT) AS top_tf, count(*) AS k FROM (
+          |          SELECT tf FROM tf ORDER BY tf DESC, w LIMIT 15)),
+          |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tf FROM tf)
+          |SELECT k, top_tf, total_tf,
+          |  CAST(floor(top_tf * 1000000 / total_tf) AS BIGINT) AS coverage_x1e6
+          |FROM top CROSS JOIN tot""".stripMargin)),
+
     // Heaps-law vocabulary growth: new terms and cumulative vocabulary
     // per log2 doc-id bucket, via each term's FIRST document — one
     // aggregate on the term key (min doc_id), then a ~log(n)-row
@@ -1753,6 +1825,46 @@ object Queries {
           max("q").as("max_x1e6"))
         .orderBy("dim"),
       Some(TextSql.embDimStats)),
+
+    // Cluster-tightness QA: per-label mean L1 distance from the label's
+    // fixed-point centroid — the readout that says whether labels are
+    // coherent enough to drive kNN labeling / stratified sampling.
+    // Centroids are floor(mean) of floor(x·10⁶) integers (order-free on
+    // both engines); the centroid frame is |labels|·dims rows and
+    // BROADCASTS back onto the exploded vectors.
+    "emb_cluster_tightness" -> Q(
+      (s, d) => {
+        val q = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("label"), col("dim"),
+            floor(col("x") * 1000000).cast("long").as("xq"))
+        val cent = q.groupBy("label", "dim")
+          .agg(floor(sum("xq").cast("double") / count(lit(1))).cast("long").as("cq"))
+        q.join(broadcast(cent), Seq("label", "dim"))
+          .groupBy("label", "vec_id")
+          .agg(sum(abs(col("xq") - col("cq"))).as("l1"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            floor(sum("l1").cast("double") / count(lit(1))).cast("long")
+              .as("mean_l1_x1e6"))
+          .orderBy("label")
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+          |             CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |q AS (SELECT vec_id, label, g.i - 1 AS dim,
+          |        CAST(floor(e[g.i] * 1000000) AS BIGINT) AS xq
+          |      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g),
+          |c AS (SELECT label, dim,
+          |        CAST(floor(CAST(sum(xq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+          |      FROM q GROUP BY 1, 2),
+          |l AS (SELECT q.label, q.vec_id, sum(abs(q.xq - c.cq)) AS l1
+          |      FROM q JOIN c ON c.label = q.label AND c.dim = q.dim
+          |      GROUP BY 1, 2)
+          |SELECT label, count(*) AS n_vecs,
+          |  CAST(floor(CAST(sum(l1) AS DOUBLE) / count(*)) AS BIGINT) AS mean_l1_x1e6
+          |FROM l GROUP BY label ORDER BY label""".stripMargin)),
 
     // Embedding-quantization QA: per-label mean reconstruction error of
     // symmetric int8 quantization (q = floor(x·127/max|x|), recon =

@@ -645,6 +645,30 @@ class OpsSpec extends SparkSpecBase {
     assert(above == api.Queries.registry("dedup_ngram_jaccard").fn(spark, dir).count())
   }
 
+  test("cooccurrence: ordered pairs, support bounded by singles, positive lift") {
+    val evDir = dir
+    val rows = api.Queries.registry("events_cooccurrence").fn(spark, evDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[String]("ta") < r.getAs[String]("tb")))
+    assert(rows.forall(_.getAs[Long]("lift_x1e6") > 0))
+  }
+
+  test("stopword coverage: fraction well-formed, totals consistent") {
+    val r = api.Queries.registry("text_stopword_coverage").fn(spark, dir).collect().head
+    assert(r.getAs[Long]("top_tf") <= r.getAs[Long]("total_tf"))
+    val c = r.getAs[Long]("coverage_x1e6")
+    assert(c > 0 && c <= 1000000L)
+    assert(c == r.getAs[Long]("top_tf") * 1000000L / r.getAs[Long]("total_tf"))
+  }
+
+  test("cluster tightness: one row per label, strictly positive spread") {
+    val rows = api.Queries.registry("emb_cluster_tightness").fn(spark, dir).collect()
+    val labels = rows.map(_.getAs[Long]("label"))
+    assert(labels.distinct.length == labels.length)
+    assert(rows.forall(_.getAs[Long]("mean_l1_x1e6") > 0),
+      "labels with zero spread would mean degenerate fixture vectors")
+  }
+
   test("degree distribution: mass balance against the triples view") {
     val rows = api.Queries.registry("graph_degree_distribution").fn(spark, dir).collect()
     val mass = rows.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
