@@ -1051,6 +1051,22 @@ object Queries {
         |  UNION ALL SELECT subj, 3 FROM d3)
         |GROUP BY depth ORDER BY depth""".stripMargin)),
 
+    // Per-predicate cardinality statistics (count + distinct subjects /
+    // objects) — the statistics a distributed triple-store planner
+    // feeds its join ordering (selectivity = n/n_subj per pred). One
+    // map-side-combining aggregate over the triples view.
+    "tp_pred_stats" -> Q(
+      (s, d) => Tables.starTriples(s, d)
+        .groupBy("pred")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("subj")).as("n_subj"),
+          countDistinct(col("obj")).as("n_obj"))
+        .orderBy("pred"),
+      Some(withCte(
+        """SELECT pred, count(*) AS n, count(DISTINCT subj) AS n_subj,
+          |  count(DISTINCT obj) AS n_obj
+          |FROM triples GROUP BY pred ORDER BY pred""".stripMargin))),
+
     // Degree distribution of the triples graph (the classic power-law
     // sanity report): out-degree per subject, then a histogram over
     // degrees. Two map-side-combining aggregates, key spaces |V| then
