@@ -98,6 +98,30 @@ object Bench {
       (sidecarJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+    // Round-stamped copy, self-written: the driver's tail capture has
+    // truncated the stdout JSON two rounds running ("parsed": null), so
+    // the committed BENCH_r{N} artifact must not depend on it. Round id
+    // from SPARK_GRAFT_ROUND if set, else inferred as max existing
+    // CORRECTNESS_r{N}.json + 1 (the driver writes that file at the END
+    // of each round, so during round N the max is N-1 — idempotent
+    // across repeated bench runs within a round). Only the driver-shaped
+    // run stamps: a custom BENCH_OUT or a non-testdata SF_DIR means a
+    // local/scaled iteration run, which must never claim the round file.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT") && sfDir.contains("/testdata/")) {
+      val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).orElse {
+        val re = "CORRECTNESS_r(\\d+)\\.json".r
+        val ns = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+          .toSeq.flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        if (ns.isEmpty) None else Some(ns.max + 1)
+      }
+      round.foreach { r =>
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"BENCH_r$r%02d.json"),
+          (sidecarJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] round-stamp write failed: ${e.getMessage}") }
+      }
+    }
     spark.stop()
     println(json)
     System.out.flush()

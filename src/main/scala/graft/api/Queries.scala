@@ -741,7 +741,13 @@ object Queries {
     // fixed-point (lift = n_ab·n_users·10⁶/(n_a·n_b)). The per-user
     // distinct-type frame is at most |types| rows per user; the pair
     // self-join is keyed on user_id and bounded by |types|² per user —
-    // never corpus-quadratic.
+    // never corpus-quadratic. The lift numerator is computed in
+    // DECIMAL(38,0) with integral division: in Long it overflows at
+    // ~10⁷ users (n_both·n_users·10⁶ > 2⁶³), where non-ANSI Spark
+    // would wrap silently while DuckDB promotes to HUGEINT — the two
+    // engines would diverge exactly when the data gets big. `div` on
+    // positive decimals and DuckDB's HUGEINT `//` are both exact
+    // floor, so the compare stays bit-identical at any scale.
     "events_cooccurrence" -> Q(
       (s, d) => {
         val ut = Tables.events(s, d).select("user_id", "event_type").distinct()
@@ -756,9 +762,11 @@ object Queries {
           .join(single.select(col("event_type").as("ta"), col("n_single").as("n_a")), "ta")
           .join(single.select(col("event_type").as("tb"), col("n_single").as("n_b")), "tb")
           .crossJoin(broadcast(nUsers))
-          .withColumn("lift_x1e6",
-            floor(col("n_both") * col("n_users") * lit(1000000L) /
-              (col("n_a") * col("n_b"))).cast("long"))
+          .withColumn("lift_x1e6", expr(
+            """CAST((CAST(n_both AS DECIMAL(38,0)) * CAST(n_users AS DECIMAL(38,0))
+              |       * CAST(1000000 AS DECIMAL(38,0)))
+              |     div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0)))
+              |     AS BIGINT)""".stripMargin))
           .select("ta", "tb", "n_both", "lift_x1e6")
           .orderBy("ta", "tb")
       },
@@ -770,7 +778,8 @@ object Queries {
           |      FROM ut l JOIN ut r ON r.user_id = l.user_id AND l.event_type < r.event_type
           |      GROUP BY 1, 2)
           |SELECT ta, tb, n_both,
-          |  CAST(floor(n_both * n.n_users * 1000000 / (sa.n_single * sb.n_single)) AS BIGINT) AS lift_x1e6
+          |  CAST((CAST(n_both AS HUGEINT) * CAST(n.n_users AS HUGEINT) * 1000000)
+          |       // (CAST(sa.n_single AS HUGEINT) * CAST(sb.n_single AS HUGEINT)) AS BIGINT) AS lift_x1e6
           |FROM p JOIN s sa ON sa.event_type = ta
           |       JOIN s sb ON sb.event_type = tb
           |       CROSS JOIN n
@@ -1067,6 +1076,43 @@ object Queries {
           |  count(DISTINCT obj) AS n_obj
           |FROM triples GROUP BY pred ORDER BY pred""".stripMargin))),
 
+    // The reference's intended bloom reconciliation (SURVEY §2 #18-19;
+    // its replication TODO) end-to-end as a declared query — the same
+    // bloom + keyspace-guard + anti-probe compose TripleStore.syncFrom
+    // runs: a "local" replica holds the keyspace slice K of the ring (a
+    // WRAPPING interval, so both branches of the unsigned-interval test
+    // are exercised) but is missing every 'nation' edge; the sync diff
+    // is the peer's K-sliced triples whose canonical key does NOT probe
+    // positive in the local bloom — exactly what syncFrom ships into
+    // its dedup insert. Ring position is the portable 60-bit md5 hash
+    // so the oracle replays the slice; the oracle is the EXACT set
+    // difference (at FP 1e-9 the bloom diff matches it — a false
+    // positive per ~10⁹ diff triples, and syncFrom's anti-join insert
+    // absorbs even that residue).
+    "tp_sync_diff" -> Q(
+      (s, d) => {
+        val gf = graft.functions.GraftFunctions
+        // [3·2⁵⁸, 2⁵⁸): the wrapping half of the 60-bit md5 ring
+        val ks = graft.model.Keyspace(3L << 58, 1L << 58)
+        val sliced = Tables.starTriples(s, d).filter(
+          graft.store.TripleStore.keyspaceIncludes(ks, gf.md5Hash60(col("subj"))))
+        val localKeys = sliced.filter(col("pred") =!= "nation")
+          .select(gf.canonicalKey(col("subj"), col("pred"), col("obj"), lit("")).as("k"))
+        val bf = graft.store.TripleStore.bloomOnePass(
+          localKeys, graft.store.TripleStore.MinBloomItems, 1e-9)
+        val bc = s.sparkContext.broadcast(bf)
+        sliced.filter(!gf.bloomProbe(
+            gf.canonicalKey(col("subj"), col("pred"), col("obj"), lit("")), bc))
+          .select("subj", "pred", "obj")
+          .orderBy("subj", "pred", "obj")
+      },
+      Some(withCte(
+        s"""SELECT subj, pred, obj FROM triples
+           |WHERE pred = 'nation'
+           |  AND (${GraphSql.md5Hash60("subj")} < ${1L << 58}
+           |       OR ${GraphSql.md5Hash60("subj")} >= ${3L << 58})
+           |ORDER BY subj, pred, obj""".stripMargin))),
+
     // Degree distribution of the triples graph (the classic power-law
     // sanity report): out-degree per subject, then a histogram over
     // degrees. Two map-side-combining aggregates, key spaces |V| then
@@ -1322,19 +1368,17 @@ object Queries {
         .orderBy("a", "b"),
       Some(TextSql.dedupContainment())),
 
+    // THE declared embedding near-dup runs at Dedup.lshSchedule(n)
+    // knobs — the corpus-size-aware bits/tables that keep the bucket
+    // self-join bounded as n grows (a fixed bits=6 was measured
+    // quadratic-in-n at 10×: 39.6 s of pure candidate volume). The
+    // oracle replays the SAME schedule in integer SQL, so this is
+    // hash-gated at exactly the knobs a 100 TB run would use; the
+    // formerly rows-only `dedup_embedding_auto` twin is subsumed.
     "dedup_embedding" -> Q(
-      (s, d) => graft.ops.Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
-        .orderBy("a", "b"),
-      Some(TextSql.dedupEmbedding)),
-
-    // Corpus-size-aware knob schedule (bits/tables picked from n) —
-    // rows-only like the _fast twins: the oracle's fixed hyperplane
-    // family can't follow auto-chosen bits, so correctness rides on the
-    // fixed-knob gated query above plus the OpsSpec subset/recall test.
-    "dedup_embedding_auto" -> Q(
       (s, d) => graft.ops.Dedup.embeddingNearDupsAuto(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy("a", "b"),
-      None),
+      Some(TextSql.dedupEmbeddingAuto)),
 
     // Cluster resolution over the near-dup pair graph: GraphX connected
     // components label every member with its cluster's min doc id — the
@@ -1871,7 +1915,7 @@ object Queries {
           |             CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
           |q AS (SELECT vec_id, label, g.i - 1 AS dim,
           |        CAST(floor(e[g.i] * 1000000) AS BIGINT) AS xq
-          |      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g),
+          |      FROM v CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g),
           |c AS (SELECT label, dim,
           |        CAST(floor(CAST(sum(xq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
           |      FROM q GROUP BY 1, 2),

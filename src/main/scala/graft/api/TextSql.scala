@@ -333,16 +333,13 @@ object TextSql {
       |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS bucket
       |  FROM v CROSS JOIN planes GROUP BY vec_id, t)""".stripMargin
 
-  /** Embedding near-dup mirror: candidates share a sign-LSH
-    * (table, bucket) in any of the 8 tables — the same keyed self-join
-    * the Spark plan runs (no all-pairs on either side) — then the exact
-    * cosine verifies each distinct pair.
+  /** Candidate-then-verify tail shared by the embedding near-dup
+    * mirrors: (table, bucket) self-join — the same keyed join the Spark
+    * plan runs (no all-pairs on either side) — then the exact cosine
+    * verifies each distinct pair.
     */
-  val dedupEmbedding: String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |${lshPlanesCte()},
-       |$lshBucketsCte,
-       |cand AS (
+  private def dedupEmbeddingTail(threshold: Double): String =
+    s"""cand AS (
        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |  FROM buckets x JOIN buckets y
        |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
@@ -351,7 +348,53 @@ object TextSql {
        |    round(list_dot_product(x.e, y.e)
        |      / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
        |  FROM cand c JOIN v x ON x.vec_id = c.a JOIN v y ON y.vec_id = c.b)
-       |WHERE cos >= 0.45 ORDER BY a, b""".stripMargin
+       |WHERE cos >= $threshold ORDER BY a, b""".stripMargin
+
+  /** Embedding near-dup mirror at EXPLICIT (bits, tables) knobs — the
+    * plane family is deterministic (md5 nibble parity, plane id
+    * t·bits+j), so the oracle can replay ANY knob choice; a
+    * registration must pass the same knobs to the Scala operator.
+    */
+  def dedupEmbedding(bits: Int = 6, tables: Int = 8,
+      threshold: Double = 0.45): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${lshPlanesCte(tables, bits)},
+       |$lshBucketsCte,
+       |${dedupEmbeddingTail(threshold)}""".stripMargin
+
+  /** Embedding near-dup mirror at SCHEDULE-chosen knobs — replays
+    * Dedup.lshSchedule in SQL (integer arithmetic on both sides, so no
+    * float-log divergence): bits = smallest k with 2^k ≥ ⌈n/20⌉ clamped
+    * to [4,12], tables = min(64, 8·2^⌊max(0,(bits-6))/2⌋). The planes
+    * CTE generates the full (64-table, 13-bit) grid and filters to the
+    * scheduled knobs, because generate_series bounds must be constant;
+    * plane ids stay t·bits+j, matching Similarity.lshBucket's family at
+    * the scheduled bits.
+    */
+  val dedupEmbeddingAuto: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |kb AS (
+       |  SELECT least(12, greatest(4,
+       |    (SELECT min(k) FROM (SELECT unnest(generate_series(0, 40)) AS k) ks
+       |     WHERE (CAST(1 AS BIGINT) << CAST(k AS INT)) >=
+       |       (SELECT (count(*) + 19) // 20 FROM v)))) AS bits),
+       |knobs AS (
+       |  SELECT bits,
+       |    least(CAST(64 AS BIGINT),
+       |      CAST(8 AS BIGINT) << CAST(greatest(0, (bits - 6) // 2) AS INT)) AS tables
+       |  FROM kb),
+       |planes AS (
+       |  SELECT t.t, j.j,
+       |    list_transform(generate_series(0, 63), i ->
+       |      CASE WHEN (strpos('0123456789abcdef',
+       |             substr(md5(CAST(t.t * k.bits + j.j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+       |           THEN 1.0 ELSE -1.0 END) AS p
+       |  FROM knobs k,
+       |       (SELECT unnest(generate_series(0, 63)) AS t) t,
+       |       (SELECT unnest(generate_series(0, 12)) AS j) j
+       |  WHERE t.t < k.tables AND j.j < k.bits),
+       |$lshBucketsCte,
+       |${dedupEmbeddingTail(0.45)}""".stripMargin
 
   val simCosineTopk: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

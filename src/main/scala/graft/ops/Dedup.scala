@@ -317,6 +317,60 @@ object Dedup {
       .select("a", "b", "containment", "contained_id")
   }
 
+  /** Prefix-filtered containment variant — the classic lossless
+    * candidate optimization (PPJoin-family): probe the inverted index
+    * with only each doc's df-ascending prefix of ⌊(1-t)·sz⌋+1 kept
+    * shingles. Any pair at containment ≥ t shares a prefix shingle of
+    * its smaller side (at most (1-t)·m of the smaller side's m shingles
+    * can miss the other doc), so one probe direction plus least/greatest
+    * normalization is complete. Kept `private[graft]` as the measured
+    * ALTERNATIVE to [[containmentPairs]], not the declared path:
+    * round 5 measured it 3-5× slower on the vocab-saturated synthetic
+    * corpora (no shingle is rare → the prefix prunes nothing, and the
+    * separated candidates-then-verify rejoin pays pairs × doc shingles);
+    * round 6 re-measured it on the Heaps-law corpus (tools/make_sf.py
+    * --heaps, per-shingle dfs flat) where its premise holds — see
+    * SCALE.md r6 addendum for the numbers and the crossover reading.
+    * Exercised by ScaleProbe and the OpsSpec equivalence test.
+    */
+  private[graft] def containmentPairsPrefixed(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8, maxShingleDf: Int = DefaultBandCap): DataFrame = {
+    val sh0 = shingleRows(docs, n).select("doc_id", "sh")
+    val sh = if (maxShingleDf <= 0) sh0
+      else sh0
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") <= maxShingleDf)
+        .drop("df")
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "sh")))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("rn") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .select("doc_id", "sh")
+    val cand = prefix.select(col("doc_id").as("x"), col("sh"))
+      .join(sh.select(col("doc_id").as("y"), col("sh")), "sh")
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(col("sza"), col("szb")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .withColumn("contained_id",
+        when(col("sza") <= col("szb"), col("a")).otherwise(col("b")))
+      .select("a", "b", "containment", "contained_id")
+  }
+
   /** Embedding near-dups: pairs with cosine >= threshold, candidates
     * from OR-amplified sign-LSH (`tables` independent hash tables of
     * `bits` hyperplanes each — the same plane family as
@@ -352,16 +406,23 @@ object Dedup {
       .distinct()
   }
 
-  /** Corpus-size-aware [[embeddingNearDups]]: picks the LSH bucket
-    * width from the corpus so candidate volume stays bounded as data
-    * grows. Cost of the bucket self-join is O(tables · n² / 2^bits);
-    * holding `bits` fixed while n grows 10× grows every bucket 10× and
-    * the join 100× (measured: the sf0.1-tuned default pays 50 s on a
-    * 10× corpus where bits+4/tables×8 finds MORE pairs in the same
-    * time — SCALE.md "Embedding near-dup"). Schedule:
-    * bits = log2(n / targetBucket) clamped to [4, 12], tables doubled
-    * per +2 bits to hold the 1-(1-p^bits)^tables recall. The count()
-    * is one cheap driver action against a columnar footer, not a scan.
+  /** The LSH knob schedule: (bits, tables) from the corpus size, so
+    * candidate volume stays bounded as data grows. Cost of the bucket
+    * self-join is O(tables · n² / 2^bits); holding `bits` fixed while n
+    * grows 10× grows every bucket 10× and the join 100× (measured: the
+    * sf0.1-tuned bits=6 pays 39.6 s on a 10× corpus where
+    * bits=10/tables=32 finds MORE pairs in under 30 s — SCALE.md
+    * "Embedding near-dup"). Schedule: bits = ⌈log2(n / targetBucket)⌉
+    * clamped to [4, 12], tables doubled per +2 bits to hold the
+    * 1-(1-p^bits)^tables recall.
+    *
+    * Pure INTEGER arithmetic — bits is the smallest k with
+    * 2^k ≥ ⌈n/targetBucket⌉, which equals ⌈log2(n/targetBucket)⌉
+    * exactly (2^k is an integer, so 2^k ≥ x ⟺ 2^k ≥ ⌈x⌉) without the
+    * float-log ulp hazard at power-of-two boundaries. That exactness is
+    * what lets the DuckDB oracle replay the schedule bit-for-bit
+    * (TextSql.dedupEmbeddingAuto computes the same knobs in SQL), which
+    * in turn is what makes the schedule-knob query hash-gateable.
     *
     * targetBucket = 20 is the round-5 measured point: on the perturbed
     * 10× corpus (20k vectors) it schedules bits=10/tables=32 — 28.1 s
@@ -371,12 +432,22 @@ object Dedup {
     * bits=12 at the same tables collapses recall (3208 pairs) — the
     * clamp top is a recall guard, not a cost one.
     */
+  def lshSchedule(n: Long, targetBucket: Int = 20): (Int, Int) = {
+    val m = (n + targetBucket - 1) / targetBucket
+    var k = 0
+    while ((1L << k) < m && k < 40) k += 1
+    val bits = math.min(12, math.max(4, k))
+    val tables = math.min(64, 8 << math.max(0, (bits - 6) / 2))
+    (bits, tables)
+  }
+
+  /** Corpus-size-aware [[embeddingNearDups]] at [[lshSchedule]] knobs.
+    * The count() is one cheap driver action against a columnar footer,
+    * not a scan.
+    */
   def embeddingNearDupsAuto(embs: DataFrame, threshold: Double = 0.99,
       dim: Int = 64, targetBucket: Int = 20): DataFrame = {
-    val n = embs.count()
-    val bits = math.min(12, math.max(4,
-      (math.log(math.max(n / targetBucket.toDouble, 1.0)) / math.log(2.0)).ceil.toInt))
-    val tables = math.min(64, 8 << math.max(0, (bits - 6) / 2))
+    val (bits, tables) = lshSchedule(embs.count(), targetBucket)
     embeddingNearDups(embs, threshold, dim, bits, tables)
   }
 

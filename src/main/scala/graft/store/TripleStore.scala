@@ -151,10 +151,21 @@ final class TripleStore(
     val keyed = slice.select(GraftFunctions.canonicalKey().as("k"))
     // Capacity bound from parquet footers — a driver-side metadata read,
     // NOT a Spark job (the old shape paid a count() action before the
-    // build). Exact for the unsliced store; for a keyspace slice it
-    // over-sizes by the slice fraction (≤2× for the reference's
-    // half-ring), which only lowers the realized FP rate.
-    TripleStore.bloomOnePass(keyed, metadataRowCount, fpp)
+    // build). Exact for the unsliced store; for a keyspace slice the
+    // bound is scaled by the slice's ring fraction (murmur3 subject
+    // hashes are uniform on the ring, so a slice holds ~mag/2⁶⁴ of the
+    // rows; 1.25× headroom absorbs sampling variance). Without the
+    // scaling a NARROW slice got a filter — and a treeAggregate zero
+    // value serialized to every partition — sized for the whole store.
+    // A bound miss is safe either way: bloomOnePass counts as it builds
+    // and falls back to an exact-size rebuild if the bound is exceeded.
+    val bound = keyspace match {
+      case Some(ks) if !ks.maxed =>
+        val magU = (ks.mag >>> 1).toDouble * 2.0 + (ks.mag & 1L).toDouble
+        math.ceil(metadataRowCount * (magU / math.pow(2.0, 64)) * 1.25).toLong
+      case _ => metadataRowCount
+    }
+    TripleStore.bloomOnePass(keyed, bound, fpp)
   }
 
   /** Exact store row count summed from parquet footers on the driver —

@@ -128,6 +128,11 @@ object EventStream {
         val spark = batch.sparkSession
         val banded = graft.ops.Dedup
           .bandKeys(graft.ops.Dedup.minhashSignatures(batch, k), k, bands)
+        // a crash mid-compaction can leave the index parked at a
+        // sibling path — restore it BEFORE the read, or the catch-all
+        // below would silently degrade to an empty index (previously
+        // seen near-dups would pass through undetected)
+        recoverBandIndex(spark, indexDir)
         val index =
           try spark.read.parquet(indexDir).select("band", "key")
           catch { case _: Throwable =>
@@ -166,6 +171,7 @@ object EventStream {
     */
   private[graft] def compactBandIndex(spark: SparkSession, indexDir: String,
       files: Int = 4): Unit = {
+    recoverBandIndex(spark, indexDir)
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
@@ -177,13 +183,43 @@ object EventStream {
       .repartition(files, col("band"), col("key"))
       .sortWithinPartitions("band", "key")
       .write.mode("overwrite").parquet(t.toString)
-    fs.rename(p, old)
+    // abort (not proceed) if the park rename fails — the live index is
+    // still at `p`, so failing here loses nothing; proceeding would
+    // let the second rename land the rewrite NEXT to the stale index
+    if (!fs.rename(p, old)) {
+      fs.delete(t, true)
+      throw new java.io.IOException(
+        s"compactBandIndex: rename $p -> $old failed; compaction aborted")
+    }
     if (!fs.rename(t, p)) {
       fs.rename(old, p) // roll back
       throw new java.io.IOException(
         s"compactBandIndex: rename $t -> $p failed; rolled back")
     }
     fs.delete(old, true)
+  }
+
+  /** Crash recovery for the two-phase compaction swap: if the live
+    * index dir is MISSING but a sibling from an interrupted compaction
+    * exists, restore it — prefer `.compacting` (the fully-written
+    * rewrite: the parquet write committed before any rename ran) and
+    * fall back to `.precompact` (the parked original). Runs at every
+    * index read and at compaction start; without it, the read path's
+    * catch-all would fall back to an EMPTY index and the next
+    * compaction's delete(.precompact) would permanently discard the
+    * only surviving copy. Idempotent and cheap (two existence probes)
+    * when the index is healthy.
+    */
+  private[graft] def recoverBandIndex(spark: SparkSession, indexDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) return
+    val t = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(indexDir + ".precompact")
+    if (fs.exists(t) && fs.rename(t, p)) fs.delete(old, true)
+    else if (fs.exists(old) && !fs.rename(old, p))
+      throw new java.io.IOException(
+        s"recoverBandIndex: found parked index at $old but could not restore it")
   }
 
   // ---- Stateful sessionization (flatMapGroupsWithState) ----

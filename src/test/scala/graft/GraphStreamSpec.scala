@@ -225,6 +225,36 @@ class GraphStreamSpec extends SparkSpecBase {
     assert(spark.read.parquet(idx).count() == got.size * 4L)
   }
 
+  test("band index recovers from a crash between the compaction renames") {
+    import spark.implicits._
+    val base = tmpDir("compact-crash")
+    val idx = base + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeIndex(tag: String, path: String): Unit =
+      Seq((0, tag)).toDF("band", "key").write.mode("overwrite").parquet(path)
+    def liveKeys(): Set[String] = {
+      EventStream.recoverBandIndex(spark, idx)
+      spark.read.parquet(idx).select("key").collect().map(_.getString(0)).toSet
+    }
+    // crash state A: parked original only (first rename landed, crash
+    // before the second) with NO completed rewrite — restore .precompact
+    writeIndex("orig", idx + ".precompact")
+    assert(liveKeys() == Set("orig"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".precompact")))
+    // crash state B: both siblings present (rewrite fully written, crash
+    // between the renames) — prefer the completed .compacting rewrite
+    // and clean up the parked copy
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    writeIndex("rewrite", idx + ".compacting")
+    writeIndex("orig", idx + ".precompact")
+    assert(liveKeys() == Set("rewrite"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + ".precompact")))
+    // healthy index: recovery is a no-op even with a stale sibling
+    writeIndex("stale", idx + ".compacting")
+    assert(liveKeys() == Set("rewrite"))
+  }
+
   test("stratified sample predicate is stream/batch-identical (stateless)") {
     // the hash-threshold sampler keeps no state, so applying it to a
     // document STREAM must admit exactly the batch survivors — this is

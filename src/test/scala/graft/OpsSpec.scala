@@ -149,6 +149,28 @@ class OpsSpec extends SparkSpecBase {
     assert(!jac((9000L, 9100L)), "quote pair should be invisible to Jaccard at 0.5")
   }
 
+  test("prefix-filtered containment is lossless (same pairs as the direct join)") {
+    // the PPJoin-style rarest-prefix probe claims completeness: any pair
+    // at containment >= t shares a df-ascending prefix shingle of its
+    // smaller side — check exact equivalence against the direct capped
+    // join on a real corpus slice (planted quote included)
+    import spark.implicits._
+    val base = graft.api.Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(col("doc_id") < 300)
+    val quote = Seq((9100L,
+      base.filter(col("doc_id") === 0L).head().getString(1)
+        .split("\\s+").take(12).mkString(" "))).toDF("doc_id", "text")
+    val docs = base.unionByName(quote)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("containment"), r.getAs[Long]("contained_id"))).toSet
+    val direct = key(Dedup.containmentPairs(docs, threshold = 0.5))
+    val prefixed = key(Dedup.containmentPairsPrefixed(docs, threshold = 0.5))
+    assert(direct.nonEmpty, "fixture produced no containment pairs")
+    assert(direct == prefixed,
+      s"prefix variant diverges: direct-only=${direct -- prefixed} prefix-only=${prefixed -- direct}")
+  }
+
   test("LSH-bucketed embedding near-dups: precision 1 vs brute force, recall measured") {
     def pairsOf(df: DataFrame) =
       df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet

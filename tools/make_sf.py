@@ -21,6 +21,19 @@ circular shift of the embedding array by `copy` positions (same norm
 and value distribution, different direction) — cross-copy near-dups
 disappear and the 10x run measures throughput.
 
+With --heaps, the vocabulary GROWS with the corpus the way natural text
+does (Heaps' law, V ~ n^0.5): each copy > 0 rewrites ~24% of token
+occurrences (copy-seeded) to a copy-local variant "tok~c", so a 10x
+corpus carries ~3.2x the distinct tokens (10^0.5) instead of the base
+mode's fixed ~30k vocabulary. Per-shingle document frequencies then
+stay roughly FLAT as the corpus grows — the regime real web text is in
+— instead of growing ~copies, which is what pushed the containment /
+Jaccard inverted-index joins through their quadratic df knee on the
+replicated corpora. Embeddings get the --perturb roll (no cross-copy
+near-dup inflation). Use this mode to measure dedup-family scaling
+ratios; use --perturb for pure throughput; use the base mode as a
+dedup correctness stress test.
+
 Driver-side tooling only (pyarrow); not part of the shipped library.
 """
 import random
@@ -62,7 +75,24 @@ def roll_embedding(col: pa.ChunkedArray, copy: int) -> pa.Array:
     return pa.array(out, type=col.type)
 
 
-def main(src: Path, out: Path, factor: int, perturb: bool) -> None:
+# ~24% occurrence mutation per copy: for factor F, expected vocab growth
+# is ~V0*(1 + (F-1)*q*hit) with hit≈1 for non-rare types, i.e. ~F^0.5
+# at F=10 — the Heaps exponent of typical web corpora.
+HEAPS_Q = 0.24
+
+
+def heaps_text(col: pa.ChunkedArray, copy: int) -> pa.Array:
+    out = []
+    for i, v in enumerate(col.to_pylist()):
+        rng = random.Random((copy << 32) | i)
+        toks = [f"{w}~{copy}" if rng.random() < HEAPS_Q else w
+                for w in v.split(" ")]
+        out.append(" ".join(toks))
+    return pa.array(out, type=col.type)
+
+
+def main(src: Path, out: Path, factor: int, perturb: bool,
+         heaps: bool = False) -> None:
     out.mkdir(parents=True, exist_ok=True)
     for t in COPY_ONCE:
         pq.write_table(pq.read_table(src / f"{t}.parquet"), out / f"{t}.parquet")
@@ -77,9 +107,11 @@ def main(src: Path, out: Path, factor: int, perturb: bool) -> None:
                 col = tbl[name]
                 if name in units and c > 0:
                     col = pa.compute.add(col, c * units[name])
+                elif heaps and c > 0 and t == "documents" and name == "text":
+                    col = heaps_text(col, c)
                 elif perturb and c > 0 and t == "documents" and name == "text":
                     col = shuffle_text(col, c)
-                elif perturb and c > 0 and t == "embeddings" and name == "embedding":
+                elif (perturb or heaps) and c > 0 and t == "embeddings" and name == "embedding":
                     col = roll_embedding(col, c)
                 cols.append(col)
             copies.append(pa.table(cols, names=tbl.column_names))
@@ -89,5 +121,6 @@ def main(src: Path, out: Path, factor: int, perturb: bool) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--perturb"]
-    main(Path(args[0]), Path(args[1]), int(args[2]), "--perturb" in sys.argv)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(Path(args[0]), Path(args[1]), int(args[2]),
+         "--perturb" in sys.argv, "--heaps" in sys.argv)
