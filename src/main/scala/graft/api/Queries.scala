@@ -1098,8 +1098,13 @@ object Queries {
           graft.store.TripleStore.keyspaceIncludes(ks, gf.md5Hash60(col("subj"))))
         val localKeys = sliced.filter(col("pred") =!= "nation")
           .select(gf.canonicalKey(col("subj"), col("pred"), col("obj"), lit("")).as("k"))
-        val bf = graft.store.TripleStore.bloomOnePass(
-          localKeys, graft.store.TripleStore.MinBloomItems, 1e-9)
+        // bound = half-ring fraction of the (metadata-fast) triple count
+        // — NOT the MinBloomItems floor: beyond ~10k keys an
+        // under-bound makes bloomOnePass pay its exact REBUILD, i.e.
+        // the whole build twice (measured 7.2× scaling at 10× before
+        // this; the count() here prunes to row counts at the sources)
+        val bound = (Tables.starTriples(s, d).count() + 1) / 2
+        val bf = graft.store.TripleStore.bloomOnePass(localKeys, bound, 1e-9)
         val bc = s.sparkContext.broadcast(bf)
         sliced.filter(!gf.bloomProbe(
             gf.canonicalKey(col("subj"), col("pred"), col("obj"), lit("")), bc))
