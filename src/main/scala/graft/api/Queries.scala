@@ -1534,6 +1534,34 @@ object Queries {
       },
       Some(TextSql.mixWeights)),
 
+    // Temperature-scaled source mixing (τ = 0.5, the multilingual-LM
+    // rebalancing standard): sampling weight w_i ∝ n_tokens_i^τ —
+    // up-weights small sources relative to proportional sampling
+    // without flattening to uniform. τ = 0.5 makes the power a sqrt,
+    // which IEEE requires correctly rounded, so both engines compute
+    // bit-identical s_i; each s_i is floored to fixed-point BEFORE
+    // totalling so the denominator is an order-free integer sum (a
+    // double Σ√n would depend on aggregation order), and the final
+    // ratio is exact DECIMAL(38,0) integral division (Long would
+    // overflow at ~10¹³ source tokens). One scan + a |sources|-row
+    // aggregate.
+    "pipeline_temperature_mix" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .groupBy("source")
+          .agg(sum(graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+          .withColumn("s_i",
+            floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+          .withColumn("total", sum("s_i").over(Window.partitionBy()))
+          .withColumn("w_x1e6", expr(
+            "CAST((CAST(s_i AS DECIMAL(38,0)) * 1000000) div CAST(total AS DECIMAL(38,0)) AS BIGINT)"))
+          .select("source", "n_tokens", "w_x1e6")
+          .orderBy("source")
+      },
+      Some(TextSql.temperatureMix)),
+
     // Decontamination: flag corpus docs sharing any 4-gram shingle with
     // the benchmark set (here: doc_id < 10 stands in for an eval set).
     // The benchmark shingle set is tiny → broadcast; the probe join is
@@ -1998,6 +2026,23 @@ object Queries {
         .withColumnRenamed("rank", "rnk")
         .orderBy("query_id", "rnk"),
       Some(TextSql.simAnnLsh)),
+
+    // Multi-probe sign-LSH top-k at HALF the tables (4 vs sim_ann_lsh's
+    // 8): each query also probes the buckets across its 2 nearest
+    // hyperplanes (smallest |margin| — the neighbor buckets most likely
+    // to hold near vectors). At 100 TB the tables are the cost — each is
+    // a full bucketed copy of the corpus in index memory, scan, and
+    // shuffle — while extra probes only multiply the broadcast query
+    // side, so this is the recall-per-byte knob. Margin ordering ties
+    // break on plane index, making the probe set (and the oracle)
+    // deterministic.
+    "sim_ann_multiprobe" -> Q(
+      (s, d) => graft.ops.Similarity.lshMultiProbeTopK(
+          Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L), k = 10,
+          tables = 4, extraProbes = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk"),
+      Some(TextSql.simAnnMultiprobe)),
 
     // Recall@10 of the ANN path vs the brute-force baseline, in-engine —
     // the measurement every ANN deployment needs as a standing health

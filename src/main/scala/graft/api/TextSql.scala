@@ -474,6 +474,52 @@ object TextSql {
       |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r
       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** Multi-probe sign-LSH mirror: margins (the per-plane dot products)
+    * are computed once per (vec_id, table, plane) and reused for BOTH
+    * the bucket bits and the probe ordering — exactly the reuse the
+    * Spark expressions compile to. Probes = home bucket + the buckets
+    * reached by flipping the 2 lowest-(|margin|, plane-index) planes;
+    * 4 tables instead of simAnnLsh's 8 (the operator's point: neighbor
+    * probes buy back the recall of the missing tables at half the
+    * index).
+    */
+  val simAnnMultiprobe: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${lshPlanesCte(tables = 4)},
+       |md AS (
+       |  SELECT vec_id, t, j, list_dot_product(e, p) AS d
+       |  FROM v CROSS JOIN planes),
+       |buckets AS (
+       |  SELECT vec_id, t AS tbl,
+       |    CAST(sum(CASE WHEN d >= 0
+       |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM md GROUP BY vec_id, t),
+       |qf AS (
+       |  SELECT vec_id, t, j,
+       |    row_number() OVER (PARTITION BY vec_id, t ORDER BY abs(d), j) AS rnk
+       |  FROM md WHERE vec_id IN (0, 1, 2)),
+       |qprobes AS (
+       |  SELECT vec_id AS query_id, tbl, bucket
+       |  FROM buckets WHERE vec_id IN (0, 1, 2)
+       |  UNION ALL
+       |  SELECT q.vec_id, q.t, xor(b.bucket, CAST(1 AS BIGINT) << CAST(q.j AS INT))
+       |  FROM qf q JOIN buckets b ON b.vec_id = q.vec_id AND b.tbl = q.t
+       |  WHERE q.rnk <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id
+       |  FROM buckets c JOIN qprobes p ON c.tbl = p.tbl AND c.bucket = p.bucket
+       |  WHERE c.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    round(list_dot_product(x.e, y.e)
+       |      / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+       |  FROM cand c JOIN v x ON x.vec_id = c.vec_id JOIN v y ON y.vec_id = c.query_id),
+       |r AS (SELECT query_id, vec_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+       |      FROM scored)
+       |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
   /** ANN recall report mirror: recall@10 of the sign-LSH path against
     * the brute-force baseline per query id — the two existing mirrors
     * composed as subqueries, so drift in EITHER pipeline breaks this
@@ -753,6 +799,26 @@ object TextSql {
       |  CAST(floor(min(n) OVER () * 10000.0 / n) AS BIGINT) AS keep_pct
       |FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)
       |ORDER BY lang""".stripMargin
+
+  /** Temperature-scaled source mixture mirror (τ = 0.5): per-source
+    * token mass, w_i ∝ sqrt(n_i). sqrt is IEEE-correctly-rounded on
+    * both engines and each s_i is floored to fixed-point BEFORE the
+    * total, so the sum is an ORDER-FREE integer sum (a double Σ√n would
+    * be ulp-ordering-dependent); the final ratio is exact integral
+    * division in HUGEINT/DECIMAL(38,0).
+    */
+  val temperatureMix: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |s AS (SELECT source, n_tokens,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS s_i
+      |      FROM t),
+      |tot AS (SELECT sum(s_i) AS total FROM s)
+      |SELECT source, n_tokens,
+      |  CAST((CAST(s_i AS HUGEINT) * 1000000) // CAST(total AS HUGEINT) AS BIGINT) AS w_x1e6
+      |FROM s CROSS JOIN tot ORDER BY source""".stripMargin
 
   /** Decontamination mirror: distinct word n-gram shingles per doc over
     * raw `documents` (same tokenize + shingle construction as

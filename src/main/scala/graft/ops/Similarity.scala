@@ -103,6 +103,66 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** Multi-probe sign-LSH top-k (Lv et al., VLDB'07, adapted to sign
+    * LSH): each query probes its home bucket PLUS the `extraProbes`
+    * buckets reached by flipping the query's lowest-|margin| planes —
+    * the planes whose hyperplane the query sits closest to, i.e. the
+    * neighbor buckets most likely to hold near vectors. Probing ~2
+    * extra buckets per table buys the recall of roughly 2× the tables
+    * at HALF the index: the corpus side is still bucketed once per
+    * table (tables × n rows), so fewer tables means proportionally
+    * less index memory, less bucketing scan, and less shuffle at 100 TB
+    * — the extra probes only multiply the (tiny, broadcast) query side.
+    *
+    * Determinism contract (what makes the DuckDB oracle possible): the
+    * flip order sorts planes by (|margin|, plane index) — margins are
+    * the same left-to-right dot products both engines compute to
+    * identical IEEE doubles, and the index tie-break pins equal
+    * margins. Same output shape and (cos DESC, vec_id) ranking as the
+    * other top-k paths.
+    */
+  def lshMultiProbeTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      dim: Int = 64, bits: Int = 6, tables: Int = 4,
+      extraProbes: Int = 2): DataFrame = {
+    val v = withNorm(embs)
+    val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("v"), dim, bits, t)): _*)).as(Seq("table", "bucket")))
+    // query side: home bucket + flip-distance-ordered probe buckets per
+    // table, all as one column expression — (bucket, probes) per table
+    // struct, posexploded so pos = table index
+    def tableProbes(t: Int): Column = {
+      val home = lshBucket(col("v"), dim, bits, t)
+      // the flipped bucket is precomputed per plane (shift amount must
+      // be a literal), so the sort just selects which flips to keep;
+      // struct sort order (m, j, fb) = (|margin|, plane index) with the
+      // index pinning equal-margin ties
+      val margins = (0 until bits).map { j =>
+        val plane = array((0 until dim).map(i =>
+          lit(planeSign(t * bits + j, i))): _*)
+        struct(abs(dot(col("v"), plane)).as("m"), lit(j).as("j"),
+          home.bitwiseXOR(lit(1L << j)).as("fb"))
+      }
+      val flips = slice(array_sort(array(margins: _*)), 1, extraProbes)
+      concat(array(home), transform(flips, s => s.getField("fb")))
+    }
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        posexplode(array((0 until tables).map(tableProbes): _*)).as(Seq("table", "probes")))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("table"),
+        explode(col("probes")).as("bucket"))
+    val candidates = bucketed.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "v", "nrm", "qv", "qnrm")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = candidates.withColumn("cos",
+      round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
   /** Fixed-point IVF ANN — the oracle-gated twin of [[ivfTopK]]: the
     * k-means runs on BIGINT micro-unit vectors (component → floor(x·1e6))
     * with integer squared-L2 assignment and floor-of-double-division

