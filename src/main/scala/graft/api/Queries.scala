@@ -1385,6 +1385,27 @@ object Queries {
         .orderBy("a", "b"),
       Some(TextSql.dedupEmbeddingAuto)),
 
+    // Cross-source duplication matrix: which source pairs share
+    // near-dup content — the contamination map a curation team reads
+    // before deciding which source to drop duplicates FROM (e.g. a web
+    // crawl quietly re-hosting a wiki dump). Candidate pairs are the
+    // SAME capped banded-MinHash chain as dedup_minhash; the source
+    // join is keyed on doc_id and the matrix itself is |sources|² rows
+    // at any corpus size, so the only added cost is two keyed lookups.
+    "dedup_source_matrix" -> Q(
+      (s, d) => {
+        val docs = plantedDocs(s, d, exact = false)
+        val src = docs.select(col("doc_id"), col("source"))
+        graft.ops.Dedup.minhashPairs(docs, k = 8, bands = 4)
+          .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+          .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+          .groupBy(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(TextSql.dedupSourceMatrix)),
+
     // Cluster resolution over the near-dup pair graph: GraphX connected
     // components label every member with its cluster's min doc id — the
     // keep-one-per-cluster step pairwise dedup can't express (A~B, B~C

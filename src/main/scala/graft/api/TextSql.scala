@@ -186,6 +186,20 @@ object TextSql {
        |$minhashCandCtes
        |SELECT a, b FROM cand ORDER BY a, b""".stripMargin
 
+  /** Cross-source duplication matrix mirror: the SAME banded candidate
+    * chain as dedupMinhash (shared CTEs — the two cannot drift), each
+    * pair mapped to its unordered source pair. */
+  val dedupSourceMatrix: String =
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |$minhashCandCtes
+       |SELECT least(da.source, db.source) AS src_a,
+       |  greatest(da.source, db.source) AS src_b,
+       |  count(*) AS n_pairs
+       |FROM cand JOIN docs da ON da.doc_id = cand.a
+       |          JOIN docs db ON db.doc_id = cand.b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Prefilter-quality evaluation: recall/precision of the capped
     * banded-MinHash candidates vs the TRUE jaccard>=0.5 pair set, on a
     * deterministic 20% audit sample keyed by the BASE doc id (plants

@@ -214,4 +214,29 @@ class PlanSpec extends SparkSpecBase {
     val aggs = "HashAggregate".r.findAllIn(p).size
     assert(aggs >= 2, s"no partial/final aggregate pair:\n${p.take(2500)}")
   }
+
+  test("multi-probe ANN broadcasts the probe side into a keyed bucket join") {
+    // the operator's scale contract: the corpus is bucketed once per
+    // table and joined on (table, bucket) with the (tiny, multi-probed)
+    // query side BROADCAST — never an all-pairs plan, and the probe
+    // fan-out must not promote the join to a shuffle of the corpus
+    val p = plan("sim_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in multi-probe plan:\n${p.take(2000)}")
+  }
+
+  test("sync diff is a broadcast bloom probe — no corpus shuffle after the build") {
+    // the reconciliation's wire economics: one small filter broadcast +
+    // a map-side anti-probe scan; the diff itself must not shuffle
+    val p = plan("tp_sync_diff").split("== Initial Plan ==")(0)
+    val probeLines = p.linesIterator.filter(_.contains("graft_bloom_probe")).toSeq
+    assert(probeLines.nonEmpty, s"bloom probe missing:\n${p.take(1500)}")
+    // the diff plan is scan → filter(probe) → presentation sort: the
+    // only exchange is the sort's range partitioning, never a hash
+    // shuffle (the bloom BUILD is a separate treeAggregate job)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"probe path shuffles the corpus:\n${p.take(2500)}")
+  }
 }
