@@ -1406,6 +1406,51 @@ object Queries {
       },
       Some(TextSql.dedupSourceMatrix)),
 
+    // Incremental ingest dedup: a new batch (the near-dup plants plus a
+    // deterministic 5% "re-crawl" slice of exact copies) checked against
+    // the existing corpus with NO corpus self-join — corpus band keys
+    // are probed by the BROADCAST batch band frame, so the join is
+    // map-side over the corpus (PlanSpec pins the broadcast). This is
+    // the daily-crawl shape at 100 TB: the corpus side of the work is
+    // the stored band index, the batch side is the day's delta.
+    "dedup_incremental" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val near = base.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 100000)
+          .withColumn("text", concat(col("text"), lit(" planted dup tail")))
+        val recrawl = base
+          .filter(pmod(graft.functions.GraftFunctions.md5Hash60(col("doc_id")),
+            lit(20L)) === 1)
+          .withColumn("doc_id", col("doc_id") + 200000)
+        graft.ops.Dedup.crossCorpusMatches(base, near.unionByName(recrawl))
+          .orderBy("batch_id")
+      },
+      Some(TextSql.dedupIncremental)),
+
+    // Duplicated n-gram fraction per source — the dedup-health metric
+    // of Lee et al. ("Deduplicating Training Data Makes Language Models
+    // Better"): pooled share of distinct-per-doc shingles with document
+    // frequency > 1. One df window on the shingle key (the same shuffle
+    // class as containment's stop-shingle guard) plus a per-source
+    // map-side-combining aggregate; reading it per source tells a
+    // curation team WHERE the duplication lives before they pay for
+    // pair-level dedup.
+    "text_dup_ngram_fraction" -> Q(
+      (s, d) => {
+        val sh = graft.ops.Dedup.shingleRows(plantedDocs(s, d, exact = false), 3)
+        sh.withColumn("dfreq", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+          .groupBy("source")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            sum(when(col("dfreq") > 1, 1L).otherwise(0L)).as("dup_shingles"),
+            count(lit(1)).as("total_shingles"),
+            expr("sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) * 1000000 div count(*)")
+              .as("dup_frac_x1e6"))
+          .orderBy("source")
+      },
+      Some(TextSql.dupNgramFraction)),
+
     // Cluster resolution over the near-dup pair graph: GraphX connected
     // components label every member with its cluster's min doc id — the
     // keep-one-per-cluster step pairwise dedup can't express (A~B, B~C
@@ -1674,6 +1719,47 @@ object Queries {
            |  count(*) AS n_seqs,
            |  CAST(floor(CAST(sum(seq_tokens) AS DOUBLE) / count(*)) AS BIGINT) AS mean_tokens
            |FROM p GROUP BY fill_bucket ORDER BY fill_bucket""".stripMargin)),
+
+    // Token-length histogram per language in power-of-two buckets — the
+    // packing/truncation planning input (which budget wastes how much).
+    // Bucket boundaries are integer COMPARES (no float log2, whose
+    // engine-specific ulp at exact powers of two would flip boundary
+    // docs); one map-side-combining aggregate plus a |langs×buckets|
+    // window for the share.
+    "pipeline_length_histogram" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          graft.ops.TextOps.tokenCount(col("text")).cast("long").as("n"))
+        .withColumn("bucket",
+          when(col("n") < 16, 0L).when(col("n") < 32, 16L)
+            .when(col("n") < 64, 32L).when(col("n") < 128, 64L)
+            .when(col("n") < 256, 128L).when(col("n") < 512, 256L)
+            .otherwise(512L))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("tokens"))
+        .withColumn("share_x1e6",
+          expr("n_docs * 1000000 div sum(n_docs) OVER (PARTITION BY lang)"))
+        .orderBy("lang", "bucket"),
+      Some(
+        """WITH d AS (
+          |  SELECT lang,
+          |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+          |  FROM documents),
+          |b AS (
+          |  SELECT lang,
+          |    CASE WHEN n < 16 THEN 0 WHEN n < 32 THEN 16 WHEN n < 64 THEN 32
+          |         WHEN n < 128 THEN 64 WHEN n < 256 THEN 128
+          |         WHEN n < 512 THEN 256 ELSE 512 END AS bucket,
+          |    n
+          |  FROM d),
+          |g AS (
+          |  SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+          |    count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS tokens
+          |  FROM b GROUP BY 1, 2)
+          |SELECT lang, bucket, n_docs, tokens,
+          |  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+          |    AS share_x1e6
+          |FROM g ORDER BY lang, bucket""".stripMargin)),
 
     // Per-language document-length percentiles (exact interpolated
     // percentiles — the corpus-QA readout before choosing truncation /

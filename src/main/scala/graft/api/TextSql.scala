@@ -163,7 +163,13 @@ object TextSql {
     * dedupMinhash and the Jaccard prefilter so the two oracles cannot
     * drift from each other.
     */
-  private def minhashCandCtes: String = {
+  /** Signature + raw band keys over `sh` (through `bands0`), shared by
+    * the self-join candidate chain below and the cross-corpus probe
+    * (per-doc band keys depend only on the doc's own shingles, so
+    * computing them jointly over a corpus∪batch frame equals computing
+    * them per side).
+    */
+  private def minhashSigBandCtes: String = {
     val mins = (0 until 8).map(i =>
       s"min(substr(md5('${i / 2}#' || s), ${1 + (i % 2) * 16}, 16)) AS m$i").mkString(", ")
     val bands = (0 until 4).map(b =>
@@ -171,14 +177,17 @@ object TextSql {
       .mkString("\n  UNION ALL ")
     s"""sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands0 AS (
-       |  $bands),
+       |  $bands)""".stripMargin
+  }
+
+  private def minhashCandCtes: String =
+    s"""$minhashSigBandCtes,
        |bands AS (
        |  SELECT doc_id, band, key FROM bands0
        |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $bandCap),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)""".stripMargin
-  }
 
   val dedupMinhash: String =
     s"""WITH ${plantCte(exact = false)},
@@ -199,6 +208,58 @@ object TextSql {
        |FROM cand JOIN docs da ON da.doc_id = cand.a
        |          JOIN docs db ON db.doc_id = cand.b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Incremental batch-vs-corpus mirror: band keys computed jointly
+    * over corpus∪batch (identical per-doc values to per-side
+    * computation), hot-band cap on the CORPUS side only, one
+    * batch→corpus band join — the same semantics as
+    * Dedup.crossCorpusMatches. Batch = the near-dup plants (+100000)
+    * plus a deterministic 5% "re-crawl" slice of exact copies
+    * (+200000), so the gate exercises both the near and the exact
+    * collision path.
+    */
+  val dedupIncremental: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, source, lang FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' planted dup tail', source, lang
+       |  FROM documents WHERE doc_id < 50
+       |  UNION ALL
+       |  SELECT doc_id + 200000, text, source, lang
+       |  FROM documents WHERE ${GraphSql.md5Hash60("CAST(doc_id AS VARCHAR)")} % 20 = 1),
+       |$shinglesCte,
+       |$minhashSigBandCtes,
+       |cbands AS (
+       |  SELECT doc_id, band, key FROM bands0 WHERE doc_id < 100000
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $bandCap),
+       |bbands AS (SELECT doc_id, band, key FROM bands0 WHERE doc_id >= 100000),
+       |m AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM bbands b JOIN cbands c ON c.band = b.band AND c.key = b.key)
+       |SELECT batch_id, count(*) AS n_corpus_dups, min(corpus_id) AS first_dup
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Duplicated n-gram fraction per source (the dedup-health metric of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): the pooled share of distinct-per-doc shingles whose
+    * document frequency exceeds 1. Same shingle CTE as every dedup
+    * oracle; the fraction is an exact integer floor-division on both
+    * engines.
+    */
+  val dupNgramFraction: String =
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |d AS (
+       |  SELECT source, doc_id,
+       |    count(*) OVER (PARTITION BY s) AS dfreq
+       |  FROM sh)
+       |SELECT source,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+       |  count(*) AS total_shingles,
+       |  CAST(sum(CASE WHEN dfreq > 1 THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS dup_frac_x1e6
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
   /** Prefilter-quality evaluation: recall/precision of the capped
     * banded-MinHash candidates vs the TRUE jaccard>=0.5 pair set, on a

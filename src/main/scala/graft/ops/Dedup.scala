@@ -451,6 +451,38 @@ object Dedup {
     embeddingNearDups(embs, threshold, dim, bits, tables)
   }
 
+  /** Incremental batch-vs-corpus near-dup detection — the ingest shape:
+    * a (small) new batch of documents is checked against the (huge)
+    * existing corpus WITHOUT any corpus self-join. Both sides get the
+    * same banded MD5-MinHash keys as [[minhashPairs]] (identical hash
+    * family, so a batch doc near-identical to a corpus doc collides in
+    * the same bands it would in the self-join); the corpus band frame
+    * is the probe side and the batch band frame is BROADCAST, so the
+    * join is map-side over the corpus — the only corpus-wide shuffle is
+    * the hot-band guard's (band, key) window, which at 100 TB would be
+    * the stored statistic of a persisted band index rather than a
+    * recomputation (the streaming ingest path in EventStream maintains
+    * exactly that index incrementally). The cap applies to the CORPUS
+    * side only: a hot band there is the O(hot · batch) skew risk, while
+    * the batch side is bounded by construction.
+    *
+    * Output: one row per batch doc with >= 1 corpus collision —
+    * (batch_id, n_corpus_dups, first_dup) — i.e. the drop/route decision
+    * per incoming doc; batch docs with no match simply pass through.
+    */
+  def crossCorpusMatches(corpus: DataFrame, batch: DataFrame, k: Int = 8,
+      bands: Int = 4, maxBandFreq: Int = DefaultBandCap): DataFrame = {
+    val cb = dropHotBands(
+        bandKeys(sigsFromShingles(shingleRows(corpus, 3), k), k, bands), maxBandFreq)
+      .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
+    val bb = bandKeys(sigsFromShingles(shingleRows(batch, 3), k), k, bands)
+      .select(col("band"), col("key"), col("doc_id").as("batch_id"))
+    cb.join(broadcast(bb), Seq("band", "key"))
+      .select("batch_id", "corpus_id").distinct()
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_corpus_dups"), min("corpus_id").as("first_dup"))
+  }
+
   /** Resolve near-dup pairs into duplicate CLUSTERS: connected
     * components over the pair graph, labeling every member with the
     * minimum doc id of its component (the canonical survivor a curation

@@ -38,6 +38,29 @@ class OpsSpec extends SparkSpecBase {
     assert(found.size >= 18, s"only ${found.size}/20 planted pairs found")
   }
 
+  test("cross-corpus matches flag near-copy and exact batch docs, pass novel ones") {
+    // batch: 20 near-copies of corpus docs 0..19 (+100000), one exact
+    // re-crawl of doc 30 (+200000), and one doc of pure novel text
+    val near = docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" tail")))
+    val recrawl = docs.filter(col("doc_id") === 30)
+      .withColumn("doc_id", col("doc_id") + 200000)
+    val novel = spark.createDataFrame(Seq(
+      (300000L, (1 to 60).map(i => s"novelword$i").mkString(" "), "en", "novel", 60L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = near.unionByName(recrawl).unionByName(novel)
+    val m = Dedup.crossCorpusMatches(docs, batch).collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("first_dup")).toMap
+    // the exact re-crawl MUST collide with its original in every band
+    assert(m.get(200030L).contains(30L), s"re-crawl not matched: $m")
+    // near-copies: banded MinHash probabilistic, require >= 18/20
+    val nearHits = (0L until 20L).count(i => m.contains(i + 100000))
+    assert(nearHits >= 18, s"only $nearHits/20 near-copies matched")
+    // pure novel text must pass through unmatched
+    assert(!m.contains(300000L), "novel doc falsely matched")
+  }
+
   test("fast murmur minhash agrees with md5 minhash on planted pairs") {
     val fast = Dedup.minhashPairsFast(planted(exact = false))
       .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet

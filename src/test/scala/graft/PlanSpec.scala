@@ -227,6 +227,17 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in multi-probe plan:\n${p.take(2000)}")
   }
 
+  test("incremental dedup probes the corpus with a broadcast batch — no corpus self-join") {
+    // the ingest contract: corpus band keys joined against the (small)
+    // batch band frame via broadcast, never a corpus-corpus self-join
+    // or an unkeyed plan — the corpus side is touched once
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch side not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in incremental dedup plan:\n${p.take(2000)}")
+  }
+
   test("sync diff is a broadcast bloom probe — no corpus shuffle after the build") {
     // the reconciliation's wire economics: one small filter broadcast +
     // a map-side anti-probe scan; the diff itself must not shuffle
