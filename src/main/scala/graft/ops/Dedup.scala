@@ -397,7 +397,15 @@ object Dedup {
       col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val r = bucketed.select(col("table"), col("bucket"),
       col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    l.join(r, Seq("table", "bucket"))
+    // shuffle_hash (not broadcast): with identical
+    // hashpartitioning(table, bucket) exchanges on both sides,
+    // ReuseExchange evaluates the bucketed subtree — the tables×bits
+    // plane dots per vector — ONCE. Left to itself the planner
+    // broadcasts one side (the banded frame is "small"), which builds a
+    // wide-row hash map AND re-computes every plane dot on the probe
+    // side: measured 3.4× slower at 10× sf0.1 (30.8 s vs 9.1 s,
+    // SCALE.md r6 third wave). PlanSpec pins the ReusedExchange.
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("table", "bucket"))
       .filter(col("a") < col("b"))
       .withColumn("cos", round(
         Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))

@@ -35,6 +35,99 @@ object ScaleProbe {
         graft.ops.Dedup.embeddingNearDups(embs, threshold = 0.45)),
       "embedding_sched" -> (() =>
         graft.ops.Dedup.embeddingNearDupsAuto(embs, threshold = 0.45)),
+      // embedding cost decomposition: bucket computation alone, then the
+      // compact candidate join without the cosine verify — full minus
+      // cand isolates the verify (wide-row join + dot) share
+      "embedding_bucket_only" -> (() => {
+        import org.apache.spark.sql.functions._
+        val (bits, tables) = graft.ops.Dedup.lshSchedule(embs.count())
+        embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), posexplode(array((0 until tables).map(t =>
+            graft.ops.Similarity.lshBucket(col("v"), 64, bits, t)): _*))
+            .as(Seq("table", "bucket")))
+      }),
+      // shuffle-hash variant of the declared shape: forcing the bucket
+      // self-join off broadcast gives both sides an identical
+      // hashpartitioning(table, bucket) exchange, so ReuseExchange
+      // evaluates the plane-dot subtree ONCE (the minhash band join
+      // already gets this for free because its side frames are big
+      // enough to shuffle)
+      "embedding_sched_shuffle" -> (() => {
+        import org.apache.spark.sql.functions._
+        val (bits, tables) = graft.ops.Dedup.lshSchedule(embs.count())
+        val v = embs
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", graft.ops.Similarity.norm(col("v")))
+        val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
+          posexplode(array((0 until tables).map(t =>
+            graft.ops.Similarity.lshBucket(col("v"), 64, bits, t)): _*))
+            .as(Seq("table", "bucket")))
+        val l = bucketed.select(col("table"), col("bucket"),
+          col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+        val r = bucketed.select(col("table"), col("bucket"),
+          col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+        l.hint("shuffle_hash").join(r.hint("shuffle_hash"), Seq("table", "bucket"))
+          .filter(col("a") < col("b"))
+          .withColumn("cos", round(
+            graft.ops.Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+          .filter(col("cos") >= 0.45)
+          .select("a", "b", "cos")
+          .distinct()
+      }),
+      // distinct-first variant: compact (vec_id, table, bucket)
+      // self-join → distinct pairs → attach vectors by key → verify.
+      // Each unique pair is scored once (vs once per colliding table)
+      // and no vector ever rides the (table, bucket) shuffle.
+      "embedding_sched_v2" -> (() => {
+        import org.apache.spark.sql.functions._
+        val (bits, tables) = graft.ops.Dedup.lshSchedule(embs.count())
+        val v = embs
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", graft.ops.Similarity.norm(col("v")))
+        val bucketed = v.select(col("vec_id"), posexplode(array((0 until tables).map(t =>
+            graft.ops.Similarity.lshBucket(col("v"), 64, bits, t)): _*))
+            .as(Seq("table", "bucket")))
+        val pairs = bucketed.select(col("table"), col("bucket"), col("vec_id").as("a"))
+          .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("b")),
+            Seq("table", "bucket"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        pairs
+          .join(v.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+          .join(v.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+          .withColumn("cos", round(
+            graft.ops.Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+          .filter(col("cos") >= 0.45)
+          .select("a", "b", "cos")
+      }),
+      "embedding_join_nodistinct" -> (() => {
+        import org.apache.spark.sql.functions._
+        val (bits, tables) = graft.ops.Dedup.lshSchedule(embs.count())
+        val bucketed = embs
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), posexplode(array((0 until tables).map(t =>
+            graft.ops.Similarity.lshBucket(col("v"), 64, bits, t)): _*))
+            .as(Seq("table", "bucket")))
+        bucketed.select(col("table"), col("bucket"), col("vec_id").as("a"))
+          .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("b")),
+            Seq("table", "bucket"))
+          .filter(col("a") < col("b"))
+          .select("a", "b")
+      }),
+      "embedding_cand_only" -> (() => {
+        import org.apache.spark.sql.functions._
+        val (bits, tables) = graft.ops.Dedup.lshSchedule(embs.count())
+        val bucketed = embs
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), posexplode(array((0 until tables).map(t =>
+            graft.ops.Similarity.lshBucket(col("v"), 64, bits, t)): _*))
+            .as(Seq("table", "bucket")))
+        bucketed.select(col("table"), col("bucket"), col("vec_id").as("a"))
+          .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("b")),
+            Seq("table", "bucket"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+      }),
       // dedup_clusters decomposition: pair generation alone vs the full
       // pairs + GraphX connected-components resolution — the difference
       // is the RDD-boundary fromEdges + Pregel cost
@@ -46,6 +139,17 @@ object ScaleProbe {
       val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet
       probes.filter { case (n, _) => names(n) }
     } else probes
+
+    // SPARK_GRAFT_EXPLAIN=1: print each probe's executed plan instead of
+    // timing it — the plan-shape debugging companion to the timer
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      selected.foreach { case (name, fn) =>
+        println(s"===== $name =====")
+        fn().explain("formatted")
+      }
+      spark.stop()
+      return
+    }
 
     val results = selected.map { case (name, fn) =>
       def once(): Double = {

@@ -227,6 +227,19 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in multi-probe plan:\n${p.take(2000)}")
   }
 
+  test("embedding bucket self-join reuses one exchange for the plane-dot subtree") {
+    // the tables×bits plane dots per vector are the scan-side cost of
+    // sign-LSH; the shuffle_hash self-join must evaluate them once
+    // (ReusedExchange), not once per join side — the broadcast shape
+    // the planner picks by default recomputes them and builds a
+    // wide-row map (measured 3.4× slower at 10×)
+    val p = plan("dedup_embedding")
+    assert(p.contains("ReusedExchange"),
+      s"no exchange reuse in dedup_embedding plan:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in embedding plan:\n${p.take(2000)}")
+  }
+
   test("incremental dedup probes the corpus with a broadcast batch — no corpus self-join") {
     // the ingest contract: corpus band keys joined against the (small)
     // batch band frame via broadcast, never a corpus-corpus self-join
