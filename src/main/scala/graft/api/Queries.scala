@@ -1385,6 +1385,27 @@ object Queries {
         .orderBy("a", "b"),
       Some(TextSql.dedupEmbeddingAuto)),
 
+    // Cosine histogram over the schedule-knob LSH candidate pairs — the
+    // threshold-tuning readout for embedding near-dup (what
+    // dedup_jaccard_histogram is to MinHash): every distinct candidate
+    // pair scored once, bucketed by floor(cos·10). Same candidate chain
+    // and shuffle-hash/ReusedExchange plan as dedup_embedding, but on a
+    // deterministic 50% vec-id hash sample (band_eval's audit-sample
+    // discipline): scoring EVERY candidate — no threshold prune before
+    // the distinct — is quadratic in bucket occupancy, and the sample
+    // bounds it to a quarter while keeping the distribution shape. The
+    // knob schedule self-adjusts to the sampled count.
+    "dedup_embedding_histogram" -> Q(
+      (s, d) => graft.ops.Dedup
+        .embeddingNearDupsAuto(
+          Tables.embeddings(s, d).filter(
+            pmod(graft.functions.GraftFunctions.md5Hash60(col("vec_id")), lit(2L)) === 0),
+          threshold = -1.0)
+        .groupBy(least(lit(9L), floor(col("cos") * 10).cast("long")).as("cos_bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("cos_bucket"),
+      Some(TextSql.dedupEmbeddingHistogram)),
+
     // Cross-source duplication matrix: which source pairs share
     // near-dup content — the contamination map a curation team reads
     // before deciding which source to drop duplicates FROM (e.g. a web

@@ -446,8 +446,8 @@ object TextSql {
     * plane ids stay t·bits+j, matching Similarity.lshBucket's family at
     * the scheduled bits.
     */
-  val dedupEmbeddingAuto: String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  private def dedupEmbeddingAutoPrefix(where: String = ""): String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings$where),
        |kb AS (
        |  SELECT least(12, greatest(4,
        |    (SELECT min(k) FROM (SELECT unnest(generate_series(0, 40)) AS k) ks
@@ -468,8 +468,39 @@ object TextSql {
        |       (SELECT unnest(generate_series(0, 63)) AS t) t,
        |       (SELECT unnest(generate_series(0, 12)) AS j) j
        |  WHERE t.t < k.tables AND j.j < k.bits),
-       |$lshBucketsCte,
+       |$lshBucketsCte""".stripMargin
+
+  val dedupEmbeddingAuto: String =
+    s"""${dedupEmbeddingAutoPrefix()},
        |${dedupEmbeddingTail(0.45)}""".stripMargin
+
+  /** Cosine histogram over the schedule-knob candidate pairs — the
+    * threshold-tuning readout (mirror of dedupJaccardHistogram's role
+    * for MinHash): same prefix CTEs as dedupEmbeddingAuto, every
+    * distinct candidate pair scored, bucketed by floor(cos·10) with the
+    * 1.0 endpoint folded into bucket 9. Runs on a deterministic 50%
+    * vec-id hash sample (same audit-sample discipline as
+    * dedupBandEval): unlike the declared near-dup query — whose
+    * threshold prunes candidates before the distinct — the histogram
+    * must score EVERY candidate pair, a cost quadratic in bucket
+    * occupancy that the sample bounds to a quarter; the knob schedule
+    * is computed on the sampled count, so the readout is
+    * self-consistent.
+    */
+  val dedupEmbeddingHistogram: String =
+    s"""${dedupEmbeddingAutoPrefix(
+        s" WHERE ${GraphSql.md5Hash60("CAST(vec_id AS VARCHAR)")} % 2 = 0")},
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT round(list_dot_product(x.e, y.e)
+       |      / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+       |  FROM cand c JOIN v x ON x.vec_id = c.a JOIN v y ON y.vec_id = c.b)
+       |SELECT least(9, CAST(floor(cos * 10) AS BIGINT)) AS cos_bucket,
+       |  count(*) AS n_pairs
+       |FROM scored GROUP BY 1 ORDER BY cos_bucket""".stripMargin
 
   val simCosineTopk: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
