@@ -408,6 +408,54 @@ object Queries {
         """SELECT count(*) AS n FROM customer
           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
 
+    // TPC-H Q21 shape (waiting-supplier): late lineitems in finished
+    // multi-supplier orders where ONLY this supplier was late — a
+    // semi-join AND an anti-join against the same self-joined lineitem
+    // scan, the hardest classic decorrelation shape. "Late" is
+    // shipdate > orderdate + 90 days (this corpus has no
+    // receipt/commit dates). All three lineitem sides join keyed on
+    // l_orderkey (shuffle joins that AQE can co-plan); supplier is a
+    // broadcast dim. Deterministic top-20 via (numwait DESC, s_name).
+    "join_waiting_supplier" -> Q(
+      (s, d) => {
+        val late = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select("l_orderkey", "l_suppkey")
+        val others = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val lateOthers = late
+          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        late
+          .join(others,
+            col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+            "left_semi")
+          .join(lateOthers,
+            col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+            "left_anti")
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), asc("s_name")).limit(20)
+      },
+      Some(
+        """WITH late AS (
+          |  SELECT l.l_orderkey, l.l_suppkey
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  WHERE o.o_orderstatus = 'F'
+          |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+          |SELECT s_name, count(*) AS numwait
+          |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+          |WHERE EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM late l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey)
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
     // Left outer join: order counts per customer including zero-order
     // customers.
     "join_outer_order_counts" -> Q(
@@ -543,6 +591,55 @@ object Queries {
           .orderBy("event_type", "hr")
       },
       Some(TextSql.anomalousHours)),
+
+    // Winsorized value summary per event type: clip `value` to its
+    // type's [p1, p99] and report the clipped mean — the outlier-robust
+    // metric a feature pipeline emits. Percentile selection is explicit
+    // rank-at-ceil(p·n) over integer cents (one sort-window shuffle per
+    // type, thresholds broadcast back) — NOT percentile()/quantile():
+    // the discrete-vs-interpolated and rank-rounding conventions differ
+    // across engines, while rank = (p·n + 99) div 100 is pure integer
+    // arithmetic both sides. All outputs are exact integers.
+    "events_value_winsorize" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("vc"))
+        val ranked = v
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy("vc")))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy("event_type")))
+        val thresholds = ranked
+          .filter(col("rn") === expr("(n + 99) div 100") ||
+            col("rn") === expr("(n * 99 + 99) div 100"))
+          .groupBy("event_type")
+          .agg(min("vc").as("lo_c"), max("vc").as("hi_c"))
+        v.join(broadcast(thresholds), "event_type")
+          .withColumn("cc", least(greatest(col("vc"), col("lo_c")), col("hi_c")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min("lo_c").as("lo_c"), min("hi_c").as("hi_c"),
+            expr("sum(cc) div count(*)").as("mean_clipped_c"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH v AS (SELECT event_type,
+          |             CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+          |r AS (SELECT event_type, vc,
+          |        row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+          |        count(*) OVER (PARTITION BY event_type) AS n FROM v),
+          |t AS (SELECT event_type, min(vc) AS lo_c, max(vc) AS hi_c
+          |      FROM r
+          |      WHERE rn = (n + 99) // 100 OR rn = (n * 99 + 99) // 100
+          |      GROUP BY event_type)
+          |SELECT v.event_type, count(*) AS n,
+          |  min(t.lo_c) AS lo_c, min(t.hi_c) AS hi_c,
+          |  CAST(sum(least(greatest(v.vc, t.lo_c), t.hi_c)) // count(*) AS BIGINT)
+          |    AS mean_clipped_c
+          |FROM v JOIN t ON v.event_type = t.event_type
+          |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin)),
 
     // Two-phase salted aggregation over the 5 hot event types — the
     // canonical skew shape. Exact decimal partials make the salting
@@ -1648,6 +1745,38 @@ object Queries {
           .orderBy("source")
       },
       Some(TextSql.temperatureMix)),
+
+    // Deterministic stratified train/val/test split (90/5/5 by a seeded
+    // 60-bit md5 of doc_id) with per-source doc AND token accounting —
+    // the split manifest a training run records. Membership is a pure
+    // per-row hash (layout-invariant, reseedable via the salt, same
+    // discipline as the sampling family); one aggregate, no shuffle
+    // beyond the groupBy. The token sums audit that stratification
+    // holds by mass, not just by count.
+    "pipeline_split_assign" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("h", pmod(graft.functions.GraftFunctions.md5Hash60(
+          concat(lit("split1:"), col("doc_id").cast("string"))), lit(100L)))
+        .withColumn("split",
+          when(col("h") < 90, "train").when(col("h") < 95, "val")
+            .otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+        .orderBy("source", "split"),
+      Some(
+        s"""SELECT source, split, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           |FROM (SELECT source,
+           |        CASE WHEN h < 90 THEN 'train'
+           |             WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+           |        n_tok
+           |      FROM (SELECT source,
+           |              ${GraphSql.md5Hash60("'split1:' || CAST(doc_id AS VARCHAR)")} % 100 AS h,
+           |              CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+           |            FROM documents))
+           |GROUP BY source, split ORDER BY source, split""".stripMargin)),
 
     // Decontamination: flag corpus docs sharing any 4-gram shingle with
     // the benchmark set (here: doc_id < 10 stands in for an eval set).

@@ -1005,7 +1005,7 @@ object TextSql {
   val embDimStats: String =
     """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |q AS (SELECT g.i - 1 AS dim, CAST(floor(e[g.i] * 1000000) AS BIGINT) AS q
-      |      FROM v CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g)
+      |      FROM v CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g)
       |SELECT dim, count(*) AS n,
       |  CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_x1e6,
       |  min(q) AS min_x1e6, max(q) AS max_x1e6

@@ -263,4 +263,28 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"probe path shuffles the corpus:\n${p.take(2500)}")
   }
+
+  test("waiting-supplier decorrelates to keyed semi+anti joins, dim broadcast") {
+    // the Q21 shape: EXISTS and NOT EXISTS against the same lineitem
+    // self-join must become keyed LeftSemi/LeftAnti shuffles on
+    // l_orderkey (never a nested-loop or cartesian), with the supplier
+    // dim broadcast onto the survivors
+    val p = plan("join_waiting_supplier")
+    assert(p.contains("LeftSemi"), s"no semi join:\n${p.take(2000)}")
+    assert(p.contains("LeftAnti"), s"no anti join:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier dim not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in waiting-supplier plan:\n${p.take(2000)}")
+  }
+
+  test("winsorize thresholds broadcast back onto the value scan") {
+    // the per-type [p1,p99] frame is 5 rows — re-joining it to the
+    // events scan must be a broadcast, and the whole plan stays keyed
+    val p = plan("events_value_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in winsorize plan:\n${p.take(2000)}")
+  }
 }
