@@ -641,6 +641,31 @@ object Queries {
           |FROM v JOIN t ON v.event_type = t.event_type
           |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin)),
 
+    // The one-scan sketch form of the winsorize thresholds: at 100 TB
+    // the exact rank selection's per-type sort-window is the cost, and
+    // a KLL-style approx_percentile sketch (mergeable, map-side
+    // partial) gets both thresholds in a single scan. Rows-only like
+    // every sketch path (sketch internals are engine-specific);
+    // OpsSpec gates its thresholds against the exact twin's within
+    // rank tolerance.
+    "events_value_winsorize_fast" -> Q(
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("vc"))
+        val t = v.groupBy("event_type").agg(
+          expr("approx_percentile(vc, 0.01, 10000)").as("lo_c"),
+          expr("approx_percentile(vc, 0.99, 10000)").as("hi_c"))
+        v.join(broadcast(t), "event_type")
+          .withColumn("cc", least(greatest(col("vc"), col("lo_c")), col("hi_c")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min("lo_c").as("lo_c"), min("hi_c").as("hi_c"),
+            expr("sum(cc) div count(*)").as("mean_clipped_c"))
+          .orderBy("event_type")
+      },
+      None),
+
     // Two-phase salted aggregation over the 5 hot event types — the
     // canonical skew shape. Exact decimal partials make the salting
     // invisible to the result, so the plain GROUP BY is the oracle.

@@ -30,6 +30,36 @@ object ScaleProbe {
       "containment_direct" -> (() => graft.ops.Dedup.containmentPairs(docs)),
       "containment_prefix" -> (() => graft.ops.Dedup.containmentPairsPrefixed(docs)),
       "jaccard" -> (() => graft.ops.Dedup.ngramJaccardPairs(docs)),
+      // pruned-verify variant: semi-filter the shingle frame to docs
+      // that appear in ANY candidate pair before the intersection
+      // joins — the verify then shuffles only candidate docs' shingles
+      // instead of the whole corpus. Costs one extra evaluation of the
+      // candidate subtree (for the id broadcast); wins when candidates
+      // cover a small fraction of docs (the 100 TB regime), loses when
+      // most docs are in some pair (planted sf0.1 fixture)
+      "jaccard_pruned" -> (() => {
+        import org.apache.spark.sql.functions._
+        val sh = graft.ops.Dedup.shingleRows(docs, 3)
+        val cand = graft.ops.Dedup.minhashPairsFromShingles(
+          sh, 8, 4, graft.ops.Dedup.DefaultBandCap)
+        val ids = cand.select(col("a").as("doc_id"))
+          .union(cand.select(col("b").as("doc_id"))).distinct()
+        val shc = sh.join(broadcast(ids), Seq("doc_id"), "left_semi")
+        val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val la = shc.select(col("doc_id").as("a"), col("sh"))
+        val rb = shc.select(col("doc_id").as("b"), col("sh"))
+        val inter = cand.join(la, "a").join(rb, Seq("b", "sh"))
+          .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "a")
+            .withColumnRenamed("sz", "sza"), "a")
+          .join(sizes.withColumnRenamed("doc_id", "b")
+            .withColumnRenamed("sz", "szb"), "b")
+          .withColumn("jaccard", round(col("inter").cast("double") /
+            (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select("a", "b", "jaccard")
+      }),
       "minhash" -> (() => graft.ops.Dedup.minhashPairs(docs)),
       "embedding_fixed" -> (() =>
         graft.ops.Dedup.embeddingNearDups(embs, threshold = 0.45)),

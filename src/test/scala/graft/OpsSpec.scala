@@ -291,6 +291,32 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("sketch winsorize thresholds track the exact rank selection") {
+    val d = dir
+    def byType(name: String): Map[String, (Long, Long, Long)] =
+      graft.api.Queries.registry(name).fn(spark, d).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("lo_c"), r.getAs[Long]("hi_c"),
+            r.getAs[Long]("mean_clipped_c")))).toMap
+    val exact = byType("events_value_winsorize")
+    val approx = byType("events_value_winsorize_fast")
+    exact.foreach { case (t, (lo, hi, mean)) =>
+      val (loA, hiA, meanA) = approx(t)
+      // thresholds within 5% of the value RANGE (rank error translates
+      // to value error through the local density; the tails are sparse,
+      // so threshold drift is bounded by a range fraction, not a
+      // relative one — lo_c can legitimately sit near 0)
+      val range = math.max(hi - lo, 1L).toDouble
+      assert(math.abs(loA - lo) / range <= 0.05,
+        s"$t: sketch lo $loA vs exact $lo drifts > 5% of range")
+      assert(math.abs(hiA - hi) / range <= 0.05,
+        s"$t: sketch hi $hiA vs exact $hi drifts > 5% of range")
+      // the clipped mean is threshold-insensitive — 1% relative
+      assert(math.abs(meanA - mean).toDouble / mean <= 0.01,
+        s"$t: sketch clipped mean $meanA vs exact $mean drifts > 1%")
+    }
+  }
+
   test("bpe token estimate splits long words into pieces") {
     import spark.implicits._
     val df = Seq((1L, "internationalization"), (2L, "a b"), (3L, "x9!")).toDF("doc_id", "text")
