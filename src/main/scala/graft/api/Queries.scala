@@ -1308,6 +1308,59 @@ object Queries {
         """SELECT doc_id, substr(md5('epoch7:' || doc_id), 1, 15) AS rkey
           |FROM documents ORDER BY rkey, doc_id LIMIT 100""".stripMargin)),
 
+    // Exact token-budget sharding: assign docs (in a seeded-hash global
+    // order) to 8 shards of ~equal TOKEN mass — the file-level shard
+    // manifest distributed training reads. Unlike pack_sequences'
+    // shard-LOCAL cumsum, the assignment needs a globally exact running
+    // total, built scale-correctly in two phases: a per-bucket cumsum
+    // (bucket = top 10 bits of the 60-bit order key, so bucket order IS
+    // key order) plus a 1024-row bucket-prefix frame that broadcasts
+    // back — no corpus-sized window partition anywhere; the only
+    // single-partition window runs over 1024 bucket totals. The oracle
+    // computes the same assignment with one flat window, gating the
+    // distributed prefix-sum decomposition bit-exactly.
+    "pipeline_shard_budget" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nShards = 8L
+        val t = Tables.documents(s, d).select(
+            col("doc_id"),
+            graft.ops.TextOps.tokenCount(col("text")).cast("long").as("tok"),
+            graft.functions.GraftFunctions.md5Hash60(
+              concat(lit("shard1:"), col("doc_id").cast("string"))).as("key"))
+          .withColumn("bucket", expr(s"key div ${1L << 50}"))
+        val wb = Window.partitionBy("bucket").orderBy("key", "doc_id")
+        val within = t.withColumn("cum_in", sum("tok").over(wb) - col("tok"))
+        val btot = t.groupBy("bucket").agg(sum("tok").as("btok"))
+        val wp = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = btot
+          .withColumn("off", coalesce(sum("btok").over(wp), lit(0L)))
+          .withColumn("total", sum("btok").over(
+            Window.partitionBy().rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select("bucket", "off", "total")
+        within.join(broadcast(boff), "bucket")
+          .withColumn("shard",
+            expr(s"(off + cum_in) div ((total + ${nShards - 1}) div $nShards)"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+          .orderBy("shard")
+      },
+      Some(
+        s"""WITH t AS (SELECT doc_id,
+           |        CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+           |        ${GraphSql.md5Hash60("'shard1:' || CAST(doc_id AS VARCHAR)")} AS key
+           |      FROM documents),
+           |c AS (SELECT tok,
+           |        sum(tok) OVER (ORDER BY key, doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cb,
+           |        sum(tok) OVER () AS total
+           |      FROM t)
+           |SELECT CAST(COALESCE(cb, 0) // ((total + 7) // 8) AS BIGINT) AS shard,
+           |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+           |FROM c GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // Curation observability: survivor counts at each pipeline stage
     // (all → langid → quality gate → exact dedup). Stages 0-2 come from
     // ONE aggregate over the scoring pass (stack() pivots the row to

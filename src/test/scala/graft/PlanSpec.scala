@@ -278,6 +278,20 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in waiting-supplier plan:\n${p.take(2000)}")
   }
 
+  test("shard-budget cumsum is bucket-partitioned; prefix frame broadcasts") {
+    // the global running total must decompose: the corpus-sized window
+    // partitions by bucket (hashpartitioning(bucket)), only the
+    // 1024-row bucket-prefix frame may pass through a SinglePartition
+    // exchange, and the prefix offsets re-join by broadcast
+    val p = plan("pipeline_shard_budget")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"doc-level window not bucket-partitioned:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-prefix frame not broadcast:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in shard-budget plan:\n${p.take(2000)}")
+  }
+
   test("winsorize thresholds broadcast back onto the value scan") {
     // the per-type [p1,p99] frame is 5 rows — re-joining it to the
     // events scan must be a broadcast, and the whole plan stays keyed
