@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DoubleDotProduct, Murmur64Expr}
+import graft.functions.{DeflateSizeExpr, DoubleDotProduct, Murmur64Expr}
 
 /** Session-extension packaging: makes the engine's custom expressions
   * first-class SQL functions in any session built with
@@ -24,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DoubleDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DoubleDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_deflate_size"),
+      new ExpressionInfo(classOf[DeflateSizeExpr].getName, "graft_deflate_size"),
+      (children: Seq[Expression]) =>
+        DeflateSizeExpr(graft.functions.GraftFunctions.stringInput(children.head))))
   }
 }

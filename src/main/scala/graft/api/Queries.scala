@@ -1308,6 +1308,29 @@ object Queries {
         """SELECT doc_id, substr(md5('epoch7:' || doc_id), 1, 15) AS rkey
           |FROM documents ORDER BY rkey, doc_id LIMIT 100""".stripMargin)),
 
+    // Compression-ratio quality signal (deflate bytes / raw bytes,
+    // fixed-point): the web-curation heuristic — template/boilerplate
+    // text compresses far below natural prose, near-random payloads
+    // barely compress. The per-row deflate runs as a native codegen'd
+    // expression (DeflateSizeExpr) with a thread-reused zlib stream;
+    // the aggregate is one map-side-combining scan. Rows-only: no
+    // cross-engine deflate exists, so the ordering properties
+    // (repetitive < natural < high-entropy) gate in OpsSpec instead.
+    "text_compression_ratio" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"),
+          graft.functions.DeflateSizeExpr(col("text")).as("csz"),
+          octet_length(col("text")).cast("long").as("osz"))
+        .filter(col("osz") > 0)
+        .withColumn("ratio_x1e6", expr("csz * 1000000 div osz"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(ratio_x1e6) div count(*)").as("mean_ratio_x1e6"),
+          min("ratio_x1e6").as("min_ratio_x1e6"),
+          max("ratio_x1e6").as("max_ratio_x1e6"))
+        .orderBy("source"),
+      None),
+
     // Exact token-budget sharding: assign docs (in a seeded-hash global
     // order) to 8 shards of ~equal TOKEN mass — the file-level shard
     // manifest distributed training reads. Unlike pack_sequences'

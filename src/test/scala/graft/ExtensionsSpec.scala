@@ -22,6 +22,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val d = spark.sql(
         "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
       assert(d == 11.0)
+      val z = spark.sql(
+        "SELECT graft_deflate_size(repeat('ab', 1000)) AS z").head().getLong(0)
+      assert(z > 0 && z < 100, s"2000 repetitive bytes should deflate tiny, got $z")
     } finally {
       // do NOT stop(): the SparkContext is shared with other suites
       SparkSession.clearActiveSession()

@@ -317,6 +317,32 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("deflate ratio orders repetitive < natural-ish < high-entropy text") {
+    import spark.implicits._
+    // three same-length payloads: pure repetition, varied-vocabulary
+    // prose-ish text, and md5-hex high-entropy noise (deterministic)
+    val rep = "the cat sat on the mat " * 200
+    val nat = (0 until 700).map(i => s"w${i % 331}x${(i * 7) % 97}").mkString(" ")
+    val hex = (0 until 144).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"noise$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString
+    val df = Seq(("rep", rep), ("nat", nat), ("hex", hex)).toDF("k", "text")
+      .select(col("k"),
+        (graft.functions.DeflateSizeExpr(col("text")) * 1000000L /
+          octet_length(col("text"))).cast("long").as("r"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("rep") < m("nat") && m("nat") < m("hex"),
+      s"ordering violated: $m")
+    assert(m.values.forall(r => r > 0 && r < 1200000),
+      s"ratio out of (0, 1.2] band: $m")
+    // codegen path (the collect above) agrees with the direct helper
+    val viaDf = Seq(Tuple1(rep)).toDF("text")
+      .select(graft.functions.DeflateSizeExpr(col("text")).as("z"))
+      .head().getLong(0)
+    assert(viaDf == graft.functions.DeflateUtil.compressedSize(rep.getBytes("UTF-8")))
+  }
+
   test("bpe token estimate splits long words into pieces") {
     import spark.implicits._
     val df = Seq((1L, "internationalization"), (2L, "a b"), (3L, "x9!")).toDF("doc_id", "text")
