@@ -67,6 +67,40 @@ object GraphSql {
        |ORDER BY rank_u DESC, node LIMIT $limit""".stripMargin
   }
 
+  /** Personalized-PageRank twin of [[pagerankFixedPoint]]: all teleport
+    * mass returns to the SEED (r0 = 1e6 on the seed, 0 elsewhere; per
+    * round only the seed receives the 15% restart term) — identical
+    * BIGINT floor arithmetic to
+    * `GraphOps.personalizedPageRankFixedPoint`. Zero-rank nodes
+    * contribute `0 // deg = 0`, matching the Spark side's
+    * skip-zero-messages optimization exactly.
+    */
+  def personalizedPagerank(seed: String, iters: Int = 5): String = {
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT t.obj AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+         |  FROM triples t
+         |  JOIN deg d ON d.subj = t.subj
+         |  JOIN r${k - 1} r ON r.node = t.subj
+         |  GROUP BY t.obj),
+         |r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST((CASE WHEN n.node = '$seed' THEN 150000 ELSE 0 END)
+         |      + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$k c ON c.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${StarTriples.sqlCte.replaceFirst("AS \\(", "AS MATERIALIZED (")},
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT subj AS node FROM triples UNION SELECT obj FROM triples)),
+       |deg AS MATERIALIZED (SELECT subj, count(*) AS deg FROM triples GROUP BY subj),
+       |r0 AS MATERIALIZED (SELECT node,
+       |  CAST(CASE WHEN node = '$seed' THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes),
+       |$steps
+       |SELECT node, r AS rank_u FROM r$iters WHERE r > 0
+       |ORDER BY rank_u DESC, node""".stripMargin
+  }
+
   /** 60-bit hex value of md5(s)'s first 15 chars — the portable shard
     * hash family (same construction the MinHash/SimHash oracles use).
     */

@@ -1150,6 +1150,22 @@ object Queries {
         .orderBy(desc("rank_u"), asc("node")).limit(100),
       Some(GraphSql.pagerankFixedPoint(iters = 5, limit = 100))),
 
+    // Personalized PageRank from a seed entity — the "related nodes"
+    // recommendation scorer (rank ∝ seed-restarting-walk visit
+    // frequency). Same order-free fixed-point BIGINT loop as the exact
+    // PageRank, teleporting to the seed only; message volume stays
+    // proportional to the REACHED frontier (zero-rank vertices send
+    // nothing), so a seed query on a 100 TB graph touches its
+    // neighborhood, not the graph. Oracle unrolls the same 5 rounds.
+    "graph_ppr_related" -> Q(
+      (s, d) => graft.graph.GraphOps
+        .personalizedPageRankFixedPoint(
+          graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d),
+          "order:1", iters = 5)
+        .filter(col("rank_u") > 0)
+        .orderBy(desc("rank_u"), asc("node")),
+      Some(GraphSql.personalizedPagerank("order:1", iters = 5))),
+
     // Connected-component sizes, labeled by each component's minimum
     // node string (portable — oracle is 20 unrolled min-label rounds).
     "graph_cc_sizes" -> Q(

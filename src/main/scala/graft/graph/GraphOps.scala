@@ -211,4 +211,37 @@ object GraphOps {
       .map { case (_, (node, (r, _))) => (node, r) }
       .toDF("node", "rank_u")
   }
+
+  /** Personalized PageRank in the same order-free fixed-point BIGINT
+    * arithmetic as [[pageRankFixedPoint]]: all teleport mass returns to
+    * the SEED (rank ∝ seed-restarting-walk visit frequency — the
+    * "related nodes" recommendation scorer). Seed identity is checked
+    * on the murmur64 vertex id, so the loop still carries only (rank,
+    * outDeg) primitives; zero-rank vertices send no messages, keeping
+    * early-round traffic proportional to the reached frontier.
+    */
+  def personalizedPageRankFixedPoint(g: Graph[String, String], seed: String,
+      iters: Int): DataFrame = {
+    val spark = sessionOf(g)
+    import spark.implicits._
+    val seedId = graft.functions.Murmur3x64.hash64(seed)
+    var ranks: Graph[(Long, Int), String] = g.outerJoinVertices(g.outDegrees) {
+      (vid, _, od) => (if (vid == seedId) 1000000L else 0L, od.getOrElse(0)) }.cache()
+    for (_ <- 0 until iters) {
+      val contribs = ranks.aggregateMessages[Long](
+        ctx => if (ctx.srcAttr._2 > 0 && ctx.srcAttr._1 > 0)
+          ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
+        _ + _)
+      val prev = ranks
+      ranks = ranks.outerJoinVertices(contribs) {
+        (vid, v, s) => ((if (vid == seedId) 150000L else 0L) +
+          85L * s.getOrElse(0L) / 100L, v._2) }.cache()
+      ranks.edges.foreachPartition(_ => ())
+      prev.vertices.unpersist(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    g.vertices.join(ranks.vertices)
+      .map { case (_, (node, (r, _))) => (node, r) }
+      .toDF("node", "rank_u")
+  }
 }
