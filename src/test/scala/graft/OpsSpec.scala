@@ -317,6 +317,30 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("shard budget yields contiguous shards balanced within one doc") {
+    val rows = graft.api.Queries.registry("pipeline_shard_budget")
+      .fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    val shards = rows.map(_._1)
+    assert(shards.sameElements(shards.sorted), "shards not ordered")
+    assert(shards.distinct.length == shards.length, "duplicate shard ids")
+    assert(shards.max < 8, s"shard id past S-1: ${shards.max}")
+    val total = rows.map(_._3).sum
+    val budget = (total + 7) / 8
+    // each shard's token mass stays within one straddling doc of the
+    // budget: cum_before-based assignment can overshoot only by the
+    // last doc's length, and every doc here is far under the budget
+    val maxDoc = graft.api.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.max(
+        graft.ops.TextOps.tokenCount(
+          org.apache.spark.sql.functions.col("text")).cast("long")))
+      .head().getLong(0)
+    rows.foreach { case (sid, _, tok) =>
+      assert(tok <= budget + maxDoc,
+        s"shard $sid overshoots budget+maxDoc: $tok > $budget + $maxDoc")
+    }
+  }
+
   test("deflate ratio orders repetitive < natural-ish < high-entropy text") {
     import spark.implicits._
     // three same-length payloads: pure repetition, varied-vocabulary

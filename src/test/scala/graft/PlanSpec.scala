@@ -292,6 +292,19 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in shard-budget plan:\n${p.take(2000)}")
   }
 
+  test("deflate ratio scan runs inside whole-stage codegen") {
+    // the native expression must fuse into the scan stage (a UDF would
+    // break the codegen span and serialize every row)
+    val p = plan("text_compression_ratio")
+    assert(hasCodegen(p), s"no codegen span:\n${p.take(1500)}")
+    assert(p.contains("graft_deflate_size"),
+      s"deflate expression missing from plan:\n${p.take(1500)}")
+    // the ratio aggregate must be partial (map-side combine before the
+    // source shuffle): partial_count/partial_sum markers in HashAggregate
+    assert(p.contains("partial_"),
+      s"no map-side partial aggregate:\n${p.take(2000)}")
+  }
+
   test("winsorize thresholds broadcast back onto the value scan") {
     // the per-type [p1,p99] frame is 5 rows — re-joining it to the
     // events scan must be a broadcast, and the whole plan stays keyed
