@@ -14,6 +14,7 @@ import graft.store.TripleStore
   *   graft.tools.TripleCli <storePath> triples
   *   graft.tools.TripleCli <storePath> info
   *   graft.tools.TripleCli <storePath> sync <peerStorePath>
+  *   graft.tools.TripleCli <storePath> compact
   */
 object TripleCli {
   def main(args: Array[String]): Unit = {
@@ -55,6 +56,14 @@ object TripleCli {
       case "info" =>
         val i = store.info()
         println(s"""{"triples":${i.triples},"diskBytes":${i.diskBytes},"freeDiskBytes":${i.freeDiskBytes}}""")
+      case "compact" =>
+        // rewrite append-accumulated small files to one sorted file per
+        // bucket (two-phase swap inside TripleStore.compact); report
+        // the file-count delta the operation exists for
+        val before = dataFileCount(spark, path)
+        store.compact()
+        val after = dataFileCount(spark, path)
+        println(s"""{"compacted":true,"filesBefore":$before,"filesAfter":$after,"triples":${store.count()}}""")
       case "sync" =>
         require(args.length >= 3, "usage: TripleCli <storePath> sync <peerStorePath>")
         // one bloom-diff replication round FROM the peer store
@@ -74,6 +83,21 @@ object TripleCli {
   private def streamJson(df: org.apache.spark.sql.DataFrame): Unit = {
     import scala.jdk.CollectionConverters._
     df.toJSON.toLocalIterator().asScala.foreach(println)
+  }
+
+  /** Count of parquet data files under the store (recursive; skips
+    * `_SUCCESS`/metadata) — the number compaction exists to shrink.
+    */
+  private def dataFileCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
   }
 
   /** `@path` reads JSON from a file (shells and sbt split inline JSON on
