@@ -18,14 +18,28 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: touch every table (footer + IO path + codegen of a simple
-    // scan) so the first timed query doesn't pay session start-up.
+    // scan) so the first timed query doesn't pay session start-up. The
+    // counts double as the corpus fingerprint (rows + bytes per table)
+    // stamped into the artifact, so cross-round per-query deltas are
+    // attributable to input growth vs environment from artifacts alone.
+    def tableBytes(path: String): Long = {
+      val f = new java.io.File(path)
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty).map(_.length).sum
+      else f.length
+    }
+    val corpus = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
+      try {
+        val n = spark.read.parquet(s"$sfDir/$t.parquet").count()
+        corpus(t) = (n, tableBytes(s"$sfDir/$t.parquet"))
+      } catch { case _: Throwable => () }
     }
-    try graft.api.Tables.events(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    try {
+      val n = graft.api.Tables.events(spark, sfDir).count()
+      corpus("events") = (n, tableBytes(s"$sfDir/events.parquet"))
+    } catch { case _: Throwable => () }
     // materialize the shared triples view and the graph built from it
     // (the engine's long-lived materialized views, shared by the triple
     // and GraphX queries) so per-query time measures the query, not the
@@ -85,8 +99,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    val corpusJson = corpus.map { case (t, (rows, bytes)) =>
+      "\"" + t + "\":{\"rows\":" + rows + ",\"bytes\":" + bytes + "}"
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","corpus":$corpusJson}"""
     // sidecar additionally carries every raw run (warm-up vs steady
     // state, and contention spikes the min filtered out)
     val runsJson = raw.map { case (k, rs) =>
@@ -101,19 +118,32 @@ object Bench {
     // Round-stamped copy, self-written: the driver's tail capture has
     // truncated the stdout JSON two rounds running ("parsed": null), so
     // the committed BENCH_r{N} artifact must not depend on it. Round id
-    // from SPARK_GRAFT_ROUND if set, else inferred as max existing
-    // CORRECTNESS_r{N}.json + 1 (the driver writes that file at the END
-    // of each round, so during round N the max is N-1 — idempotent
-    // across repeated bench runs within a round). Only the driver-shaped
-    // run stamps: a custom BENCH_OUT or a non-testdata SF_DIR means a
-    // local/scaled iteration run, which must never claim the round file.
+    // from SPARK_GRAFT_ROUND if set, else the "round" field of the LAST
+    // line of the driver's PROGRESS.jsonl — the driver's own statement
+    // of the current round, updated at round start (the old max
+    // CORRECTNESS_r{N}+1 inference mis-stamped N+1 when a bench ran
+    // after the driver wrote round N's correctness file). If neither
+    // source is available the stamp is SKIPPED with a stderr note — a
+    // guessed round id is worse than no round file. Only the
+    // driver-shaped run stamps: a custom BENCH_OUT or a non-testdata
+    // SF_DIR means a local/scaled iteration run, which must never claim
+    // the round file.
     if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT") && sfDir.contains("/testdata/")) {
-      val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).orElse {
-        val re = "CORRECTNESS_r(\\d+)\\.json".r
-        val ns = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
-          .toSeq.flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-        if (ns.isEmpty) None else Some(ns.max + 1)
-      }
+      def progressRound(): Option[Int] =
+        try {
+          val p = java.nio.file.Paths.get("PROGRESS.jsonl")
+          if (!java.nio.file.Files.exists(p)) None
+          else {
+            val last = scala.io.Source.fromFile(p.toFile)
+              .getLines().filter(_.trim.nonEmpty).foldLeft("")((_, l) => l)
+            "\"round\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(last).map(_.group(1).toInt)
+          }
+        } catch { case _: Throwable => None }
+      val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+        .orElse(progressRound())
+      if (round.isEmpty)
+        System.err.println("[bench] round id unavailable (no SPARK_GRAFT_ROUND, " +
+          "no PROGRESS.jsonl round field) — skipping BENCH_r{N} stamp")
       round.foreach { r =>
         try java.nio.file.Files.write(
           java.nio.file.Paths.get(f"BENCH_r$r%02d.json"),

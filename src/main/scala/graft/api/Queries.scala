@@ -1224,9 +1224,13 @@ object Queries {
     // positive in the local bloom — exactly what syncFrom ships into
     // its dedup insert. Ring position is the portable 60-bit md5 hash
     // so the oracle replays the slice; the oracle is the EXACT set
-    // difference (at FP 1e-9 the bloom diff matches it — a false
-    // positive per ~10⁹ diff triples, and syncFrom's anti-join insert
-    // absorbs even that residue).
+    // difference. NOTE the hash gate is therefore PROBABILISTIC, not
+    // structural: a bloom false positive would drop a diff triple and
+    // fail the gate, with per-run probability ≈ n_diff · 1e-9 (~10⁻⁶ at
+    // the sf0.01 fixture's ~800 diff rows) — negligible, and syncFrom's
+    // anti-join insert absorbs even that residue, but if this gate ever
+    // flakes, regate rows-only with an OpsSpec oracle⊇result check
+    // rather than chasing a phantom regression.
     "tp_sync_diff" -> Q(
       (s, d) => {
         val gf = graft.functions.GraftFunctions
@@ -1346,6 +1350,40 @@ object Queries {
           max("ratio_x1e6").as("max_ratio_x1e6"))
         .orderBy("source"),
       None),
+
+    // Cross-engine-gated twin of the deflate signal above (DuckDB has
+    // no deflate, so text_compression_ratio is rows-only): within-doc
+    // distinct/total word-trigram ratio — the same redundancy a
+    // dictionary coder exploits (repeated trigrams → low distinct ratio
+    // → low deflate ratio), deterministic in both engines. Same scan
+    // shape as the deflate form: one per-doc scalar (pure column
+    // expressions, no explode/shuffle until the final per-source
+    // aggregate), integer micro-unit arithmetic. This hash-gates the
+    // family's plumbing; OpsSpec gates the deflate expression itself
+    // (ordering + codegen/interpreted parity).
+    "text_compressibility_proxy" -> Q(
+      (s, d) => {
+        val toks = graft.ops.TextOps.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("source"),
+            when(size(toks) >= 3,
+              transform(sequence(lit(0), size(toks) - 3),
+                i => concat_ws(" ", element_at(toks, i + 1),
+                  element_at(toks, i + 2), element_at(toks, i + 3))))
+              .otherwise(array()).as("shs"))
+          .select(col("source"),
+            size(array_distinct(col("shs"))).cast("long").as("u"),
+            size(col("shs")).cast("long").as("t"))
+          .filter(col("t") > 0)
+          .withColumn("uniq_x1e6", expr("u * 1000000 div t"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(uniq_x1e6) div count(*)").as("mean_uniq_x1e6"),
+            min("uniq_x1e6").as("min_uniq_x1e6"),
+            max("uniq_x1e6").as("max_uniq_x1e6"))
+          .orderBy("source")
+      },
+      Some(TextSql.compressibilityProxy)),
 
     // Exact token-budget sharding: assign docs (in a seeded-hash global
     // order) to 8 shards of ~equal TOKEN mass — the file-level shard

@@ -157,17 +157,12 @@ object TextSql {
     */
   private def bandCap: Int = graft.ops.Dedup.DefaultBandCap
 
-  /** Banded-MinHash candidate CTE chain over `sh`: signatures, bands,
-    * the count-over-window frequent-band cap (mirror of
-    * Dedup.dropHotBands), and the distinct candidate pair set. Shared by
-    * dedupMinhash and the Jaccard prefilter so the two oracles cannot
-    * drift from each other.
-    */
   /** Signature + raw band keys over `sh` (through `bands0`), shared by
     * the self-join candidate chain below and the cross-corpus probe
     * (per-doc band keys depend only on the doc's own shingles, so
     * computing them jointly over a corpus∪batch frame equals computing
-    * them per side).
+    * them per side). Shared by dedupMinhash and the Jaccard prefilter so
+    * the oracles cannot drift from each other.
     */
   private def minhashSigBandCtes: String = {
     val mins = (0 until 8).map(i =>
@@ -180,6 +175,10 @@ object TextSql {
        |  $bands)""".stripMargin
   }
 
+  /** Full banded candidate chain: [[minhashSigBandCtes]] plus the
+    * count-over-window frequent-band cap (mirror of Dedup.dropHotBands)
+    * and the distinct candidate pair set.
+    */
   private def minhashCandCtes: String =
     s"""$minhashSigBandCtes,
        |bands AS (
@@ -246,6 +245,33 @@ object TextSql {
     * oracle; the fraction is an exact integer floor-division on both
     * engines.
     */
+  /** Distinct-trigram compressibility proxy — the cross-engine-gated
+    * twin of the deflate signal (DuckDB cannot deflate): within-doc
+    * distinct/total word-trigram ratio in integer micro-units, same
+    * per-doc-scalar → per-source stats shape as textCompressionRatio's
+    * Spark side. `//` floors but both operands are positive, so it
+    * equals Spark's truncating `div`.
+    */
+  val compressibilityProxy: String =
+    """WITH t AS (
+      |  SELECT source, regexp_split_to_array(lower(text), '\s+') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT source,
+      |    list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS shs
+      |  FROM t),
+      |d AS (
+      |  SELECT source,
+      |    CAST(len(list_distinct(shs)) AS BIGINT) AS u,
+      |    CAST(len(shs) AS BIGINT) AS tt
+      |  FROM g WHERE len(shs) > 0)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(u * 1000000 // tt) // count(*) AS BIGINT) AS mean_uniq_x1e6,
+      |  CAST(min(u * 1000000 // tt) AS BIGINT) AS min_uniq_x1e6,
+      |  CAST(max(u * 1000000 // tt) AS BIGINT) AS max_uniq_x1e6
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val dupNgramFraction: String =
     s"""WITH ${plantCte(exact = false)},
        |$shinglesCte,

@@ -163,6 +163,26 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** Hard ceiling on driver-resident k-means state: both IVF trainers
+    * collect nlist·dim centroid cells per Lloyd round (and build
+    * nlist-wide argmin column expressions), which is the deliberate
+    * small-model IVF shape — but unguarded it would OOM the driver (and
+    * melt codegen) at 100 TB-grade parameters (nlist ≥ 10⁵). 2²² cells
+    * ≈ 32 MB of doubles and a few-thousand-wide expression tree at
+    * dim 64 — comfortably inside both limits. Beyond it, keep the model
+    * DataFrame-resident: centroids as a (cid, pos, m) frame, assignment
+    * via a broadcast join + groupBy(vec_id) argmin instead of per-cell
+    * column literals, probing via the same join — nothing on the driver.
+    */
+  private[graft] val MaxDriverCentroidCells: Long = 1L << 22
+
+  private def requireCentroidsFitDriver(nlist: Int, dim: Int): Unit =
+    require(nlist.toLong * dim <= MaxDriverCentroidCells,
+      s"IVF driver-side k-means caps at nlist*dim <= $MaxDriverCentroidCells " +
+        s"cells (got ${nlist}x$dim = ${nlist.toLong * dim}); use a " +
+        "DataFrame-resident centroid model (broadcast-join assignment) " +
+        "beyond this — see MaxDriverCentroidCells scaladoc")
+
   /** Fixed-point IVF ANN — the oracle-gated twin of [[ivfTopK]]: the
     * k-means runs on BIGINT micro-unit vectors (component → floor(x·1e6))
     * with integer squared-L2 assignment and floor-of-double-division
@@ -195,6 +215,7 @@ object Similarity {
 
     var cents: Array[Array[Long]] = v.orderBy("vec_id").limit(nlist)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
+    requireCentroidsFitDriver(nlist, cents.headOption.map(_.length).getOrElse(0))
     for (_ <- 0 until iters) {
       val means = v.withColumn("cid", cellCol(cents))
         .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
@@ -256,6 +277,7 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     val v = withNorm(embs).cache()
     val dim = v.select(size(col("v"))).head().getInt(0)
+    requireCentroidsFitDriver(nlist, dim)
 
     def centroidLits(cs: Array[Array[Double]]): Seq[Column] =
       cs.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*))

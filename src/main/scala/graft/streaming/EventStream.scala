@@ -129,17 +129,23 @@ object EventStream {
         val banded = graft.ops.Dedup
           .bandKeys(graft.ops.Dedup.minhashSignatures(batch, k), k, bands)
         // a crash mid-compaction can leave the index parked at a
-        // sibling path — restore it BEFORE the read, or the catch-all
-        // below would silently degrade to an empty index (previously
+        // sibling path — restore it BEFORE the read, or an absent-path
+        // fallback would silently degrade to an empty index (previously
         // seen near-dups would pass through undetected)
         recoverBandIndex(spark, indexDir)
+        // only an ABSENT index (first batch of a fresh stream) may start
+        // empty; a present-but-unreadable one (corrupt footer, truncated
+        // file) must fail the stream loudly — degrading to empty would
+        // pass previously-seen near-dups through with no signal
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val idxFs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val index =
-          try spark.read.parquet(indexDir).select("band", "key")
-          catch { case _: Throwable =>
+          if (idxFs.exists(idxPath))
+            spark.read.parquet(indexDir).select("band", "key")
+          else
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               StructType(Seq(StructField("band", IntegerType),
                 StructField("key", StringType))))
-          }
         val seenDup = banded.join(index, Seq("band", "key"), "left_semi")
           .select("doc_id").distinct()
         val batchDup = banded
@@ -216,10 +222,18 @@ object EventStream {
     if (fs.exists(p)) return
     val t = new org.apache.hadoop.fs.Path(indexDir + ".compacting")
     val old = new org.apache.hadoop.fs.Path(indexDir + ".precompact")
-    if (fs.exists(t) && fs.rename(t, p)) fs.delete(old, true)
-    else if (fs.exists(old) && !fs.rename(old, p))
+    if (fs.exists(t) && fs.rename(t, p)) { fs.delete(old, true); return }
+    // a recovery candidate exists but the live index could not be
+    // restored (either rename failed) — throw rather than fall through
+    // to the read path's empty-index fallback: silently losing the
+    // index is the exact degrade mode this function exists to close
+    if (fs.exists(old)) {
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(
+          s"recoverBandIndex: found parked index at $old but could not restore it")
+    } else if (fs.exists(t))
       throw new java.io.IOException(
-        s"recoverBandIndex: found parked index at $old but could not restore it")
+        s"recoverBandIndex: found compacted index at $t but could not restore it")
   }
 
   // ---- Stateful sessionization (flatMapGroupsWithState) ----

@@ -255,6 +255,37 @@ class GraphStreamSpec extends SparkSpecBase {
     assert(liveKeys() == Set("rewrite"))
   }
 
+  test("near-dup ingest: corrupt index fails loudly, absent index starts empty") {
+    import spark.implicits._
+    def runBatch(idx: String, out: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("graft-corrupt")
+      val b = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+      b.coalesce(1).write.parquet(stage.resolve("b1").toString)
+      val in = spark.readStream.schema(b.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+      val q = EventStream.streamNearDedupIngest(in, idx, out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // absent index — fresh stream: starts from an EMPTY index, ingests
+    val base = tmpDir("corrupt-idx")
+    runBatch(base + "/idx-fresh", base + "/out-fresh")
+    assert(spark.read.parquet(base + "/out-fresh").count() == 1L)
+    // corrupt index — present but unreadable MUST fail the stream (the
+    // old catch-all degraded to an empty index: previously-seen
+    // near-dups silently passed through). Write garbage bytes where a
+    // parquet footer should be.
+    val corrupt = new java.io.File(base + "/idx-corrupt")
+    corrupt.mkdirs()
+    java.nio.file.Files.write(corrupt.toPath.resolve("part-00000.parquet"),
+      "this is not a parquet file".getBytes)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runBatch(base + "/idx-corrupt", base + "/out-corrupt")
+    }
+    assert(!new java.io.File(base + "/out-corrupt").exists ||
+      spark.read.parquet(base + "/out-corrupt").count() == 0L,
+      s"corrupt index must not silently ingest (got ${e.getMessage})")
+  }
+
   test("stratified sample predicate is stream/batch-identical (stateless)") {
     // the hash-threshold sampler keeps no state, so applying it to a
     // document STREAM must admit exactly the batch survivors — this is
