@@ -212,36 +212,102 @@ object GraphOps {
       .toDF("node", "rank_u")
   }
 
+  /** Ceiling on the driver-resident seed neighborhood in
+    * [[personalizedPageRankFixedPoint]]: the ≤(iters-1)-hop forward
+    * closure is collected and re-broadcast as a sorted Long array
+    * (2²² ids = 32 MB). Within it, a seed query costs iters-1 scan-only
+    * passes over the cached edges plus a neighborhood-sized fixed-point
+    * loop — nothing per-round touches a graph-sized vertex RDD. A hub
+    * seed on a 100 TB graph that overflows this wants the fully
+    * distributed form: the edge table bucketed by src, the frontier kept
+    * as an RDD, and each hop a frontier-sized shuffle join against the
+    * bucket layout — same rounds, no driver state.
+    */
+  private[graft] val MaxSeedNeighborhood: Int = 1 << 22
+
   /** Personalized PageRank in the same order-free fixed-point BIGINT
     * arithmetic as [[pageRankFixedPoint]]: all teleport mass returns to
     * the SEED (rank ∝ seed-restarting-walk visit frequency — the
-    * "related nodes" recommendation scorer). Seed identity is checked
-    * on the murmur64 vertex id, so the loop still carries only (rank,
-    * outDeg) primitives; zero-rank vertices send no messages, keeping
-    * early-round traffic proportional to the reached frontier.
+    * "related nodes" recommendation scorer).
+    *
+    * Seed-local by construction: in `iters` rounds mass can only leave
+    * nodes within iters-1 hops of the seed, so the ≤(iters-1)-hop
+    * forward closure is extracted FIRST (broadcast-frontier membership
+    * filter over the cached edge RDD — one scan per hop, no shuffle of
+    * the edges, no per-round vertex-RDD rebuild) and the fixed-point
+    * loop runs on that neighborhood's out-edges only. Every per-round
+    * structure (rank, contribs, degree-joined edges) is
+    * neighborhood-sized; the full graph is touched by scan-only passes
+    * and one final name join. Results are bit-identical to the
+    * full-graph loop: the closure contains every node whose rank can be
+    * nonzero as a sender, out-degrees are exact (ALL out-edges of an
+    * in-closure source are kept, including those leaving it), and the
+    * BIGINT sums are order-free. Returns only nodes that receive mass
+    * (the full-graph form returned rank-0 rows for untouched nodes;
+    * callers filter rank_u > 0 either way).
     */
   def personalizedPageRankFixedPoint(g: Graph[String, String], seed: String,
       iters: Int): DataFrame = {
     val spark = sessionOf(g)
     import spark.implicits._
+    val sc = spark.sparkContext
     val seedId = graft.functions.Murmur3x64.hash64(seed)
-    var ranks: Graph[(Long, Int), String] = g.outerJoinVertices(g.outDegrees) {
-      (vid, _, od) => (if (vid == seedId) 1000000L else 0L, od.getOrElse(0)) }.cache()
-    for (_ <- 0 until iters) {
-      val contribs = ranks.aggregateMessages[Long](
-        ctx => if (ctx.srcAttr._2 > 0 && ctx.srcAttr._1 > 0)
-          ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
-        _ + _)
-      val prev = ranks
-      ranks = ranks.outerJoinVertices(contribs) {
-        (vid, v, s) => ((if (vid == seedId) 150000L else 0L) +
-          85L * s.getOrElse(0L) / 100L, v._2) }.cache()
-      ranks.edges.foreachPartition(_ => ())
-      prev.vertices.unpersist(blocking = false)
-      prev.edges.unpersist(blocking = false)
+    def member(sorted: Array[Long], v: Long): Boolean =
+      java.util.Arrays.binarySearch(sorted, v) >= 0
+    // (src, dst) pairs re-derived lazily per pass from the CACHED edge
+    // RDD — each closure hop is a scan, not a materialization
+    val pairs = g.edges.map(e => (e.srcId, e.dstId))
+
+    // ---- Phase 1: forward closure to depth iters-1 (the mass sources)
+    var reached = Array(seedId)
+    var frontier = Array(seedId)
+    var depth = 0
+    while (depth < iters - 1 && frontier.nonEmpty) {
+      val bf = sc.broadcast(frontier)
+      val next = pairs.filter { case (s, _) => member(bf.value, s) }
+        .map(_._2).distinct().collect()
+      bf.destroy()
+      val prev = reached
+      frontier = next.filter(v => !member(prev, v)).distinct.sorted
+      reached = (reached ++ frontier).sorted
+      require(reached.length <= MaxSeedNeighborhood,
+        s"seed neighborhood exceeds $MaxSeedNeighborhood nodes — use the " +
+          "distributed frontier form (see MaxSeedNeighborhood scaladoc)")
+      depth += 1
     }
-    g.vertices.join(ranks.vertices)
-      .map { case (_, (node, (r, _))) => (node, r) }
+
+    // ---- Phase 2: neighborhood out-edges with exact out-degrees
+    val bs = sc.broadcast(reached)
+    val withDeg = {
+      val sub = pairs.filter { case (s, _) => member(bs.value, s) }
+      val outDeg = sub.mapValues(_ => 1L).reduceByKey(_ + _)
+      sub.join(outDeg).cache() // (src, (dst, outDeg)) — neighborhood-sized
+    }
+    withDeg.foreachPartition(_ => ())
+
+    // ---- Phase 3: the same BIGINT loop, on neighborhood-sized RDDs
+    val seedZero = sc.parallelize(Seq((seedId, 0L)))
+    var rank: RDD[(VertexId, Long)] = sc.parallelize(Seq((seedId, 1000000L)))
+    for (_ <- 0 until iters) {
+      val contribs = withDeg.join(rank)
+        .map { case (_, ((dst, dg), r)) => (dst, r / dg) }
+        .reduceByKey(_ + _)
+      // seedZero keeps the seed present when nothing cycles back to it;
+      // the teleport term lands only on the seed, matching the
+      // full-graph vprog exactly
+      rank = contribs.mapValues(s => 85L * s / 100L)
+        .union(seedZero)
+        .reduceByKey(_ + _)
+        .map { case (v, r) => (v, r + (if (v == seedId) 150000L else 0L)) }
+    }
+    val out = g.vertices.join(rank)
+      .map { case (_, (node, r)) => (node, r) }
       .toDF("node", "rank_u")
+    // materialize before releasing the loop cache — the result plan
+    // reads withDeg through `rank`'s lineage
+    out.cache().count()
+    withDeg.unpersist(blocking = false)
+    bs.destroy()
+    out
   }
 }
