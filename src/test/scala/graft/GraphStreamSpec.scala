@@ -51,6 +51,35 @@ class GraphStreamSpec extends SparkSpecBase {
     assert(fp.values.forall(r => r >= 150000L && r < fp.size.toLong * 1000000L))
   }
 
+  test("seed-local PPR is bit-identical to the naive full-graph reference loop") {
+    import spark.implicits._
+    // cycle back through the seed, a chain that runs past the 5-round
+    // horizon (h needs round 6 — must be absent), and a disconnected
+    // component (z→w — must be absent)
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "b" -> "d",
+      "d" -> "e", "e" -> "f", "f" -> "g", "g" -> "h", "z" -> "w")
+    val t = edges.map { case (s, o) => (s, "p", o) }.toDF("subj", "pred", "obj")
+    val iters = 5
+    // naive driver-side reference: every node updated every round with
+    // the exact full-graph vprog semantics
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(n => n -> (if (n == "a") 1000000L else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val contribs = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        rank(s) / outDeg(s) }.sum).toMap.withDefaultValue(0L)
+      rank = nodes.map(n => n ->
+        ((if (n == "a") 150000L else 0L) + 85L * contribs(n) / 100L)).toMap
+    }
+    val expected = rank.filter(_._2 > 0)
+    val got = GraphOps.personalizedPageRankFixedPoint(
+        GraphOps.fromTriples(t), "a", iters)
+      .filter(col("rank_u") > 0).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_u")).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(!got.contains("h") && !got.contains("z") && !got.contains("w"))
+  }
+
   test("componentSizes labels components by their min node string") {
     import spark.implicits._
     val t = Seq(

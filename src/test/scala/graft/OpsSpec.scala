@@ -256,6 +256,18 @@ class OpsSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("IVF trainers refuse driver-side k-means past the centroid cap") {
+    // 70000 cells/list x 64 dims = 4.48M cells > MaxDriverCentroidCells
+    // (2^22): both trainers must fail fast with the guard message, not
+    // start Lloyd rounds
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(embs, Seq(0L), k = 5, nlist = 70000))
+    assert(e1.getMessage.contains("DataFrame-resident"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.ivfFixedPointTopK(embs, Seq(0L), k = 5, nlist = 70000))
+    assert(e2.getMessage.contains("DataFrame-resident"))
+  }
+
   test("fixed-point IVF recall is substantial and reruns are bit-identical") {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
     val exact = Similarity.bruteForceTopK(embs, qids, k = 5).collect()
