@@ -305,6 +305,19 @@ class PlanSpec extends SparkSpecBase {
       s"no map-side partial aggregate:\n${p.take(2000)}")
   }
 
+  test("compressibility proxy is a pure scan — no explode before the source agg") {
+    // the trigram distinct/total ratio must stay a per-row column
+    // expression (transform + array_distinct inside the scan project):
+    // an exploded shingle frame would shuffle O(tokens) rows where the
+    // deflate twin shuffles O(sources)
+    val p = plan("text_compressibility_proxy")
+    assert(hasCodegen(p), s"no codegen span:\n${p.take(1500)}")
+    assert(!p.contains("Generate") && !p.contains("Explode"),
+      s"shingles exploded — per-doc ratio must be a column expression:\n${p.take(2000)}")
+    assert(p.contains("partial_"),
+      s"no map-side partial aggregate:\n${p.take(2000)}")
+  }
+
   test("winsorize thresholds broadcast back onto the value scan") {
     // the per-type [p1,p99] frame is 5 rows — re-joining it to the
     // events scan must be a broadcast, and the whole plan stays keyed
