@@ -73,6 +73,35 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: (purchase, click) pairs
+    * where the click lands inside the `windowSec` seconds preceding the
+    * purchase, per user — the streaming form of the batch
+    * `join_range_attribution` (whose inner-join pair set this converges
+    * to, asserted in GraphStreamSpec). Both sides come off one events
+    * stream; the equality key (user_id) keeps the join keyed and the
+    * two-sided event-time range condition plus the watermarks lets the
+    * state store evict each side once it can no longer match — buffered
+    * state is (throughput × (watermark + windowSec))-bounded, never
+    * stream-length-bounded, which is what makes the attribution join
+    * runnable forever on a 100 TB/day clickstream. Append mode: pairs
+    * emit as both sides arrive.
+    */
+  def attributionPairs(events: DataFrame, windowSec: Int = 600,
+      watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+      .withWatermark("pts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("cts"))
+      .withWatermark("cts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("cts") >= col("pts") - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("cts") < col("pts"))
+      .select("purchase_id", "user_id", "cts")
+  }
+
   // ---- Continuous triple ingest ----
 
   /** Continuous deduplicating ingest into a TripleStore — the

@@ -369,6 +369,50 @@ class GraphStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join converges to the batch range join; pairs straddle batches") {
+    // time-split staging (NOT parity-split): micro-batch 2 must not be
+    // older than the watermark advanced by batch 1, or the join drops
+    // its rows as late — arrival in event-time order is the realistic
+    // stream anyway. Clicks within 10 min of the split boundary pair
+    // with purchases in the NEXT micro-batch only if the buffered join
+    // state survives the boundary.
+    val ev = Tables.events(spark, dir)
+    val median = ev.select(expr("percentile_approx(cast(ts as double), 0.5)"))
+      .head().getDouble(0)
+    val stage = java.nio.file.Files.createTempDirectory("graft-ssjoin")
+    ev.filter(col("ts").cast("double") < median).coalesce(1)
+      .write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100) // file source orders batches by mod time
+    ev.filter(col("ts").cast("double") >= median).coalesce(1)
+      .write.parquet(stage.resolve("b2").toString)
+    val in = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+    val q = EventStream.attributionPairs(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_attrib").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_attrib")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+      val batch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+        .join(ev.filter(col("event_type") === "click")
+            .select(col("user_id").as("click_user"), col("ts").as("cts")),
+          col("user_id") === col("click_user") &&
+            col("cts") >= col("pts") - expr("INTERVAL 600 SECONDS") &&
+            col("cts") < col("pts"))
+        .select("purchase_id", "user_id", "cts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+      assert(batch.nonEmpty, "fixture produced no attribution pairs")
+      assert(streamed == batch,
+        s"stream/batch diverge: extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+      // the boundary-straddling pairs specifically must be present
+      val straddling = batch.filter { case (_, _, cts) =>
+        math.abs(cts.getTime / 1000.0 - median) < 600 }
+      assert(straddling.subsetOf(streamed))
+    } finally q.stop()
+  }
+
   test("stateful transitions converge to batch lead() counts; pairs straddle batches") {
     import spark.implicits._
     // explicit two-batch fixture: user 1's last batch-1 event (t=30,
