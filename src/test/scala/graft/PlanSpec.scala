@@ -233,7 +233,16 @@ class PlanSpec extends SparkSpecBase {
     // (ReusedExchange), not once per join side — the broadcast shape
     // the planner picks by default recomputes them and builds a
     // wide-row map (measured 3.4× slower at 10×)
-    val p = plan("dedup_embedding")
+    // pin the STATIC plan: under AQE, whether the identical stages
+    // dedupe into a ReusedExchange depends on materialization timing
+    // (observed racing to two distinct ShuffleQueryStages under heavy
+    // host load) — the declared shape is what the planner emits, and
+    // that is deterministic only with AQE off
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p =
+      try plan("dedup_embedding")
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     assert(p.contains("ReusedExchange"),
       s"no exchange reuse in dedup_embedding plan:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
