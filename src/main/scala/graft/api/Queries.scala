@@ -1363,8 +1363,14 @@ object Queries {
     // (ordering + codegen/interpreted parity).
     "text_compressibility_proxy" -> Q(
       (s, d) => {
-        val toks = graft.ops.TextOps.tokens(col("text"))
+        // materialize tokens in their OWN projection before the lambda:
+        // a lambda body referencing an outer expression re-evaluates it
+        // per element (no CSE across lambda boundaries) — inlining the
+        // split made this O(tokens²) splits per doc, measured 15.7 s vs
+        // 0.5 s at sf0.1
+        val toks = col("toks")
         Tables.documents(s, d)
+          .select(col("source"), graft.ops.TextOps.tokens(col("text")).as("toks"))
           .select(col("source"),
             when(size(toks) >= 3,
               transform(sequence(lit(0), size(toks) - 3),
