@@ -17,15 +17,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright. Read nanos as long (legacy conf)
-    * and convert to a micros timestamp with integer division — NOT
-    * double division, which silently loses precision above 2^53 ns.
+  /** events.parquet's `ts` physical type has varied across driver
+    * testdata generations — TIMESTAMP(NANOS) (rejected by Spark's
+    * reader unless read as long via the legacy conf) and, since the
+    * round-7 regeneration, plain TIMESTAMP(MICROS) without UTC
+    * adjustment (read as TIMESTAMP_NTZ). Normalize BOTH to a
+    * session-tz (UTC) micros TIMESTAMP so every downstream query sees
+    * one type. The nanos path uses integer division — NOT double
+    * division, which silently loses precision above 2^53 ns.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

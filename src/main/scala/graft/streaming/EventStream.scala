@@ -16,12 +16,14 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Schema of the events table with `ts` already as a (micros)
-    * timestamp — the nanos conversion happens in [[readEvents]].
+  /** File schema of the events table as the round-7 driver testdata
+    * writes it: `ts` is TIMESTAMP(MICROS) without UTC adjustment, which
+    * Spark reads as TIMESTAMP_NTZ; [[readEvents]] normalizes it to the
+    * session-tz (UTC) TIMESTAMP the batch loader emits.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos in the parquet file
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -29,14 +31,12 @@ object EventStream {
 
   /** File-source stream over a directory of events parquet files. */
   def readEvents(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Tumbling 1-hour event-time window per event type, 2-hour watermark
     * for late data. Append-mode compatible (final results only).
@@ -145,57 +145,107 @@ object EventStream {
     * (thousands of tiny footers). Every `compactEvery` batches the index
     * is rewritten in place — [[compactBandIndex]], the same two-phase
     * rename as TripleStore.compact — so the live file count is bounded
-    * by compactEvery + compactFiles regardless of stream length.
+    * regardless of stream length.
+    *
+    * Index SIZE (not file count) is the remaining growth axis: the probe
+    * join would otherwise scan the whole index every micro-batch even
+    * after compaction. The index is therefore hive-partitioned on
+    * `kb = pmod(xxhash64(key), keyBuckets)` and each batch reads ONLY the
+    * key buckets its own band keys hash into ([[probeBandIndex]] —
+    * partition pruning at file-listing time, asserted in
+    * GraphStreamSpec). A trickle batch touching few distinct keys scans
+    * a bounded fraction of an unbounded index; at 100 TB raise
+    * `keyBuckets` so bucket width (indexRows / keyBuckets) stays at a
+    * comfortable scan size — the probe cost is then
+    * O(batchBuckets · bucketWidth), independent of total index size.
     */
   def streamNearDedupIngest(docs: DataFrame, indexDir: String, outDir: String,
       k: Int = 8, bands: Int = 4, compactEvery: Int = 8,
-      compactFiles: Int = 4): StreamingQuery =
+      compactFiles: Int = 4, keyBuckets: Int = 16): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.expressions.Window
         val spark = batch.sparkSession
+        // persisted: the band frame is consumed four times per batch
+        // (bucket probe set, seen/batch dedup joins, index append) and
+        // recomputing MinHash signatures per consumer would dominate
+        // small-batch latency
         val banded = graft.ops.Dedup
           .bandKeys(graft.ops.Dedup.minhashSignatures(batch, k), k, bands)
-        // a crash mid-compaction can leave the index parked at a
-        // sibling path — restore it BEFORE the read, or an absent-path
-        // fallback would silently degrade to an empty index (previously
-        // seen near-dups would pass through undetected)
-        recoverBandIndex(spark, indexDir)
-        // only an ABSENT index (first batch of a fresh stream) may start
-        // empty; a present-but-unreadable one (corrupt footer, truncated
-        // file) must fail the stream loudly — degrading to empty would
-        // pass previously-seen near-dups through with no signal
-        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-        val idxFs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val index =
-          if (idxFs.exists(idxPath))
-            spark.read.parquet(indexDir).select("band", "key")
-          else
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(Seq(StructField("band", IntegerType),
-                StructField("key", StringType))))
-        val seenDup = banded.join(index, Seq("band", "key"), "left_semi")
-          .select("doc_id").distinct()
-        val batchDup = banded
-          .withColumn("mn", min("doc_id").over(Window.partitionBy("band", "key")))
-          .filter(col("doc_id") =!= col("mn"))
-          .select("doc_id").distinct()
-        val drops = seenDup.unionByName(batchDup).distinct()
-        batch.join(drops, Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(outDir)
-        banded.join(drops, Seq("doc_id"), "left_anti")
-          .select("band", "key")
-          .write.mode("append").parquet(indexDir)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          compactBandIndex(spark, indexDir, compactFiles)
+          .persist()
+        try {
+          // a crash mid-compaction can leave the index parked at a
+          // sibling path — restore it BEFORE the read, or an absent-path
+          // fallback would silently degrade to an empty index (previously
+          // seen near-dups would pass through undetected)
+          recoverBandIndex(spark, indexDir)
+          // only an ABSENT index (first batch of a fresh stream) may start
+          // empty; a present-but-unreadable one (corrupt footer, truncated
+          // file) must fail the stream loudly — degrading to empty would
+          // pass previously-seen near-dups through with no signal
+          val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+          val idxFs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val index =
+            if (idxFs.exists(idxPath)) {
+              // probe ONLY the key buckets this batch's keys hash into —
+              // partition pruning keeps the probe scan proportional to the
+              // batch's key spread, not the index's total size. The bucket
+              // set is bounded by keyBuckets, so the collect is O(buckets).
+              val kbs = banded.select(keyBucket(keyBuckets).as("kb"))
+                .distinct().collect().map(_.getInt(0)).toSeq
+              probeBandIndex(spark, indexDir, kbs)
+            } else
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(StructField("band", IntegerType),
+                  StructField("key", StringType))))
+          val seenDup = banded.join(index, Seq("band", "key"), "left_semi")
+            .select("doc_id").distinct()
+          val batchDup = banded
+            .withColumn("mn", min("doc_id").over(Window.partitionBy("band", "key")))
+            .filter(col("doc_id") =!= col("mn"))
+            .select("doc_id").distinct()
+          val drops = seenDup.unionByName(batchDup).distinct()
+          batch.join(drops, Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(outDir)
+          banded.join(drops, Seq("doc_id"), "left_anti")
+            .select(col("band"), col("key"), keyBucket(keyBuckets).as("kb"))
+            .write.mode("append").partitionBy("kb").parquet(indexDir)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactBandIndex(spark, indexDir, compactFiles)
+        } finally banded.unpersist()
         ()
       }
       .start()
 
+  /** The index's hive-partition key: a stable hash bucket of the band
+    * key. Writers and probes MUST derive it identically or pruning
+    * silently excludes live entries. INT (not LONG) so the value
+    * round-trips hive partition-column inference exactly — a type
+    * mismatch would wrap the attribute in a cast and defeat
+    * listing-time pruning.
+    */
+  private def keyBucket(buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("key")), lit(buckets.toLong)).cast("int")
+
+  /** Read the band index restricted to the given key buckets — the
+    * filter is on the hive-partition column, so non-matching `kb=N`
+    * directories are pruned at file-listing time and never opened
+    * (GraphStreamSpec asserts selectedPartitions shrinks). An empty
+    * bucket set yields an empty frame without touching any file.
+    */
+  private[graft] def probeBandIndex(spark: SparkSession, indexDir: String,
+      kbs: Seq[Int]): DataFrame =
+    spark.read.parquet(indexDir)
+      .filter(col("kb").isin(kbs: _*))
+      .select("band", "key")
+
   /** Rewrite the band index's accumulated per-micro-batch appends into
-    * `files` files clustered and sorted on (band, key) — restores probe
-    * locality and bounds the footer count. Two-phase rename (write to a
+    * a clustered, sorted layout — restores probe locality and bounds the
+    * footer count. The hive `kb=` partitioning survives the rewrite
+    * (each occupied key bucket collapses to at most `files` sorted
+    * files, so the live file count is ≤ occupiedBuckets × files
+    * regardless of how many appends accumulated). Two-phase rename (write to a
     * sibling `.compacting` dir, swap, keep `.precompact` until the swap
     * lands) so a crash mid-compaction never loses the index; safe inside
     * foreachBatch because micro-batches are serialized — no concurrent
@@ -214,10 +264,15 @@ object EventStream {
     val old = new org.apache.hadoop.fs.Path(indexDir + ".precompact")
     fs.delete(t, true)
     fs.delete(old, true)
+    // repartition on kb alone: hash-partitioning groups each occupied
+    // bucket into one task, so partitionBy("kb") emits ONE file per
+    // bucket per task that holds it — file count ≤ occupied buckets
+    // when files ≥ occupied buckets would all land in distinct tasks,
+    // and never more than files per bucket
     spark.read.parquet(indexDir)
-      .repartition(files, col("band"), col("key"))
-      .sortWithinPartitions("band", "key")
-      .write.mode("overwrite").parquet(t.toString)
+      .repartition(files, col("kb"))
+      .sortWithinPartitions("kb", "band", "key")
+      .write.mode("overwrite").partitionBy("kb").parquet(t.toString)
     // abort (not proceed) if the park rename fails — the live index is
     // still at `p`, so failing here loses nothing; proceeding would
     // let the second rename land the rewrite NEXT to the stale index
