@@ -1363,30 +1363,39 @@ object Queries {
     // (ordering + codegen/interpreted parity).
     "text_compressibility_proxy" -> Q(
       (s, d) => {
-        // materialize tokens in their OWN projection before the lambda:
-        // a lambda body referencing an outer expression re-evaluates it
-        // per element (no CSE across lambda boundaries) — inlining the
-        // split made this O(tokens²) splits per doc, measured 15.7 s vs
-        // 0.5 s at sf0.1
-        val toks = col("toks")
+        // O(tokens) guard: the token array and the shingle array are
+        // bound as LAMBDA VARIABLES (transform over a singleton array),
+        // never as projection aliases. An alias referenced several times
+        // inside a lambda body gets re-inlined by CollapseProject — and
+        // lambda bodies get no CSE — so the round-6 projection-alias form
+        // re-ran the split per element: O(tokens²) splits per doc, 12 s
+        // vs <1 s at sf0.1. A lambda variable CANNOT be re-inlined, so
+        // the split provably runs once per doc; PlanSpec pins this by
+        // counting `split(` occurrences in the optimizedPlan (== 1).
+        // The whole per-doc ratio collapses to ONE scalar here so no
+        // multi-referenced alias survives for the optimizer to inline;
+        // docs with <3 tokens yield a null ratio (counted out by
+        // count(uniq_x1e6) — same set as the oracle's len(shs)>0).
+        val perDoc = element_at(
+          transform(array(graft.ops.TextOps.tokens(col("text"))), tk =>
+            element_at(
+              transform(
+                array(when(size(tk) >= 3,
+                  transform(sequence(lit(0), size(tk) - 3),
+                    i => concat_ws(" ", element_at(tk, i + 1),
+                      element_at(tk, i + 2), element_at(tk, i + 3))))
+                  .otherwise(array())),
+                shs => graft.functions.GraftFunctions.longDiv(
+                  size(array_distinct(shs)).cast("long") * lit(1000000L),
+                  nullif(size(shs).cast("long"), lit(0L)))), 1)), 1)
         Tables.documents(s, d)
-          .select(col("source"), graft.ops.TextOps.tokens(col("text")).as("toks"))
-          .select(col("source"),
-            when(size(toks) >= 3,
-              transform(sequence(lit(0), size(toks) - 3),
-                i => concat_ws(" ", element_at(toks, i + 1),
-                  element_at(toks, i + 2), element_at(toks, i + 3))))
-              .otherwise(array()).as("shs"))
-          .select(col("source"),
-            size(array_distinct(col("shs"))).cast("long").as("u"),
-            size(col("shs")).cast("long").as("t"))
-          .filter(col("t") > 0)
-          .withColumn("uniq_x1e6", expr("u * 1000000 div t"))
+          .select(col("source"), perDoc.as("uniq_x1e6"))
           .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            expr("sum(uniq_x1e6) div count(*)").as("mean_uniq_x1e6"),
+          .agg(count(col("uniq_x1e6")).as("n_docs"),
+            expr("sum(uniq_x1e6) div count(uniq_x1e6)").as("mean_uniq_x1e6"),
             min("uniq_x1e6").as("min_uniq_x1e6"),
             max("uniq_x1e6").as("max_uniq_x1e6"))
+          .filter(col("n_docs") > 0)
           .orderBy("source")
       },
       Some(TextSql.compressibilityProxy)),

@@ -94,6 +94,18 @@ object GraftFunctions {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** Exact integral division (`a div b` — Catalyst's IntegralDivide;
+    * null on null divisor). For operands nested inside lambda bodies,
+    * where `expr("a div b")` can't reach and `floor(a / b)` over doubles
+    * is NOT a substitute: a 53-bit mantissa rounds quotients adjacent to
+    * an integer boundary the wrong way, breaking hash-gated oracles.
+    */
+  def longDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Codegen'd membership probe of a broadcast bloom filter. */
   def bloomProbe(c: Column,
       bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column = {

@@ -325,6 +325,18 @@ class PlanSpec extends SparkSpecBase {
       s"shingles exploded — per-doc ratio must be a column expression:\n${p.take(2000)}")
     assert(p.contains("partial_"),
       s"no map-side partial aggregate:\n${p.take(2000)}")
+    // the O(tokens) pin the no-explode assertions above CANNOT see: the
+    // round-6 projection-alias form satisfied them while CollapseProject
+    // re-inlined the token split 6× into the transform lambda (lambda
+    // bodies get no CSE → O(tokens²) splits per doc, 12 s at sf0.1).
+    // With the split bound to a lambda variable it appears EXACTLY once
+    // in the optimized plan.
+    val opt = Queries.registry("text_compressibility_proxy")
+      .fn(spark, dir).queryExecution.optimizedPlan.toString
+    val nSplit = "split\\(".r.findAllIn(opt).size
+    assert(nSplit == 1,
+      s"token split appears $nSplit times in the optimized plan (must be 1 — " +
+        s"re-inlined into a lambda body means O(tokens²)):\n${opt.take(2000)}")
   }
 
   test("winsorize thresholds broadcast back onto the value scan") {
