@@ -76,13 +76,21 @@ object Bench {
     // back-to-back runs is the steady-state plan cost; both raw runs go
     // to the sidecar for warm/steady visibility.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // first exception message per failed query, stamped into the sidecar
+    // artifact: round 7 shipped a 10× artifact with 56 contiguous -1s and
+    // no recoverable cause — a wedged tail must be attributable from the
+    // artifact alone, not from a stderr stream nobody captured
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val raw = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count()
           (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
+          val msg = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(300)
+          if (!errors.contains(name)) errors(name) = msg
+          System.err.println(s"[bench] $name FAILED: $msg"); -1.0 }
       }
       val rs = Iterator.continually(once())
         .take(runsPerQuery).takeWhile(_ >= 0).toSeq
@@ -108,7 +116,19 @@ object Bench {
     // state, and contention spikes the min filtered out)
     val runsJson = raw.map { case (k, rs) =>
       "\"" + k + "\":[" + rs.map(r3).mkString(",") + "]" }.mkString("{", ",", "}")
-    val sidecarJson = json.dropRight(1) + s""","runs":$runsJson}"""
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errorsJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val sidecarJson =
+      json.dropRight(1) + s""","runs":$runsJson,"errors":$errorsJson}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sidecar),
@@ -117,33 +137,22 @@ object Bench {
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     // Round-stamped copy, self-written: the driver's tail capture has
     // truncated the stdout JSON two rounds running ("parsed": null), so
-    // the committed BENCH_r{N} artifact must not depend on it. Round id
-    // from SPARK_GRAFT_ROUND if set, else the "round" field of the LAST
-    // line of the driver's PROGRESS.jsonl — the driver's own statement
-    // of the current round, updated at round start (the old max
-    // CORRECTNESS_r{N}+1 inference mis-stamped N+1 when a bench ran
-    // after the driver wrote round N's correctness file). If neither
-    // source is available the stamp is SKIPPED with a stderr note — a
-    // guessed round id is worse than no round file. Only the
+    // the committed BENCH_r{N} artifact must not depend on it. The round
+    // id comes ONLY from an explicit SPARK_GRAFT_ROUND: every inference
+    // source has mis-stamped in practice (max CORRECTNESS_r{N}+1 was off
+    // by one after the driver wrote round N's file; PROGRESS.jsonl's
+    // last "round" field points at round N+1 when a re-run happens after
+    // the driver opens the next round). A guessed round id is worse than
+    // no round file — without the env the stamp is SKIPPED with a stderr
+    // note and the sidecar still lands at BENCH_LAST.json. Only the
     // driver-shaped run stamps: a custom BENCH_OUT or a non-testdata
     // SF_DIR means a local/scaled iteration run, which must never claim
     // the round file.
     if (!sys.env.contains("SPARK_GRAFT_BENCH_OUT") && sfDir.contains("/testdata/")) {
-      def progressRound(): Option[Int] =
-        try {
-          val p = java.nio.file.Paths.get("PROGRESS.jsonl")
-          if (!java.nio.file.Files.exists(p)) None
-          else {
-            val last = scala.io.Source.fromFile(p.toFile)
-              .getLines().filter(_.trim.nonEmpty).foldLeft("")((_, l) => l)
-            "\"round\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(last).map(_.group(1).toInt)
-          }
-        } catch { case _: Throwable => None }
       val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
-        .orElse(progressRound())
       if (round.isEmpty)
-        System.err.println("[bench] round id unavailable (no SPARK_GRAFT_ROUND, " +
-          "no PROGRESS.jsonl round field) — skipping BENCH_r{N} stamp")
+        System.err.println("[bench] round id unavailable (SPARK_GRAFT_ROUND " +
+          "unset or non-numeric) — skipping BENCH_r{N} stamp")
       round.foreach { r =>
         try java.nio.file.Files.write(
           java.nio.file.Paths.get(f"BENCH_r$r%02d.json"),
