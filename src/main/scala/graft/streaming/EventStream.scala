@@ -29,14 +29,30 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet files. */
+  /** File-source stream over a directory of events parquet files.
+    *
+    * Supports ONLY the current testdata generation (ts stored as
+    * TIMESTAMP(MICROS), read as NTZ per [[rawSchema]]); pointing this at
+    * the older nanos-generation files fails — Spark rejects
+    * TIMESTAMP(NANOS) under an NTZ read schema — while the batch loader
+    * (Tables.events) handles both generations. The NTZ→timestamp cast
+    * below is instant-preserving only in a UTC session, so a non-UTC
+    * session fails loudly here instead of silently shifting event times
+    * relative to the batch path.
+    */
   def readEvents(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame =
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"readEvents requires spark.sql.session.timeZone=UTC (got $tz): the " +
+        "NTZ->timestamp cast is session-tz-dependent and would shift every " +
+        "event instant relative to the batch loader")
     spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
       .withColumn("ts", col("ts").cast("timestamp"))
+  }
 
   /** Tumbling 1-hour event-time window per event type, 2-hour watermark
     * for late data. Append-mode compatible (final results only).
@@ -235,10 +251,25 @@ object EventStream {
     * bucket set yields an empty frame without touching any file.
     */
   private[graft] def probeBandIndex(spark: SparkSession, indexDir: String,
-      kbs: Seq[Int]): DataFrame =
-    spark.read.parquet(indexDir)
-      .filter(col("kb").isin(kbs: _*))
+      kbs: Seq[Int]): DataFrame = {
+    val idx = spark.read.parquet(indexDir)
+    requireBucketedLayout(idx, indexDir)
+    idx.filter(col("kb").isin(kbs: _*))
       .select("band", "key")
+  }
+
+  /** An index written by the pre-bucketing flat (band, key) layout —
+    * e.g. a stream resumed from an old checkpoint — has no `kb`
+    * partition column; probing or compacting it would die in analysis
+    * with an unresolved-column error nobody can act on. Fail with the
+    * actionable message instead.
+    */
+  private def requireBucketedLayout(idx: DataFrame, indexDir: String): Unit =
+    if (!idx.columns.contains("kb"))
+      throw new IllegalStateException(
+        s"band index at $indexDir predates kb hive partitioning (columns: " +
+          s"${idx.columns.mkString(", ")}); rebuild the index from the corpus " +
+          "or rewrite it once into the kb= bucketed layout")
 
   /** Rewrite the band index's accumulated per-micro-batch appends into
     * a clustered, sorted layout — restores probe locality and bounds the
@@ -269,7 +300,9 @@ object EventStream {
     // bucket per task that holds it — file count ≤ occupied buckets
     // when files ≥ occupied buckets would all land in distinct tasks,
     // and never more than files per bucket
-    spark.read.parquet(indexDir)
+    val idx = spark.read.parquet(indexDir)
+    requireBucketedLayout(idx, indexDir)
+    idx
       .repartition(files, col("kb"))
       .sortWithinPartitions("kb", "band", "key")
       .write.mode("overwrite").partitionBy("kb").parquet(t.toString)

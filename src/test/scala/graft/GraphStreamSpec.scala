@@ -245,13 +245,81 @@ class GraphStreamSpec extends SparkSpecBase {
     assert(got == (0L to 7L).toSet, s"unexpected survivors $got")
     // 6 micro-batches → compactions after batches 2, 4 and 6 (the last
     // append included): the live index is exactly the final rewrite,
-    // never the per-batch file accumulation
-    val dataFiles = new java.io.File(idx).listFiles.filter { f =>
-      f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
-        !f.getName.startsWith(".")
+    // never the per-batch file accumulation. Count parquet files
+    // RECURSIVELY — data lives under kb=N/ hive subdirectories, so a
+    // root-level listing counts zero files and asserts nothing. The
+    // rewrite hash-partitions on kb (each occupied bucket lands wholly
+    // in one task), so the documented bound is one file per occupied
+    // bucket per compactFile task that holds it.
+    def parquetFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) Seq(f)
+        else Nil
+      }
+    val kbDirs = Option(new java.io.File(idx).listFiles).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("kb="))
+    val dataFiles = parquetFiles(new java.io.File(idx))
+    assert(kbDirs.nonEmpty, "index lost its kb= hive partitioning")
+    assert(dataFiles.nonEmpty, "no parquet data files found under the index")
+    assert(dataFiles.length <= kbDirs.length * 2,
+      s"index not compacted: ${dataFiles.length} files over ${kbDirs.length} buckets")
+    // 6 appended file-sets (one per micro-batch) would far exceed the
+    // bound only via accumulation INSIDE buckets — assert per-bucket too
+    kbDirs.foreach { d =>
+      val n = parquetFiles(d).length
+      assert(n <= 2, s"bucket ${d.getName} not compacted: $n files")
     }
-    assert(dataFiles.length <= 2, s"index not compacted: ${dataFiles.length} files")
     assert(spark.read.parquet(idx).count() == got.size * 4L)
+  }
+
+  test("band index probe prunes non-matching kb partitions at listing time") {
+    import spark.implicits._
+    val idx = tmpDir("probe-prune") + "/idx"
+    // 200 distinct keys spread across the 16 default buckets, one file
+    // per occupied bucket
+    val kb16 = pmod(xxhash64(col("key")), lit(16L)).cast("int")
+    (0 until 200).map(i => (i % 4, s"key$i")).toDF("band", "key")
+      .withColumn("kb", kb16)
+      .repartition(1)
+      .write.partitionBy("kb").parquet(idx)
+    val allKb = spark.read.parquet(idx).select("kb").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(allKb.size > 4, s"fixture degenerate: only ${allKb.size} buckets")
+    val want = allKb.take(2).toSeq
+    val probed = EventStream.probeBandIndex(spark, idx, want)
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    // listing-time pruning: the scan's file/partition metrics see ONLY
+    // the probed buckets, not the whole index
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead <= want.size.toLong && filesRead < allKb.size.toLong,
+      s"probe read $filesRead files — kb partitions not pruned at listing time")
+    // and the probe returns exactly the rows of those buckets
+    val expect = spark.read.parquet(idx).filter(col("kb").isin(want: _*))
+      .select("band", "key").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(probed.collect().map(r => (r.getInt(0), r.getString(1))).toSet == expect)
+  }
+
+  test("probe and compact reject a pre-bucketing flat index with an actionable error") {
+    import spark.implicits._
+    val idx = tmpDir("flat-idx") + "/idx"
+    // the old layout: (band, key) parquet, no kb= hive partitioning —
+    // what a stream resumed from an old checkpoint would find on disk
+    Seq((0, "a"), (1, "b")).toDF("band", "key").write.parquet(idx)
+    val e1 = intercept[IllegalStateException] {
+      EventStream.probeBandIndex(spark, idx, Seq(0))
+    }
+    assert(e1.getMessage.contains("predates kb hive partitioning"),
+      s"unexpected message: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException] {
+      EventStream.compactBandIndex(spark, idx)
+    }
+    assert(e2.getMessage.contains("predates kb hive partitioning"),
+      s"unexpected message: ${e2.getMessage}")
   }
 
   test("band index recovers from a crash between the compaction renames") {
@@ -282,6 +350,34 @@ class GraphStreamSpec extends SparkSpecBase {
     // healthy index: recovery is a no-op even with a stale sibling
     writeIndex("stale", idx + ".compacting")
     assert(liveKeys() == Set("rewrite"))
+  }
+
+  test("recovery with a candidate that cannot be restored fails loudly") {
+    // a recovery candidate exists but the rename to the live path fails
+    // (permissions, cross-volume, racing writer): silently returning
+    // would hand the read path its empty-index fallback — previously
+    // seen near-dups pass through with no signal, the exact degrade
+    // mode recoverBandIndex exists to close. Forced via a local-fs
+    // subclass whose rename refuses this test's live path.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.faulty.impl", classOf[FaultyRenameFs].getName)
+    conf.set("fs.faulty.impl.disable.cache", "true")
+    val base = tmpDir("norestore")
+    val idx = s"faulty:$base/idx-norestore"
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    // candidate = completed rewrite only
+    fs.mkdirs(new org.apache.hadoop.fs.Path(idx + ".compacting"))
+    val e1 = intercept[java.io.IOException] {
+      EventStream.recoverBandIndex(spark, idx)
+    }
+    assert(e1.getMessage.contains("could not restore"), e1.getMessage)
+    // candidate = parked original only
+    fs.delete(new org.apache.hadoop.fs.Path(idx + ".compacting"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(idx + ".precompact"))
+    val e2 = intercept[java.io.IOException] {
+      EventStream.recoverBandIndex(spark, idx)
+    }
+    assert(e2.getMessage.contains("could not restore"), e2.getMessage)
   }
 
   test("near-dup ingest: corrupt index fails loudly, absent index starts empty") {
@@ -476,4 +572,16 @@ class GraphStreamSpec extends SparkSpecBase {
       assert(streamed.nonEmpty)
     } finally q2.stop()
   }
+}
+
+/** Local filesystem whose rename REFUSES any destination named like this
+  * spec's unrestorable live index — instantiated by Hadoop via
+  * `fs.faulty.impl` reflection (so it must stay top-level with a no-arg
+  * constructor). Everything else behaves as the real local fs.
+  */
+class FaultyRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("faulty:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (dst.getName.endsWith("-norestore")) false else super.rename(src, dst)
 }
