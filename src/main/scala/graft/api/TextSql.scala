@@ -238,13 +238,6 @@ object TextSql {
        |SELECT batch_id, count(*) AS n_corpus_dups, min(corpus_id) AS first_dup
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Duplicated n-gram fraction per source (the dedup-health metric of
-    * Lee et al., "Deduplicating Training Data Makes Language Models
-    * Better"): the pooled share of distinct-per-doc shingles whose
-    * document frequency exceeds 1. Same shingle CTE as every dedup
-    * oracle; the fraction is an exact integer floor-division on both
-    * engines.
-    */
   /** Distinct-trigram compressibility proxy — the cross-engine-gated
     * twin of the deflate signal (DuckDB cannot deflate): within-doc
     * distinct/total word-trigram ratio in integer micro-units, same
@@ -272,6 +265,13 @@ object TextSql {
       |  CAST(max(u * 1000000 // tt) AS BIGINT) AS max_uniq_x1e6
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** Duplicated n-gram fraction per source (the dedup-health metric of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): the pooled share of distinct-per-doc shingles whose
+    * document frequency exceeds 1. Same shingle CTE as every dedup
+    * oracle; the fraction is an exact integer floor-division on both
+    * engines.
+    */
   val dupNgramFraction: String =
     s"""WITH ${plantCte(exact = false)},
        |$shinglesCte,
