@@ -286,6 +286,24 @@ object GraphOps {
     withDeg.foreachPartition(_ => ())
 
     // ---- Phase 3: the same BIGINT loop, on neighborhood-sized RDDs
+    val out = pprFixedPointLoop(g, withDeg, seedId, iters)
+    withDeg.unpersist(blocking = false)
+    bs.destroy()
+    out
+  }
+
+  /** The shared PPR fixed-point loop over a (src → (dst, outDeg)) edge
+    * RDD: identical order-free BIGINT arithmetic for the seed-local and
+    * distributed forms, so both are bit-identical to the full-graph
+    * reference loop. Materializes the result before returning (callers
+    * unpersist `withDeg`, which the result reads through lineage).
+    */
+  private def pprFixedPointLoop(g: Graph[String, String],
+      withDeg: RDD[(VertexId, (VertexId, Long))], seedId: VertexId,
+      iters: Int): DataFrame = {
+    val spark = sessionOf(g)
+    import spark.implicits._
+    val sc = spark.sparkContext
     val seedZero = sc.parallelize(Seq((seedId, 0L)))
     var rank: RDD[(VertexId, Long)] = sc.parallelize(Seq((seedId, 1000000L)))
     for (_ <- 0 until iters) {
@@ -306,8 +324,80 @@ object GraphOps {
     // materialize before releasing the loop cache — the result plan
     // reads withDeg through `rank`'s lineage
     out.cache().count()
+    out
+  }
+
+  /** The fully distributed PPR form the [[MaxSeedNeighborhood]] scaladoc
+    * names: the edge table keyed and hash-partitioned by src once (the
+    * "bucketed by src" layout), the frontier kept as a co-partitioned
+    * RDD, and each closure hop ONE frontier-sized shuffle join against
+    * those buckets — no driver-resident closure, no `require` ceiling,
+    * so a hub seed whose (iters-1)-hop neighborhood overflows 2²² nodes
+    * still runs. Phases 2–3 and the BIGINT arithmetic are shared with
+    * [[personalizedPageRankFixedPoint]], so results are bit-identical
+    * (gated against the same naive reference loop in GraphStreamSpec and
+    * cross-checked against the seed-local form at 10× via ScaleProbe).
+    *
+    * Cost shape vs the seed-local form: per hop, a shuffle of the
+    * frontier (instead of a broadcast + full edge scan) plus a map-side
+    * lookup join in the edge buckets. At small neighborhoods the
+    * broadcast form wins (no shuffle latency); past the driver ceiling
+    * only this form works. The declared `graph_ppr_related` query keeps
+    * the seed-local path; this is the documented 100 TB escape hatch.
+    */
+  def personalizedPageRankFixedPointDistributed(g: Graph[String, String],
+      seed: String, iters: Int): DataFrame = {
+    val spark = sessionOf(g)
+    val sc = spark.sparkContext
+    val seedId = graft.functions.Murmur3x64.hash64(seed)
+    val parts = new org.apache.spark.HashPartitioner(
+      math.max(g.edges.getNumPartitions, sc.defaultParallelism))
+    // the bucketed edge layout: one shuffle to key by src, cached for
+    // every hop and for the degree join — the RDD analogue of a table
+    // bucketed by src
+    val bySrc: RDD[(VertexId, VertexId)] = g.edges
+      .map(e => (e.srcId, e.dstId)).partitionBy(parts).cache()
+
+    // ---- Phase 1: forward closure to depth iters-1, frontier as an RDD
+    val first: RDD[(VertexId, Unit)] = sc.parallelize(Seq((seedId, ())))
+      .partitionBy(parts)
+    var reached = first.cache()
+    var frontier = reached
+    var frontierSize = 1L
+    var depth = 0
+    while (depth < iters - 1 && frontierSize > 0) {
+      // one frontier-sized shuffle join per hop: the frontier moves to
+      // the edge buckets (bySrc is already partitioned, so only the
+      // frontier side shuffles), new nodes dedup via reduceByKey on the
+      // same partitioner and drop already-reached via subtractByKey
+      val next = frontier.join(bySrc, parts)
+        .map { case (_, (_, dst)) => (dst, ()) }
+        .reduceByKey(parts, (a, _) => a)
+        .subtractByKey(reached, parts)
+        .cache()
+      frontierSize = next.count()
+      val prevReached = reached
+      val prevFrontier = frontier
+      reached = reached.union(next).reduceByKey(parts, (a, _) => a).cache()
+      reached.foreachPartition(_ => ())
+      prevReached.unpersist(blocking = false)
+      if (prevFrontier ne prevReached) prevFrontier.unpersist(blocking = false)
+      frontier = next
+      depth += 1
+    }
+
+    // ---- Phase 2: neighborhood out-edges + exact degrees, all keyed
+    val sub = reached.join(bySrc, parts)
+      .map { case (s, (_, d)) => (s, d) }
+    val outDeg = sub.mapValues(_ => 1L).reduceByKey(parts, _ + _)
+    val withDeg = sub.join(outDeg, parts).cache()
+    withDeg.foreachPartition(_ => ())
+
+    val out = pprFixedPointLoop(g, withDeg, seedId, iters)
     withDeg.unpersist(blocking = false)
-    bs.destroy()
+    frontier.unpersist(blocking = false)
+    reached.unpersist(blocking = false)
+    bySrc.unpersist(blocking = false)
     out
   }
 }

@@ -163,7 +163,24 @@ object ScaleProbe {
       // is the RDD-boundary fromEdges + Pregel cost
       "clusters_pairs_only" -> (() => graft.ops.Dedup.minhashPairs(docs)),
       "clusters_full" -> (() =>
-        graft.ops.Dedup.duplicateClusters(graft.ops.Dedup.minhashPairs(docs))))
+        graft.ops.Dedup.duplicateClusters(graft.ops.Dedup.minhashPairs(docs))),
+      // PPR forms side by side (same seed/iters as graph_ppr_related):
+      // the declared seed-local path (driver-resident closure, capped at
+      // MaxSeedNeighborhood) vs the distributed bucketed-frontier form —
+      // the 100 TB escape hatch must match it row-for-row and stay in
+      // the same cost class at 10×
+      "ppr_seed_local" -> (() => graft.graph.GraphOps
+        .personalizedPageRankFixedPoint(
+          graft.graph.GraphOps.cachedGraph(
+            graft.api.Tables.starTriples(spark, sfDir), sfDir),
+          "order:1", iters = 5)
+        .filter(org.apache.spark.sql.functions.col("rank_u") > 0)),
+      "ppr_distributed" -> (() => graft.graph.GraphOps
+        .personalizedPageRankFixedPointDistributed(
+          graft.graph.GraphOps.cachedGraph(
+            graft.api.Tables.starTriples(spark, sfDir), sfDir),
+          "order:1", iters = 5)
+        .filter(org.apache.spark.sql.functions.col("rank_u") > 0)))
 
     val selected = if (args.length > 1) {
       val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet

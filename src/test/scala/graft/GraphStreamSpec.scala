@@ -72,12 +72,37 @@ class GraphStreamSpec extends SparkSpecBase {
         ((if (n == "a") 150000L else 0L) + 85L * contribs(n) / 100L)).toMap
     }
     val expected = rank.filter(_._2 > 0)
-    val got = GraphOps.personalizedPageRankFixedPoint(
-        GraphOps.fromTriples(t), "a", iters)
+    val graph = GraphOps.fromTriples(t)
+    val got = GraphOps.personalizedPageRankFixedPoint(graph, "a", iters)
       .filter(col("rank_u") > 0).collect()
       .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_u")).toMap
     assert(got == expected, s"got $got expected $expected")
     assert(!got.contains("h") && !got.contains("z") && !got.contains("w"))
+    // the distributed-frontier form (no driver-resident closure) must be
+    // bit-identical to both the seed-local form and the reference loop
+    val gotDist = GraphOps.personalizedPageRankFixedPointDistributed(
+        graph, "a", iters)
+      .filter(col("rank_u") > 0).collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_u")).toMap
+    assert(gotDist == expected, s"distributed: got $gotDist expected $expected")
+  }
+
+  test("distributed PPR matches seed-local row-for-row at 10x (needs /tmp/sf1h)") {
+    // the 10x cross-check behind the ScaleProbe ppr_* rows: both forms
+    // share the fixed-point loop, so any divergence is in the closure /
+    // degree phases. Canceled (not failed) where the scaled corpus
+    // hasn't been generated — regenerate with
+    // `python3 tools/make_sf.py /root/testdata/sf0.1 /tmp/sf1h 10 --heaps`.
+    assume(new java.io.File("/tmp/sf1h/orders.parquet").exists)
+    val g = GraphOps.cachedGraph(Tables.starTriples(spark, "/tmp/sf1h"), "/tmp/sf1h")
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.filter(col("rank_u") > 0).collect()
+        .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_u")).toMap
+    val local = ranks(GraphOps.personalizedPageRankFixedPoint(g, "order:1", 5))
+    val dist = ranks(GraphOps.personalizedPageRankFixedPointDistributed(g, "order:1", 5))
+    assert(local.nonEmpty)
+    assert(dist == local,
+      s"distributed/seed-local diverge: ${dist.toSet.diff(local.toSet).take(5)} vs ${local.toSet.diff(dist.toSet).take(5)}")
   }
 
   test("componentSizes labels components by their min node string") {
