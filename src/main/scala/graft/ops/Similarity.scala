@@ -263,6 +263,108 @@ object Similarity {
     topk
   }
 
+  /** The DataFrame-resident IVF form the [[MaxDriverCentroidCells]]
+    * guard names — [[ivfFixedPointTopK]]'s escape hatch for 100 TB-grade
+    * models (nlist·dim > 2²² cells): the centroid model lives as a
+    * (cid, c) frame end-to-end, assignment is a broadcast join of the
+    * model against the vectors with a groupBy(vec_id) integer argmin
+    * (min over (dist, cid) structs — ties to the lowest cid, same as the
+    * driver trainer's first-minimum array_position), the centroid update
+    * is the same floor(sum/count) aggregate re-assembled into arrays,
+    * and probing ranks the model frame per query by (dist, cell).
+    * Nothing model-sized ever reaches the driver, so there is no
+    * `require` ceiling. Arithmetic is the identical BIGINT micro-unit
+    * fixed point, so results are BIT-IDENTICAL to the driver-resident
+    * trainer — gated in OpsSpec at fixture scale and at 10× via the
+    * assume-gated cross-check.
+    *
+    * Cost shape vs the driver trainer: the argmin is a corpus×model
+    * broadcast-join shuffle per Lloyd round instead of an nlist-wide
+    * codegen'd column expression — slower at small nlist (the declared
+    * `sim_ann_ivf_exact` keeps the driver path), unbounded at large.
+    * Broadcast of the model frame holds to ~10⁷ cells; past that, add a
+    * coarse quantizer (IVF-in-IVF) or flip the assignment join to
+    * shuffle-hash on a bucketed cid prefix — the same escalation every
+    * billion-scale IVF library applies.
+    */
+  def ivfFixedPointTopKDistributed(embs: DataFrame, queryIds: Seq[Long],
+      k: Int, nlist: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("q", transform(col("v"), x => floor(x * 1e6).cast("long")))
+      .withColumn("nrm", norm(col("v")))
+      .cache()
+
+    // integer squared-L2 between the row's q and the joined model row's c
+    val qdist = aggregate(
+      zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (s, x) => s + x)
+
+    // init: cid i = the i-th lowest vec_id's vector, exactly the driver
+    // trainer's seed. The single-partition row_number window is over the
+    // nlist-row model frame, never the corpus.
+    var cents = v.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id"), col("q").as("c"))
+      .withColumn("cid",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+      .select("cid", "c")
+      .cache()
+    cents.count()
+
+    def assignCids(): DataFrame =
+      v.select(col("vec_id"), col("q"))
+        .crossJoin(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(min(struct(qdist.as("d"), col("cid"))).as("md"))
+        .select(col("vec_id"), col("md.cid").as("cid"))
+
+    for (_ <- 0 until iters) {
+      val means = assignCids()
+        .join(v.select(col("vec_id"), col("q")), "vec_id")
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(floor(sum("x") / count(lit(1))).cast("long").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cnew"))
+      val prev = cents
+      // cells that received no vectors keep their previous centroid —
+      // the driver trainer's sparse overwrite, as a left join
+      cents = prev.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cnew"), col("c")).as("c"))
+        .cache()
+      cents.count()
+      prev.unpersist(blocking = false)
+    }
+
+    val assigned = v.join(assignCids(), "vec_id").cache()
+    v.unpersist(blocking = false)
+    // nprobe nearest cells per query: the few query rows × the model
+    // frame, ranked by (dist, cell) — the same tie-break as the driver
+    // path's slice(array_sort(...))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+    val probes = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("q"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", qdist)
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cid"))
+    val perQuery = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .select("query_id", "vec_id", "cos")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    val topk = perQuery.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+      .cache()
+    topk.count()
+    assigned.unpersist(blocking = false)
+    cents.unpersist(blocking = false)
+    topk
+  }
+
   /** IVF (inverted-file) ANN: k-means cells + nprobe probing.
     *
     * Training: deterministic init (the `nlist` lowest vec_ids), `iters`

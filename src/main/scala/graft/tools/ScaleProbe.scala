@@ -180,7 +180,14 @@ object ScaleProbe {
           graft.graph.GraphOps.cachedGraph(
             graft.api.Tables.starTriples(spark, sfDir), sfDir),
           "order:1", iters = 5)
-        .filter(org.apache.spark.sql.functions.col("rank_u") > 0)))
+        .filter(org.apache.spark.sql.functions.col("rank_u") > 0)),
+      // IVF trainer forms side by side (same params as sim_ann_ivf_exact):
+      // driver-resident centroid literals vs the DataFrame-resident
+      // broadcast-join model — bit-identical results, different cost class
+      "ivf_driver" -> (() => graft.ops.Similarity.ivfFixedPointTopK(
+        embs, queryIds = Seq(0L, 1L, 2L), k = 10)),
+      "ivf_distributed" -> (() => graft.ops.Similarity.ivfFixedPointTopKDistributed(
+        embs, queryIds = Seq(0L, 1L, 2L), k = 10)))
 
     val selected = if (args.length > 1) {
       val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet

@@ -268,6 +268,36 @@ class OpsSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("DataFrame-resident"))
   }
 
+  test("DataFrame-resident IVF is bit-identical to the driver-resident trainer") {
+    // the escape hatch past MaxDriverCentroidCells must reproduce the
+    // driver trainer's result EXACTLY: same BIGINT fixed point, same
+    // argmin/probe tie-breaks, so any divergence is a semantics bug in
+    // the distributed assignment or the sparse centroid update
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    val driver = rows(Similarity.ivfFixedPointTopK(embs, qids, k = 5))
+    val dist = rows(Similarity.ivfFixedPointTopKDistributed(embs, qids, k = 5))
+    assert(driver.nonEmpty)
+    assert(dist == driver,
+      s"diverge: extra=${(dist -- driver).take(3)} missing=${(driver -- dist).take(3)}")
+  }
+
+  test("DataFrame-resident IVF matches the driver trainer at 10x (needs /tmp/sf1h)") {
+    assume(new java.io.File("/tmp/sf1h/embeddings.parquet").exists)
+    val e10 = spark.read.parquet("/tmp/sf1h/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    val driver = rows(Similarity.ivfFixedPointTopK(e10, qids, k = 10))
+    val dist = rows(Similarity.ivfFixedPointTopKDistributed(e10, qids, k = 10))
+    assert(driver.nonEmpty)
+    assert(dist == driver,
+      s"diverge at 10x: extra=${(dist -- driver).take(3)} missing=${(driver -- dist).take(3)}")
+  }
+
   test("fixed-point IVF recall is substantial and reruns are bit-identical") {
     val qids = Seq(0L, 1L, 2L, 3L, 4L)
     val exact = Similarity.bruteForceTopK(embs, qids, k = 5).collect()
