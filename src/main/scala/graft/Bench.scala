@@ -81,7 +81,26 @@ object Bench {
     // no recoverable cause — a wedged tail must be attributable from the
     // artifact alone, not from a stderr stream nobody captured
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val raw = selected.map { case (name, fn) =>
+    // In-run contention heartbeat: a TRIVIAL control query (one scan +
+    // tiny agg, no plan in common with the heavy families) timed every
+    // `controlEvery` queries plus once after the sweep, recorded as
+    // (query_index, sec) pairs. Cross-round attribution reads per-query
+    // ratios against same-session controls (SCALE.md rounds 7-8: every
+    // flagged "regression" so far was a loaded measurement window);
+    // embedding the series makes a loaded window visible from the
+    // artifact ALONE — r8's six >2x in-artifact outliers all reverted
+    // on isolated re-probe, which this field now shows without one.
+    val controlFn = SparkEntry.queries.get("string_brand_stats")
+    val controlEvery = 15
+    val controlSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def runControl(idx: Int): Unit = controlFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).queryExecution.toRdd.count()
+        controlSeries += ((idx, (System.nanoTime() - t0) / 1e9)) }
+      catch { case _: Throwable => () }
+    }
+    val raw = selected.toSeq.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi % controlEvery == 0) runControl(qi)
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count()
@@ -96,6 +115,7 @@ object Bench {
         .take(runsPerQuery).takeWhile(_ >= 0).toSeq
       name -> (if (rs.size == runsPerQuery) rs else Seq(-1.0))
     }
+    runControl(selected.size)
     val results = raw.map { case (name, rs) => name -> rs.min }
     // Keep the JSON line SHORT (3-decimal seconds) and emit it as the
     // absolute LAST stdout line, after spark.stop(): the round driver
@@ -106,7 +126,7 @@ object Bench {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val corpusJson = corpus.map { case (t, (rows, bytes)) =>
       "\"" + t + "\":{\"rows\":" + rows + ",\"bytes\":" + bytes + "}"
     }.mkString("{", ",", "}")
@@ -127,8 +147,10 @@ object Bench {
     } + "\""
     val errorsJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
-    val sidecarJson =
-      json.dropRight(1) + s""","runs":$runsJson,"errors":$errorsJson}"""
+    val controlJson = controlSeries
+      .map { case (i, s) => s"[$i,${r3(s)}]" }.mkString("[", ",", "]")
+    val sidecarJson = json.dropRight(1) +
+      s""","runs":$runsJson,"errors":$errorsJson,"control_series":$controlJson}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sidecar),
