@@ -1498,6 +1498,45 @@ object Queries {
       },
       Some(TextSql.quotaSample(perLang = 5))),
 
+    // Weight-proportional sampling without replacement — priority
+    // sampling (Duffield–Lund–Thorup, JACM'07): each doc draws a
+    // deterministic uniform u from the portable 60-bit md5 family and
+    // gets priority u/weight; the k smallest priorities are the sample,
+    // so a doc's inclusion odds scale with its weight (here n_chars —
+    // sample "by token mass", the mixture a training run actually
+    // consumes, not "by doc count"). All integer: pri =
+    // (h+1) div w on BIGINTs — both engines floor the same quotient, and
+    // (pri, doc_id) ordering resolves floor collisions deterministically,
+    // so the gate is exact with no float u anywhere. Stateless like the
+    // other samplers (membership is a pure function of doc_id — same
+    // sample on any executor layout, reseedable via the salt), and the
+    // top-k is a TakeOrdered: no corpus-wide sort, no corpus-sized
+    // window — the rank window runs over the 50 selected rows only.
+    "pipeline_weighted_sample" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pri = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").as("w"),
+            graft.functions.GraftFunctions.md5Hash60(
+              concat(lit("wsamp:"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("pri", expr("(h + 1) div w"))
+        pri.orderBy(asc("pri"), asc("doc_id")).limit(50)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(asc("pri"), asc("doc_id"))).cast("long"))
+          .select("rnk", "doc_id", "source", "w", "pri")
+          .orderBy("rnk")
+      },
+      Some(
+        s"""WITH p AS (SELECT doc_id, source, n_chars AS w,
+           |    (${GraphSql.md5Hash60("'wsamp:' || CAST(doc_id AS VARCHAR)")} + 1)
+           |      // n_chars AS pri
+           |  FROM documents),
+           |r AS (SELECT doc_id, source, w, pri,
+           |        row_number() OVER (ORDER BY pri, doc_id) AS rnk
+           |      FROM p)
+           |SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, source, w, pri
+           |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin)),
+
     // ===== Extension: LLM-pipeline — deduplication =====
     "dedup_exact" -> Q(
       (s, d) => graft.ops.Dedup.exactGroups(plantedDocs(s, d, exact = true))
@@ -1672,6 +1711,22 @@ object Queries {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("cos_bucket"),
       Some(TextSql.dedupEmbeddingHistogram)),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2303.09540): k-means the
+    // embedding space, search near-dup pairs only WITHIN a cluster —
+    // clustering bounds the pair volume to ~n²/nlist (the paper's whole
+    // point), and the cluster id is the join key, so the detector scales
+    // by raising nlist with the corpus. Training is the shared
+    // fixed-point Lloyd trainer (bit-identical to sim_ann_ivf_exact's
+    // chain — one oracle text for both); keep rule is greedy min-id.
+    // Output: per-cluster (n_vecs, n_dropped, n_kept) — the semantic
+    // dedup-rate map. Complements dedup_embedding: LSH finds near-exact
+    // copies anywhere; SemDeDup finds redundancy within semantic regions.
+    "dedup_semantic" -> Q(
+      (s, d) => graft.ops.Similarity.semanticDedup(
+          Tables.embeddings(s, d), threshold = 0.45, nlist = 16, iters = 2)
+        .orderBy("cid"),
+      Some(TextSql.dedupSemantic())),
 
     // Cross-source duplication matrix: which source pairs share
     // near-dup content — the contamination map a curation team reads
@@ -2327,6 +2382,58 @@ object Queries {
           |SELECT w1, w2, n,
           |  CAST(floor(n * 1000000 / sum(n) OVER (PARTITION BY w1)) AS BIGINT) AS p_x1e6
           |FROM c ORDER BY n DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // Corpus-LM surprisal scoring (the CCNet / Wenzek et al. quality
+    // signal, arXiv:1911.00359: score each document by how improbable
+    // its text is under a language model trained on the corpus itself;
+    // high-surprisal docs are the OOD/noise tail a curation run reviews
+    // or drops). The LM is the corpus bigram table; a doc's score is the
+    // mean INVERSE conditional probability of its bigrams — the exact
+    // rational n(w1)/n(w1,w2) in floor fixed-point (mean perplexity
+    // without the float log/exp that would break the cross-engine hash
+    // gate; the ordering it induces is the same "how surprising" order).
+    // Plan shape: the bigram explode is corpus-linear, the LM build is
+    // one (w1,w2) map-side-combining aggregate, the context totals
+    // derive from the LM frame (vocab-sized, NOT another corpus pass),
+    // and the per-doc score joins bigram rows to the LM keyed on
+    // (w1,w2) — a vocab-sized build side that stays a hash join at any
+    // corpus scale. BIGINT headroom: nu·10⁶ < 2⁶³ up to ~9·10¹²
+    // context occurrences — a 100 TB corpus fits; first overflow wall
+    // is DECIMAL(38,0), the pipeline_temperature_mix pattern.
+    "text_bigram_surprisal" -> Q(
+      (s, d) => {
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t != '')").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("lang"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+        val ctx = lm.groupBy("w1").agg(sum("nb").as("nu"))
+        bg.join(lm, Seq("w1", "w2")).join(ctx, Seq("w1"))
+          .withColumn("inv_p_x1e6", expr("nu * 1000000L div nb"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_bigrams"),
+            expr("sum(inv_p_x1e6) div count(*)").as("mean_inv_p_x1e6"))
+          .orderBy(desc("mean_inv_p_x1e6"), asc("doc_id")).limit(20)
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, lang, list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |u AS (SELECT doc_id, lang, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          |      FROM t WHERE len(tk) >= 2),
+          |bg AS (SELECT doc_id, lang, tk[i] AS w1, tk[i + 1] AS w2 FROM u),
+          |lm AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
+          |ctx AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nu FROM lm GROUP BY 1),
+          |sc AS (SELECT bg.doc_id, bg.lang, nu * 1000000 // nb AS ip
+          |       FROM bg JOIN lm USING (w1, w2) JOIN ctx USING (w1))
+          |SELECT doc_id, lang, count(*) AS n_bigrams,
+          |  CAST(sum(ip) // count(*) AS BIGINT) AS mean_inv_p_x1e6
+          |FROM sc GROUP BY doc_id, lang
+          |ORDER BY mean_inv_p_x1e6 DESC, doc_id LIMIT 20""".stripMargin)),
 
     // Per-dimension embedding stats in fixed-point (floor(x·10⁶) —
     // integer min/max/mean are order-free, so the parallel aggregation

@@ -672,11 +672,17 @@ object TextSql {
     * probing and the exact cosine tail. Every step is order-free, so it
     * matches Similarity.ivfFixedPointTopK bit-for-bit.
     */
-  def simAnnIvfExact(nlist: Int = 8, nprobe: Int = 2, iters: Int = 2,
-      k: Int = 10, dim: Int = 64): String = {
-    def distExpr(q: String, c: String): String =
-      s"""list_reduce(list_transform(generate_series(1, $dim),
-         |      i -> ($q[i] - $c[i]) * ($q[i] - $c[i])), (a, b) -> a + b)""".stripMargin
+  private def ivfDistExpr(q: String, c: String, dim: Int): String =
+    s"""list_reduce(list_transform(generate_series(1, $dim),
+       |      i -> ($q[i] - $c[i]) * ($q[i] - $c[i])), (a, b) -> a + b)""".stripMargin
+
+  /** The unrolled fixed-point Lloyd trainer CTEs (v, c0, rounds, afinal)
+    * shared by [[simAnnIvfExact]] and [[dedupSemantic]] — the mirror of
+    * Similarity's fpTrainCentroids + final assignment, one text so the
+    * two oracles cannot drift.
+    */
+  private def ivfTrainCtes(nlist: Int, iters: Int, dim: Int): String = {
+    def distExpr(q: String, c: String): String = ivfDistExpr(q, c, dim)
     val rounds = (1 to iters).map { r =>
       s"""a$r AS MATERIALIZED (
          |  SELECT vec_id, q, cell FROM (
@@ -695,7 +701,7 @@ object TextSql {
          |    (SELECT cell, list(m ORDER BY i) AS c FROM m$r GROUP BY cell) u
          |  ON u.cell = p.cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS MATERIALIZED (
+    s"""v AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
        |    list_transform(CAST(embedding AS DOUBLE[]),
        |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
@@ -713,7 +719,13 @@ object TextSql {
        |    SELECT v.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |        ${distExpr("v.q", "c.c")}, c.cell) AS rn
-       |    FROM v CROSS JOIN c$iters c) WHERE rn = 1),
+       |    FROM v CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
+  }
+
+  def simAnnIvfExact(nlist: Int = 8, nprobe: Int = 2, iters: Int = 2,
+      k: Int = 10, dim: Int = 64): String = {
+    def distExpr(q: String, c: String): String = ivfDistExpr(q, c, dim)
+    s"""WITH ${ivfTrainCtes(nlist, iters, dim)},
        |qp AS (
        |  SELECT vec_id AS query_id, cell FROM (
        |    SELECT v.vec_id, c.cell,
@@ -736,6 +748,30 @@ object TextSql {
        |SELECT query_id, vec_id, cos, CAST(rnk AS INT) AS rnk FROM r
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** SemDeDup mirror: the SAME unrolled fixed-point Lloyd chain as
+    * simAnnIvfExact (shared [[ivfTrainCtes]] text — the oracles cannot
+    * drift), then the within-cluster pair scan, the greedy min-id drop
+    * rule, and the per-cluster survivor accounting.
+    */
+  def dedupSemantic(threshold: String = "0.45", nlist: Int = 16,
+      iters: Int = 2, dim: Int = 64): String =
+    s"""WITH ${ivfTrainCtes(nlist, iters, dim)},
+       |pairs AS (
+       |  SELECT x.cell AS cid, x.vec_id AS a, y.vec_id AS b
+       |  FROM afinal x JOIN afinal y
+       |  ON y.cell = x.cell AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT p.cid, p.a, p.b,
+       |    round(list_dot_product(va.e, vb.e)
+       |      / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos
+       |  FROM pairs p JOIN v va ON va.vec_id = p.a JOIN v vb ON vb.vec_id = p.b),
+       |dropped AS (SELECT DISTINCT cid, b FROM scored WHERE cos >= $threshold)
+       |SELECT CAST(a.cell AS BIGINT) AS cid, count(*) AS n_vecs,
+       |  CAST(count(d.b) AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - count(d.b) AS BIGINT) AS n_kept
+       |FROM afinal a LEFT JOIN dropped d ON d.cid = a.cell AND d.b = a.vec_id
+       |GROUP BY a.cell ORDER BY cid""".stripMargin
 
   /** Stratified sampling mirror — same 60-bit md5 threshold family as
     * sample_hash_5pct, per-language rates.

@@ -491,6 +491,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_corpus_dups"), min("corpus_id").as("first_dup"))
   }
 
+  /** [[crossCorpusMatches]] past the batch-broadcast ceiling — the
+    * escape hatch the §100× first-wall table names for incremental
+    * dedup: once the incoming batch stops being broadcast-small (a
+    * backfill, a whole-crawl re-ingest), the probe flips to a
+    * SHUFFLE-HASH join on the same (band, key) — the plan class the
+    * embedding near-dup join uses — so neither side is ever collected
+    * or broadcast. Band construction, hot-band cap, and the aggregate
+    * tail are the SAME code as the broadcast form, so outputs are
+    * row-for-row identical (gated in OpsSpec at fixture scale and 10×);
+    * only the join strategy differs. The declared `dedup_incremental`
+    * keeps the broadcast form — below the ceiling it saves the batch
+    * shuffle entirely.
+    */
+  def crossCorpusMatchesShuffled(corpus: DataFrame, batch: DataFrame,
+      k: Int = 8, bands: Int = 4, maxBandFreq: Int = DefaultBandCap): DataFrame = {
+    val cb = dropHotBands(
+        bandKeys(sigsFromShingles(shingleRows(corpus, 3), k), k, bands), maxBandFreq)
+      .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
+    val bb = bandKeys(sigsFromShingles(shingleRows(batch, 3), k), k, bands)
+      .select(col("band"), col("key"), col("doc_id").as("batch_id"))
+    cb.join(bb.hint("shuffle_hash"), Seq("band", "key"))
+      .select("batch_id", "corpus_id").distinct()
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_corpus_dups"), min("corpus_id").as("first_dup"))
+  }
+
   /** Resolve near-dup pairs into duplicate CLUSTERS: connected
     * components over the pair graph, labeling every member with the
     * minimum doc id of its component (the canonical survivor a curation

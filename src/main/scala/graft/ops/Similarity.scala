@@ -103,6 +103,39 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** [[lshTopK]] past the query-side-broadcast ceiling — the escape
+    * hatch the §100× first-wall table names for the ANN family: at
+    * large |Q| (a full re-embedding diffed against the corpus, an
+    * all-pairs linkage run) the query bucket frame stops fitting a
+    * broadcast, so the candidate join flips to a SHUFFLE-HASH join on
+    * the same (table, bucket) key — both sides shuffle once, nothing is
+    * collected or broadcast. Bucketing, candidate dedup, scoring, and
+    * ranking are the SAME code path, so results are row-for-row
+    * identical to [[lshTopK]] (gated in OpsSpec); the declared
+    * `sim_ann_lsh` keeps the broadcast form, which below the ceiling
+    * saves the corpus-side shuffle entirely.
+    */
+  def lshTopKShuffled(embs: DataFrame, queryIds: Seq[Long], k: Int,
+      dim: Int = 64, bits: Int = 6, tables: Int = 8): DataFrame = {
+    val v = withNorm(embs)
+    val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("v"), dim, bits, t)): _*)).as(Seq("table", "bucket")))
+    val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("table"), col("bucket"))
+    val candidates = bucketed.join(q.hint("shuffle_hash"), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "v", "nrm", "qv", "qnrm")
+      .dropDuplicates("query_id", "vec_id")
+    val scored = candidates.withColumn("cos",
+      round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
   /** Multi-probe sign-LSH top-k (Lv et al., VLDB'07, adapted to sign
     * LSH): each query probes its home bucket PLUS the `extraProbes`
     * buckets reached by flipping the query's lowest-|margin| planes —
@@ -183,6 +216,103 @@ object Similarity {
         "DataFrame-resident centroid model (broadcast-join assignment) " +
         "beyond this — see MaxDriverCentroidCells scaladoc")
 
+  /** (vec_id, v, q, nrm) projection shared by the fixed-point k-means
+    * consumers: q = floor(component·10⁶) BIGINT micro-units.
+    */
+  private def fpQuantized(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("q", transform(col("v"), x => floor(x * 1e6).cast("long")))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Integer squared-L2 of col("q") against a literal centroid. */
+  private def fpDistCol(c: Array[Long]): Column = aggregate(
+    zip_with(col("q"), array(c.toIndexedSeq.map(lit): _*), (a, b) => (a - b) * (a - b)),
+    lit(0L), (s, x) => s + x)
+
+  /** argmin over integer distances; array_position takes the FIRST
+    * minimum, i.e. ties break to the lowest cell — mirrored by the
+    * oracle's ORDER BY dist, cell.
+    */
+  private def fpCellCol(cs: Array[Array[Long]]): Column = {
+    val arr = array(cs.toIndexedSeq.map(fpDistCol): _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** The fixed-point Lloyd trainer shared by [[ivfFixedPointTopK]] and
+    * [[semanticDedup]]: deterministic init (the `nlist` lowest vec_ids),
+    * integer argmin assignment, floor-of-double-mean updates — order-free
+    * and bit-identical on any engine/partitioning. `v` must be the
+    * (cached) [[fpQuantized]] frame.
+    */
+  private def fpTrainCentroids(v: DataFrame, nlist: Int, iters: Int): Array[Array[Long]] = {
+    var cents: Array[Array[Long]] = v.orderBy("vec_id").limit(nlist)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    requireCentroidsFitDriver(nlist, cents.headOption.map(_.length).getOrElse(0))
+    for (_ <- 0 until iters) {
+      val means = v.withColumn("cid", fpCellCol(cents))
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(floor(sum("x") / count(lit(1))).cast("long").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Long]("m")
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al., arXiv:2303.09540):
+    * embeddings are k-means-clustered, then near-duplicate PAIRS are
+    * searched only WITHIN each cluster — the clustering is what bounds
+    * the pair volume (SemDeDup's core trick: n²/nlist expected pair
+    * candidates instead of n², with nlist scheduled ∝ corpus size the
+    * same way lshSchedule scales LSH bits). Training is the shared
+    * fixed-point Lloyd trainer (bit-identical to `sim_ann_ivf_exact`'s),
+    * so the whole path is oracle-expressible; the keep rule is greedy
+    * min-id (drop b when some a < b in the same cluster has
+    * round(cos,6) ≥ threshold) — deterministic, unlike the paper's
+    * "keep farthest from centroid" which ties on float distance.
+    *
+    * Output: one row per cluster — (cid, n_vecs, n_dropped, n_kept) —
+    * the dedup-rate readout per semantic region. The within-cluster
+    * self-join is keyed on cid; at scale raise nlist so clusters stay
+    * O(target) and the join stays skew-free (nlist beyond the driver
+    * guard → train via [[ivfFixedPointTopKDistributed]]'s frame-resident
+    * loop, same escalation).
+    */
+  def semanticDedup(embs: DataFrame, threshold: Double = 0.45,
+      nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val v = fpQuantized(embs).cache()
+    val cents = fpTrainCentroids(v, nlist, iters)
+    val assigned = v.withColumn("cid", fpCellCol(cents))
+      .select(col("cid").cast("long").as("cid"), col("vec_id"), col("v"), col("nrm"))
+      .cache()
+    v.unpersist(blocking = false)
+    val l = assigned.select(col("cid"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = assigned.select(col("cid"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = l.join(r, Seq("cid"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("cid"), col("b").as("vec_id")).distinct()
+      .withColumn("drp", lit(1L))
+    val out = assigned.select("cid", "vec_id")
+      .join(dropped, Seq("cid", "vec_id"), "left")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("drp"), lit(0L))).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+      .orderBy("cid")
+      .cache()
+    out.count()
+    assigned.unpersist(blocking = false)
+    out
+  }
+
   /** Fixed-point IVF ANN — the oracle-gated twin of [[ivfTopK]]: the
     * k-means runs on BIGINT micro-unit vectors (component → floor(x·1e6))
     * with integer squared-L2 assignment and floor-of-double-division
@@ -197,37 +327,11 @@ object Similarity {
     */
   def ivfFixedPointTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
       nlist: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
-    val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("q", transform(col("v"), x => floor(x * 1e6).cast("long")))
-      .withColumn("nrm", norm(col("v")))
-      .cache()
+    val v = fpQuantized(embs).cache()
+    def distCol(c: Array[Long]): Column = fpDistCol(c)
+    def cellCol(cs: Array[Array[Long]]): Column = fpCellCol(cs)
 
-    def distCol(c: Array[Long]): Column = aggregate(
-      zip_with(col("q"), array(c.toIndexedSeq.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0L), (s, x) => s + x)
-    // argmin over integer distances; array_position takes the FIRST
-    // minimum, i.e. ties break to the lowest cell — mirrored by the
-    // oracle's ORDER BY dist, cell
-    def cellCol(cs: Array[Array[Long]]): Column = {
-      val arr = array(cs.toIndexedSeq.map(distCol): _*)
-      (array_position(arr, array_min(arr)) - 1).cast("int")
-    }
-
-    var cents: Array[Array[Long]] = v.orderBy("vec_id").limit(nlist)
-      .select("q").collect().map(_.getSeq[Long](0).toArray)
-    requireCentroidsFitDriver(nlist, cents.headOption.map(_.length).getOrElse(0))
-    for (_ <- 0 until iters) {
-      val means = v.withColumn("cid", cellCol(cents))
-        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(floor(sum("x") / count(lit(1))).cast("long").as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach { r =>
-        next(r.getAs[Int]("cid"))(r.getAs[Int]("pos")) = r.getAs[Long]("m")
-      }
-      cents = next
-    }
+    val cents = fpTrainCentroids(v, nlist, iters)
 
     val assigned = v.withColumn("cid", cellCol(cents)).cache()
     v.unpersist(blocking = false)

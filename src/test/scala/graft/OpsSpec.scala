@@ -313,6 +313,119 @@ class OpsSpec extends SparkSpecBase {
     assert(a == run())
   }
 
+  test("shuffled incremental dedup matches the broadcast form and never broadcasts") {
+    // the §100× escape hatch for a broadcast-too-big ingest batch: same
+    // band construction, same cap, same aggregate — only the join
+    // strategy differs, so outputs must be row-for-row identical
+    val batch = docs.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 500000)
+      .withColumn("text", concat(col("text"), lit(" drifted tail")))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_corpus_dups"),
+        r.getAs[Long]("first_dup"))).toSet
+    val bcast = Dedup.crossCorpusMatches(docs, batch)
+    val shuf = Dedup.crossCorpusMatchesShuffled(docs, batch)
+    assert(rows(bcast).nonEmpty)
+    assert(rows(shuf) == rows(bcast))
+    val plan = shuf.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"escape hatch must not broadcast either side:\n$plan")
+  }
+
+  test("shuffled LSH top-k matches the broadcast form and never broadcasts") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    val bcast = Similarity.lshTopK(embs, qids, k = 5)
+    val shuf = Similarity.lshTopKShuffled(embs, qids, k = 5)
+    assert(rows(bcast).nonEmpty)
+    assert(rows(shuf) == rows(bcast))
+    val plan = shuf.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffle-hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"escape hatch must not broadcast either side:\n$plan")
+  }
+
+  test("escape hatches match their broadcast twins at 10x (needs /tmp/sf1h)") {
+    assume(new java.io.File("/tmp/sf1h/documents.parquet").exists &&
+      new java.io.File("/tmp/sf1h/embeddings.parquet").exists)
+    val d10 = spark.read.parquet("/tmp/sf1h/documents.parquet")
+    val batch = d10.filter(col("doc_id") < 2000)
+      .withColumn("doc_id", col("doc_id") + 5000000)
+      .withColumn("text", concat(col("text"), lit(" drifted tail")))
+    def drows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_corpus_dups"),
+        r.getAs[Long]("first_dup"))).toSet
+    assert(drows(Dedup.crossCorpusMatchesShuffled(d10, batch)) ==
+      drows(Dedup.crossCorpusMatches(d10, batch)))
+    val e10 = spark.read.parquet("/tmp/sf1h/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L)
+    def erows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
+    assert(erows(Similarity.lshTopKShuffled(e10, qids, k = 10)) ==
+      erows(Similarity.lshTopK(e10, qids, k = 10)))
+  }
+
+  test("semantic dedup drops a planted exact-duplicate embedding") {
+    // a verbatim copy of vec 0 under a new id has cos 1.0 with its
+    // source and lands in the same k-means cell (identical q vector,
+    // same argmin), so SemDeDup must drop exactly one more vector than
+    // it drops on the unplanted corpus — and totals must account for
+    // every vector
+    val plant = embs.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(999999L))
+    val base = Similarity.semanticDedup(embs, threshold = 0.45)
+    val withPlant = Similarity.semanticDedup(embs.unionByName(plant), threshold = 0.45)
+    def totals(df: DataFrame): (Long, Long) = {
+      val r = df.agg(sum("n_vecs"), sum("n_dropped")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nb, db) = totals(base)
+    val (np, dp) = totals(withPlant)
+    assert(nb == embs.count())
+    assert(np == nb + 1)
+    assert(dp == db + 1, "the planted duplicate must be dropped")
+    // an impossible threshold drops nothing
+    val none = Similarity.semanticDedup(embs, threshold = 1.5)
+    assert(totals(none)._2 == 0L)
+    // fixed-point training makes the whole readout reproducible
+    assert(base.collect().toSeq ==
+      Similarity.semanticDedup(embs, threshold = 0.45).collect().toSeq)
+  }
+
+  test("bigram surprisal scores are sane inverse probabilities") {
+    val out = graft.api.Queries.registry("text_bigram_surprisal")
+      .fn(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // mean inverse conditional probability is >= 1 by construction
+    // (n(w1) >= n(w1,w2)), and the readout is sorted most-surprising
+    // first with doc_id breaking ties
+    val means = out.map(_.getAs[Long]("mean_inv_p_x1e6"))
+    assert(means.forall(_ >= 1000000L))
+    assert(means.sameElements(means.sortBy(-_)))
+  }
+
+  test("weighted sample is rank-consistent and oversamples heavy docs") {
+    val d01 = "/root/testdata/sf0.01"
+    val out = graft.api.Queries.registry("pipeline_weighted_sample")
+      .fn(spark, d01).collect()
+    assert(out.length == 50)
+    assert(out.map(_.getAs[Long]("rnk")).toSeq == (1L to 50L))
+    val pris = out.map(_.getAs[Long]("pri"))
+    assert(pris.zip(pris.tail).forall { case (a, b) => a <= b })
+    // priority u/w favors heavy docs: the 10% sample selected by char
+    // mass must have a higher mean length than the corpus (deterministic
+    // given the md5 family — not a statistical flake)
+    val corpusMean = spark.read.parquet(s"$d01/documents.parquet")
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = out.map(_.getAs[Long]("w")).sum.toDouble / out.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("approx sketch aggregates land within error bounds of exact") {
     val d = dir
     val approx = graft.api.Queries.registry("agg_approx_stats").fn(spark, d)
