@@ -1714,17 +1714,20 @@ object Queries {
 
     // Semantic dedup (SemDeDup, Abbas et al. 2303.09540): k-means the
     // embedding space, search near-dup pairs only WITHIN a cluster —
-    // clustering bounds the pair volume to ~n²/nlist (the paper's whole
-    // point), and the cluster id is the join key, so the detector scales
-    // by raising nlist with the corpus. Training is the shared
-    // fixed-point Lloyd trainer (bit-identical to sim_ann_ivf_exact's
-    // chain — one oracle text for both); keep rule is greedy min-id.
-    // Output: per-cluster (n_vecs, n_dropped, n_kept) — the semantic
-    // dedup-rate map. Complements dedup_embedding: LSH finds near-exact
-    // copies anywhere; SemDeDup finds redundancy within semantic regions.
+    // clustering bounds the pair volume (the paper's whole point), and
+    // the cluster id is the join key. nlist runs the semDedupSchedule
+    // (cluster size held ~constant → pair volume LINEAR in n, not
+    // n²/const), and the oracle replays the schedule from count(*) in
+    // integer SQL — the hash gate follows the knob to any corpus size,
+    // the dedup_embedding discipline. Training is the shared fixed-point
+    // Lloyd trainer (one oracle CTE chain with sim_ann_ivf_exact); keep
+    // rule is greedy min-id. Output: per-cluster (n_vecs, n_dropped,
+    // n_kept) — the semantic dedup-rate map. Complements dedup_embedding:
+    // LSH finds near-exact copies anywhere; SemDeDup finds redundancy
+    // within semantic regions.
     "dedup_semantic" -> Q(
-      (s, d) => graft.ops.Similarity.semanticDedup(
-          Tables.embeddings(s, d), threshold = 0.45, nlist = 16, iters = 2)
+      (s, d) => graft.ops.Similarity.semanticDedupAuto(
+          Tables.embeddings(s, d), threshold = 0.45)
         .orderBy("cid"),
       Some(TextSql.dedupSemantic())),
 

@@ -681,7 +681,15 @@ object TextSql {
     * Similarity's fpTrainCentroids + final assignment, one text so the
     * two oracles cannot drift.
     */
-  private def ivfTrainCtes(nlist: Int, iters: Int, dim: Int): String = {
+  private def ivfTrainCtes(nlist: Int, iters: Int, dim: Int): String =
+    ivfTrainCtesExpr(nlist.toString, iters, dim)
+
+  /** As [[ivfTrainCtes]] but the cell-count cutoff is an arbitrary SQL
+    * expression — what lets a knob SCHEDULE (nlist computed from
+    * count(*) in a preceding CTE) replay inside the oracle, the same
+    * discipline as dedupEmbeddingAuto's bits/tables.
+    */
+  private def ivfTrainCtesExpr(nlistExpr: String, iters: Int, dim: Int): String = {
     def distExpr(q: String, c: String): String = ivfDistExpr(q, c, dim)
     val rounds = (1 to iters).map { r =>
       s"""a$r AS MATERIALIZED (
@@ -707,8 +715,10 @@ object TextSql {
        |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
        |  FROM embeddings),
        |c0 AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS c
-       |  FROM v ORDER BY vec_id LIMIT $nlist),
+       |  SELECT cell, c FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS c
+       |    FROM v)
+       |  WHERE cell < ($nlistExpr)),
        |$rounds,
        |afinal AS MATERIALIZED (
        |  -- candidates must come from a re-assignment against the FINAL
@@ -750,13 +760,19 @@ object TextSql {
   }
 
   /** SemDeDup mirror: the SAME unrolled fixed-point Lloyd chain as
-    * simAnnIvfExact (shared [[ivfTrainCtes]] text — the oracles cannot
-    * drift), then the within-cluster pair scan, the greedy min-id drop
-    * rule, and the per-cluster survivor accounting.
+    * simAnnIvfExact (shared [[ivfTrainCtesExpr]] text — the oracles
+    * cannot drift), with nlist computed by the corpus-size SCHEDULE
+    * (Similarity.semDedupSchedule: hold expected cluster size ~constant)
+    * in a sched CTE, then the within-cluster pair scan, the greedy
+    * min-id drop rule, and the per-cluster survivor accounting.
     */
-  def dedupSemantic(threshold: String = "0.45", nlist: Int = 16,
+  def dedupSemantic(threshold: String = "0.45", targetCluster: Int = 125,
       iters: Int = 2, dim: Int = 64): String =
-    s"""WITH ${ivfTrainCtes(nlist, iters, dim)},
+    s"""WITH sched AS MATERIALIZED (
+       |  SELECT least(1024, greatest(4, (count(*) + ${targetCluster - 1})
+       |    // $targetCluster)) AS nl
+       |  FROM embeddings),
+       |${ivfTrainCtesExpr("SELECT nl FROM sched", iters, dim)},
        |pairs AS (
        |  SELECT x.cell AS cid, x.vec_id AS a, y.vec_id AS b
        |  FROM afinal x JOIN afinal y

@@ -224,17 +224,29 @@ object Similarity {
       .withColumn("q", transform(col("v"), x => floor(x * 1e6).cast("long")))
       .withColumn("nrm", norm(col("v")))
 
-  /** Integer squared-L2 of col("q") against a literal centroid. */
-  private def fpDistCol(c: Array[Long]): Column = aggregate(
-    zip_with(col("q"), array(c.toIndexedSeq.map(lit): _*), (a, b) => (a - b) * (a - b)),
-    lit(0L), (s, x) => s + x)
+  /** Integer assignment SCORE of col("q") against a literal centroid:
+    * |c|² − 2·q·c, with the dot product a codegen'd primitive loop
+    * (graft.functions.LongDotProduct) and |c|² folded on the driver.
+    * Argmin-equivalent to the squared L2 the oracle ranks by — the
+    * omitted |q|² term is constant per row, so the ordering INCLUDING
+    * ties is identical — but evaluation is O(dim) native per centroid
+    * instead of an interpreted zip_with/aggregate lambda pair (which
+    * boxed every element: measured 53 s → ~5 s at nlist=160/20k
+    * vectors). Exact BIGINTs throughout (bounded ~2⁴⁶).
+    */
+  private def fpScoreCol(c: Array[Long]): Column = {
+    val c2 = c.foldLeft(0L)((s, x) => s + x * x)
+    lit(c2) - lit(2L) * graft.functions.LongDotProduct(
+      col("q"), array(c.toIndexedSeq.map(lit): _*))
+  }
 
-  /** argmin over integer distances; array_position takes the FIRST
+  /** argmin over integer scores; array_position takes the FIRST
     * minimum, i.e. ties break to the lowest cell — mirrored by the
-    * oracle's ORDER BY dist, cell.
+    * oracle's ORDER BY dist, cell (score and dist induce the same
+    * per-row order, see [[fpScoreCol]]).
     */
   private def fpCellCol(cs: Array[Array[Long]]): Column = {
-    val arr = array(cs.toIndexedSeq.map(fpDistCol): _*)
+    val arr = array(cs.toIndexedSeq.map(fpScoreCol): _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
@@ -282,6 +294,43 @@ object Similarity {
     * guard → train via [[ivfFixedPointTopKDistributed]]'s frame-resident
     * loop, same escalation).
     */
+  /** The SemDeDup nlist schedule: hold the EXPECTED cluster size near
+    * `targetCluster` so the within-cluster pair volume stays
+    * ~n·targetCluster/2 (linear in n) instead of n²/const — the same
+    * corpus-scheduled-knob discipline as [[graft.ops.Dedup.lshSchedule]].
+    * Integer-exact on both engines: ceil-div via (n + t - 1) / t on
+    * non-negative BIGINTs (Java `/` truncates ≡ DuckDB `//` floors
+    * here), clamped to [4, 1024]. The 1024 top is the declared-query
+    * comfort zone (65 k-wide codegen argmin at dim 64 stays inside the
+    * 2²² driver-centroid guard); past it, train via the frame-resident
+    * Lloyd loop.
+    */
+  def semDedupSchedule(n: Long, targetCluster: Int = 125): Int =
+    math.min(1024L, math.max(4L, (n + targetCluster - 1) / targetCluster)).toInt
+
+  /** Above this nlist the frame-resident trainer beats the driver
+    * trainer's nlist-wide argmin expression (measured crossover at 10×:
+    * nlist=64 driver 7.7 s vs frame 4.4 s; nlist=160 21.3 vs 9.5 —
+    * SCALE.md round-8 close). The two trainers are bit-identical
+    * (OpsSpec), so the switch is invisible to results and oracle.
+    */
+  private[graft] val DriverTrainerMaxNlist = 32
+
+  /** Corpus-size-aware [[semanticDedup]] at [[semDedupSchedule]] knobs.
+    * The count() is one cheap driver action against columnar footers.
+    * The schedule also picks the TRAINER: past [[DriverTrainerMaxNlist]]
+    * the frame-resident Lloyd loop takes over (same fixed point, same
+    * results — the cost crossover is the only difference).
+    */
+  def semanticDedupAuto(embs: DataFrame, threshold: Double = 0.45,
+      targetCluster: Int = 125, iters: Int = 2): DataFrame = {
+    val nlist = semDedupSchedule(embs.count(), targetCluster)
+    if (nlist <= DriverTrainerMaxNlist)
+      semanticDedup(embs, threshold, nlist = nlist, iters = iters)
+    else
+      semanticDedupDistributed(embs, threshold, nlist = nlist, iters = iters)
+  }
+
   def semanticDedup(embs: DataFrame, threshold: Double = 0.45,
       nlist: Int = 16, iters: Int = 2): DataFrame = {
     val v = fpQuantized(embs).cache()
@@ -290,6 +339,39 @@ object Similarity {
       .select(col("cid").cast("long").as("cid"), col("vec_id"), col("v"), col("nrm"))
       .cache()
     v.unpersist(blocking = false)
+    val out = semanticAccounting(assigned, threshold).cache()
+    out.count()
+    assigned.unpersist(blocking = false)
+    out
+  }
+
+  /** [[semanticDedup]] past the driver-trainer ceiling — for nlist where
+    * the nlist-wide codegen argmin stops being cheap (measured: 56 s at
+    * nlist=160/20k vectors vs seconds via the frame-resident trainer)
+    * or past the 2²² centroid-cell guard entirely: training and
+    * assignment run [[fpTrainAssignDistributed]]'s broadcast-join Lloyd
+    * loop (bit-identical fixed point), the pair scan and accounting are
+    * the SAME code, so outputs equal [[semanticDedup]] row-for-row —
+    * gated in OpsSpec at fixture scale and 10×.
+    */
+  def semanticDedupDistributed(embs: DataFrame, threshold: Double = 0.45,
+      nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val v = fpQuantized(embs).cache()
+    val (assigned0, cents) = fpTrainAssignDistributed(v, nlist, iters)
+    val assigned = assigned0
+      .select(col("cid").cast("long").as("cid"), col("vec_id"), col("v"), col("nrm"))
+    v.unpersist(blocking = false)
+    val out = semanticAccounting(assigned, threshold).cache()
+    out.count()
+    assigned0.unpersist(blocking = false)
+    cents.unpersist(blocking = false)
+    out
+  }
+
+  /** The shared SemDeDup tail: within-cluster pair scan (keyed on cid),
+    * greedy min-id drop, per-cluster survivor accounting.
+    */
+  private def semanticAccounting(assigned: DataFrame, threshold: Double): DataFrame = {
     val l = assigned.select(col("cid"), col("vec_id").as("a"),
       col("v").as("va"), col("nrm").as("na"))
     val r = assigned.select(col("cid"), col("vec_id").as("b"),
@@ -300,17 +382,13 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("cid"), col("b").as("vec_id")).distinct()
       .withColumn("drp", lit(1L))
-    val out = assigned.select("cid", "vec_id")
+    assigned.select("cid", "vec_id")
       .join(dropped, Seq("cid", "vec_id"), "left")
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"),
         sum(coalesce(col("drp"), lit(0L))).as("n_dropped"))
       .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
       .orderBy("cid")
-      .cache()
-    out.count()
-    assigned.unpersist(blocking = false)
-    out
   }
 
   /** Fixed-point IVF ANN — the oracle-gated twin of [[ivfTopK]]: the
@@ -328,7 +406,7 @@ object Similarity {
   def ivfFixedPointTopK(embs: DataFrame, queryIds: Seq[Long], k: Int,
       nlist: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
     val v = fpQuantized(embs).cache()
-    def distCol(c: Array[Long]): Column = fpDistCol(c)
+    def distCol(c: Array[Long]): Column = fpScoreCol(c)
     def cellCol(cs: Array[Array[Long]]): Column = fpCellCol(cs)
 
     val cents = fpTrainCentroids(v, nlist, iters)
@@ -367,42 +445,27 @@ object Similarity {
     topk
   }
 
-  /** The DataFrame-resident IVF form the [[MaxDriverCentroidCells]]
-    * guard names — [[ivfFixedPointTopK]]'s escape hatch for 100 TB-grade
-    * models (nlist·dim > 2²² cells): the centroid model lives as a
-    * (cid, c) frame end-to-end, assignment is a broadcast join of the
-    * model against the vectors with a groupBy(vec_id) integer argmin
-    * (min over (dist, cid) structs — ties to the lowest cid, same as the
-    * driver trainer's first-minimum array_position), the centroid update
-    * is the same floor(sum/count) aggregate re-assembled into arrays,
-    * and probing ranks the model frame per query by (dist, cell).
-    * Nothing model-sized ever reaches the driver, so there is no
-    * `require` ceiling. Arithmetic is the identical BIGINT micro-unit
-    * fixed point, so results are BIT-IDENTICAL to the driver-resident
-    * trainer — gated in OpsSpec at fixture scale and at 10× via the
-    * assume-gated cross-check.
-    *
-    * Cost shape vs the driver trainer: the argmin is a corpus×model
-    * broadcast-join shuffle per Lloyd round instead of an nlist-wide
-    * codegen'd column expression — slower at small nlist (the declared
-    * `sim_ann_ivf_exact` keeps the driver path), unbounded at large.
-    * Broadcast of the model frame holds to ~10⁷ cells; past that, add a
-    * coarse quantizer (IVF-in-IVF) or flip the assignment join to
-    * shuffle-hash on a bucketed cid prefix — the same escalation every
-    * billion-scale IVF library applies.
+  /** Integer assignment score of a row's q against a joined model row's
+    * (c, c2): c2 − 2·q·c — the frame-resident sibling of [[fpScoreCol]]
+    * (same per-row argmin order as squared L2, same codegen'd dot
+    * product; c2 = |c|² is computed once per centroid row on the
+    * nlist-sized model frame, never per corpus row).
     */
-  def ivfFixedPointTopKDistributed(embs: DataFrame, queryIds: Seq[Long],
-      k: Int, nlist: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
-    val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("q", transform(col("v"), x => floor(x * 1e6).cast("long")))
-      .withColumn("nrm", norm(col("v")))
-      .cache()
+  private def fpQScore: Column =
+    col("c2") - lit(2L) * graft.functions.LongDotProduct(col("q"), col("c"))
 
-    // integer squared-L2 between the row's q and the joined model row's c
-    val qdist = aggregate(
-      zip_with(col("q"), col("c"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (s, x) => s + x)
-
+  /** The frame-resident fixed-point Lloyd trainer + final assignment
+    * shared by [[ivfFixedPointTopKDistributed]] and
+    * [[semanticDedupDistributed]] — the escape hatch past BOTH driver
+    * ceilings (the 2²² centroid-cell memory guard AND the nlist-wide
+    * codegen argmin expression, whose compile+eval cost grows with
+    * nlist; measured in SCALE.md round-8 close). Bit-identical to the
+    * driver trainer (same seed, argmin tie-break, sparse floor-mean
+    * update). `v` must be the cached [[fpQuantized]] frame; returns
+    * (assigned, cents), both cached — callers unpersist.
+    */
+  private def fpTrainAssignDistributed(v: DataFrame, nlist: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     // init: cid i = the i-th lowest vec_id's vector, exactly the driver
     // trainer's seed. The single-partition row_number window is over the
     // nlist-row model frame, never the corpus.
@@ -411,6 +474,7 @@ object Similarity {
       .withColumn("cid",
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
       .select("cid", "c")
+      .withColumn("c2", aggregate(transform(col("c"), x => x * x), lit(0L), (s, x) => s + x))
       .cache()
     cents.count()
 
@@ -418,7 +482,7 @@ object Similarity {
       v.select(col("vec_id"), col("q"))
         .crossJoin(broadcast(cents))
         .groupBy("vec_id")
-        .agg(min(struct(qdist.as("d"), col("cid"))).as("md"))
+        .agg(min(struct(fpQScore.as("d"), col("cid"))).as("md"))
         .select(col("vec_id"), col("md.cid").as("cid"))
 
     for (_ <- 0 until iters) {
@@ -435,12 +499,46 @@ object Similarity {
       // the driver trainer's sparse overwrite, as a left join
       cents = prev.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cnew"), col("c")).as("c"))
+        .withColumn("c2", aggregate(transform(col("c"), x => x * x), lit(0L), (s, x) => s + x))
         .cache()
       cents.count()
       prev.unpersist(blocking = false)
     }
 
     val assigned = v.join(assignCids(), "vec_id").cache()
+    (assigned, cents)
+  }
+
+  /** The DataFrame-resident IVF form the [[MaxDriverCentroidCells]]
+    * guard names — [[ivfFixedPointTopK]]'s escape hatch for 100 TB-grade
+    * models (nlist·dim > 2²² cells): the centroid model lives as a
+    * (cid, c, c2) frame end-to-end, assignment is a broadcast join of
+    * the model against the vectors with a groupBy(vec_id) integer argmin
+    * (min over (score, cid) structs — ties to the lowest cid, same as
+    * the driver trainer's first-minimum array_position), the centroid
+    * update is the same floor(sum/count) aggregate re-assembled into
+    * arrays, and probing ranks the model frame per query by
+    * (score, cell). Nothing model-sized ever reaches the driver, so
+    * there is no `require` ceiling. Arithmetic is the identical BIGINT
+    * micro-unit fixed point and score ordering equals distance ordering
+    * per row, so results are BIT-IDENTICAL to the driver-resident
+    * trainer — gated in OpsSpec at fixture scale and at 10× via the
+    * assume-gated cross-check.
+    *
+    * Cost shape vs the driver trainer: the argmin is a corpus×model
+    * broadcast-join shuffle per Lloyd round instead of an nlist-wide
+    * codegen'd column expression — slower at small nlist (the declared
+    * `sim_ann_ivf_exact` keeps the driver path), unbounded at large.
+    * Broadcast of the model frame holds to ~10⁷ cells; past that, add a
+    * coarse quantizer (IVF-in-IVF) or flip the assignment join to
+    * shuffle-hash on a bucketed cid prefix — the same escalation every
+    * billion-scale IVF library applies.
+    */
+  def ivfFixedPointTopKDistributed(embs: DataFrame, queryIds: Seq[Long],
+      k: Int, nlist: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val v = fpQuantized(embs).cache()
+    val qdist = fpQScore
+    val (assigned, cents) = fpTrainAssignDistributed(v, nlist, iters)
     v.unpersist(blocking = false)
     // nprobe nearest cells per query: the few query rows × the model
     // frame, ranked by (dist, cell) — the same tie-break as the driver

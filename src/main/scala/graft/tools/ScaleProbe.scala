@@ -187,7 +187,20 @@ object ScaleProbe {
       "ivf_driver" -> (() => graft.ops.Similarity.ivfFixedPointTopK(
         embs, queryIds = Seq(0L, 1L, 2L), k = 10)),
       "ivf_distributed" -> (() => graft.ops.Similarity.ivfFixedPointTopKDistributed(
-        embs, queryIds = Seq(0L, 1L, 2L), k = 10)))
+        embs, queryIds = Seq(0L, 1L, 2L), k = 10)),
+      // SemDeDup trainer forms across nlist: the driver trainer's
+      // nlist-wide codegen argmin vs the frame-resident broadcast-join
+      // loop — picks the declared path per nlist regime
+      "semdedup_n16_driver" -> (() => graft.ops.Similarity.semanticDedup(
+        embs, 0.45, nlist = 16)),
+      "semdedup_n64_driver" -> (() => graft.ops.Similarity.semanticDedup(
+        embs, 0.45, nlist = 64)),
+      "semdedup_n160_driver" -> (() => graft.ops.Similarity.semanticDedup(
+        embs, 0.45, nlist = 160)),
+      "semdedup_n64_frame" -> (() => graft.ops.Similarity.semanticDedupDistributed(
+        embs, 0.45, nlist = 64)),
+      "semdedup_n160_frame" -> (() => graft.ops.Similarity.semanticDedupDistributed(
+        embs, 0.45, nlist = 160)))
 
     val selected = if (args.length > 1) {
       val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet

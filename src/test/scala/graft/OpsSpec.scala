@@ -367,6 +367,28 @@ class OpsSpec extends SparkSpecBase {
         r.getAs[Double]("cos"), r.getAs[Int]("rank"))).toSet
     assert(erows(Similarity.lshTopKShuffled(e10, qids, k = 10)) ==
       erows(Similarity.lshTopK(e10, qids, k = 10)))
+    // semantic dedup trainer switch: frame-resident == driver at a
+    // past-crossover nlist on the 10x corpus
+    assert(Similarity.semanticDedupDistributed(e10, 0.45, nlist = 64)
+      .collect().toSeq ==
+      Similarity.semanticDedup(e10, 0.45, nlist = 64).collect().toSeq)
+  }
+
+  test("semDedup schedule clamps and the auto form replays it exactly") {
+    assert(Similarity.semDedupSchedule(0) == 4)
+    assert(Similarity.semDedupSchedule(200) == 4)
+    assert(Similarity.semDedupSchedule(2000) == 16)
+    assert(Similarity.semDedupSchedule(20000) == 160)
+    assert(Similarity.semDedupSchedule(100000000L) == 1024)
+    val auto = Similarity.semanticDedupAuto(embs, 0.45).collect().toSeq
+    val manual = Similarity.semanticDedup(embs, 0.45,
+      nlist = Similarity.semDedupSchedule(embs.count())).collect().toSeq
+    assert(auto == manual && auto.nonEmpty)
+    // the frame-resident trainer the schedule switches to past
+    // DriverTrainerMaxNlist must reproduce the driver trainer exactly
+    val dist = Similarity.semanticDedupDistributed(embs, 0.45,
+      nlist = Similarity.semDedupSchedule(embs.count())).collect().toSeq
+    assert(dist == manual)
   }
 
   test("semantic dedup drops a planted exact-duplicate embedding") {
