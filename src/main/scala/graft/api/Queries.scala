@@ -2022,6 +2022,26 @@ object Queries {
       },
       Some(TextSql.decontaminate(n = 4, benchMax = 10))),
 
+    // Fuzzy decontamination: the near-dup complement of the exact probe
+    // above — MinHash band collisions between corpus and benchmark catch
+    // paraphrased/perturbed contamination exact 4-gram overlap misses
+    // (the planted 'paraphrased tail' copies of the benchmark docs MUST
+    // surface here and do not in the exact probe's planted-free form).
+    // The benchmark band frame broadcasts; the per-corpus-doc verdict
+    // (n_bench_hits, first_bench) is what a curation run routes on.
+    "pipeline_decontaminate_fuzzy" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val plants = base.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 300000)
+          .withColumn("text", concat(col("text"), lit(" paraphrased tail")))
+        val corpus = base.filter(col("doc_id") >= 10).unionByName(plants)
+        val bench = base.filter(col("doc_id") < 10)
+        graft.ops.Dedup.contaminatedDocs(corpus, bench)
+          .orderBy("corpus_id")
+      },
+      Some(TextSql.decontaminateFuzzy)),
+
     // Deterministic sequence packing: assign docs to fixed token-budget
     // training sequences by greedy cumulative fill. The cumsum window
     // partitions by (lang, shard) — shard is a stateless hash of the

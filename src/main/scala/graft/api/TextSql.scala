@@ -238,6 +238,32 @@ object TextSql {
        |SELECT batch_id, count(*) AS n_corpus_dups, min(corpus_id) AS first_dup
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Fuzzy decontamination mirror — Dedup.contaminatedDocs over corpus
+    * = (documents ≥ 10) ∪ paraphrased plants of the benchmark docs,
+    * bench = documents < 10. Same joint band computation and
+    * corpus-side QUALIFY cap as [[dedupIncremental]], aggregation
+    * flipped to the corpus doc.
+    */
+  val decontaminateFuzzy: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, source, lang FROM documents WHERE doc_id >= 10
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text || ' paraphrased tail', source, lang
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id, text, source, lang FROM documents WHERE doc_id < 10),
+       |$shinglesCte,
+       |$minhashSigBandCtes,
+       |cbands AS (
+       |  SELECT doc_id, band, key FROM bands0 WHERE doc_id >= 10
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $bandCap),
+       |bbands AS (SELECT doc_id, band, key FROM bands0 WHERE doc_id < 10),
+       |m AS (
+       |  SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
+       |  FROM cbands c JOIN bbands b ON b.band = c.band AND b.key = c.key)
+       |SELECT corpus_id, count(*) AS n_bench_hits, min(bench_id) AS first_bench
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Distinct-trigram compressibility proxy — the cross-engine-gated
     * twin of the deflate signal (DuckDB cannot deflate): within-doc
     * distinct/total word-trigram ratio in integer micro-units, same

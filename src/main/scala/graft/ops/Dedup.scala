@@ -491,6 +491,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_corpus_dups"), min("corpus_id").as("first_dup"))
   }
 
+  /** Fuzzy decontamination — the near-dup complement of the exact
+    * shingle-probe decontamination (`pipeline_decontaminate`): a corpus
+    * doc is flagged when it shares a MinHash band key with ANY
+    * benchmark doc, so paraphrased / tail-perturbed contamination that
+    * exact 4-gram overlap misses still collides (same hash family as
+    * [[minhashPairs]]). Shape mirrors [[crossCorpusMatches]] with the
+    * aggregation flipped to the CORPUS side — the decontamination
+    * decision is per corpus doc: (corpus_id, n_bench_hits, first_bench).
+    * The benchmark band frame is tiny → broadcast; the hot-band cap
+    * applies to the corpus side (the O(hot·bench) skew risk).
+    */
+  def contaminatedDocs(corpus: DataFrame, bench: DataFrame, k: Int = 8,
+      bands: Int = 4, maxBandFreq: Int = DefaultBandCap): DataFrame = {
+    val cb = dropHotBands(
+        bandKeys(sigsFromShingles(shingleRows(corpus, 3), k), k, bands), maxBandFreq)
+      .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
+    val bb = bandKeys(sigsFromShingles(shingleRows(bench, 3), k), k, bands)
+      .select(col("band"), col("key"), col("doc_id").as("bench_id"))
+    cb.join(broadcast(bb), Seq("band", "key"))
+      .select("corpus_id", "bench_id").distinct()
+      .groupBy("corpus_id")
+      .agg(count(lit(1)).as("n_bench_hits"), min("bench_id").as("first_bench"))
+  }
+
   /** [[crossCorpusMatches]] past the batch-broadcast ceiling — the
     * escape hatch the §100× first-wall table names for incremental
     * dedup: once the incoming batch stops being broadcast-small (a

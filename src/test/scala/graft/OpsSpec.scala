@@ -313,6 +313,22 @@ class OpsSpec extends SparkSpecBase {
     assert(a == run())
   }
 
+  test("fuzzy decontamination flags every paraphrased benchmark plant") {
+    val plants = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 300000)
+      .withColumn("text", concat(col("text"), lit(" paraphrased tail")))
+    val corpus = docs.filter(col("doc_id") >= 10).unionByName(plants)
+    val bench = docs.filter(col("doc_id") < 10)
+    val rows = Dedup.contaminatedDocs(corpus, bench).collect()
+    val flagged = rows.map(_.getAs[Long]("corpus_id")).toSet
+    assert((0 until 10).forall(i => flagged(300000L + i)),
+      s"all paraphrased plants must be flagged; got ${flagged.toSeq.sorted}")
+    // each plant's first_bench is its source benchmark doc (min id wins)
+    val first = rows.filter(_.getAs[Long]("corpus_id") >= 300000L)
+      .map(r => r.getAs[Long]("corpus_id") - 300000L -> r.getAs[Long]("first_bench"))
+    assert(first.forall { case (src, fb) => fb <= src })
+  }
+
   test("shuffled incremental dedup matches the broadcast form and never broadcasts") {
     // the §100× escape hatch for a broadcast-too-big ingest batch: same
     // band construction, same cap, same aggregate — only the join
