@@ -1679,6 +1679,34 @@ object Queries {
         .orderBy("a", "b"),
       Some(TextSql.dedupContainment())),
 
+    // Winnowing partial-overlap dedup (MOSS fingerprinting, Schleimer
+    // et al. SIGMOD'03): window-min-sampled 3-gram hashes, so any
+    // shared token run ≥ n+w-1 = 6 fires regardless of position —
+    // the detector for a shared paragraph between otherwise-different
+    // docs, which whole-doc MinHash (global Jaccard) cannot propose and
+    // capped containment may drop. Fixture: docs doc_id < 10 get a
+    // planted sibling 300000+id spliced from first-30-tokens(id) ⧺
+    // first-30-tokens(id+10) — each planted doc must pair with BOTH
+    // parents on local overlap alone. Cost model is containment's:
+    // df-capped inverted-index join, O(Σ df²) ≤ cap · |fp rows|, with
+    // the fingerprint frame ~2/(w+1) the size of the shingle frame the
+    // Jaccard family already explodes.
+    "dedup_winnow" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d).select("doc_id", "text")
+        val pref = base.filter(col("doc_id") < 20)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 30)).as("p30"))
+        val planted = pref.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("ida"), col("p30").as("pa"))
+          .join(pref.select((col("doc_id") - 10).as("ida"), col("p30").as("pb")), "ida")
+          .select((col("ida") + 300000L).as("doc_id"),
+            concat_ws(" ", col("pa"), col("pb")).as("text"))
+        graft.ops.Dedup.winnowPairs(base.unionByName(planted))
+          .orderBy("a", "b")
+      },
+      Some(TextSql.dedupWinnow())),
+
     // THE declared embedding near-dup runs at Dedup.lshSchedule(n)
     // knobs — the corpus-size-aware bits/tables that keep the bucket
     // self-join bounded as n grows (a fixed bits=6 was measured

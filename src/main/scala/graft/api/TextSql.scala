@@ -435,6 +435,59 @@ object TextSql {
        |  JOIN sizes sb ON sb.doc_id = b)
        |WHERE containment >= $threshold ORDER BY a, b""".stripMargin
 
+  /** Oracle mirror of Dedup.winnowPairs over a planted split-copy
+    * fixture: docs `doc_id < plantMax` get a planted sibling
+    * `doc_id + 300000` whose text is first-30-tokens(doc_id) ⧺
+    * first-30-tokens(doc_id + plantMax) — one 30-token run shared with
+    * EACH parent while whole-doc Jaccard vs either stays low, pinning
+    * the local-overlap capability (MinHash banding would not propose
+    * these pairs; containment only sees the asymmetric one). The CTEs
+    * replay the exact pipeline: 3-gram 60-bit md5 hashes per position,
+    * window-of-w minima (global min when 1 ≤ hashes < w), per-doc
+    * distinct, df-capped inverted-index self-join, shared-count
+    * threshold. Registration must pass the SAME (n=3, w, minShared,
+    * maxFpDf) to the Scala operator or the compare silently diverges.
+    */
+  def dedupWinnow(w: Int = 4, minShared: Long = 2L,
+      maxFpDf: Int = graft.ops.Dedup.DefaultBandCap,
+      plantMax: Long = 10L): String = {
+    val gram = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+    s"""WITH pref AS (
+       |  SELECT doc_id, array_to_string(
+       |    list_slice(regexp_split_to_array(text, '\\s+'), 1, 30), ' ') AS p30
+       |  FROM documents WHERE doc_id < ${2 * plantMax}),
+       |docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT a.doc_id + 300000, a.p30 || ' ' || b.p30
+       |  FROM pref a JOIN pref b ON b.doc_id = a.doc_id + $plantMax
+       |  WHERE a.doc_id < $plantMax),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM docs),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= 3 THEN
+       |      list_transform(generate_series(1, len(tk) - 2),
+       |        i -> ${GraphSql.md5Hash60(gram)})
+       |    ELSE CAST([] AS BIGINT[]) END AS hs
+       |  FROM toks),
+       |fps AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(hs) >= $w THEN
+       |      list_transform(generate_series(1, len(hs) - ${w - 1}),
+       |        i -> list_min(hs[i:i+${w - 1}]))
+       |    WHEN len(hs) > 0 THEN [list_min(hs)]
+       |    ELSE hs END)) AS fp
+       |  FROM hashes),
+       |kept AS (
+       |  SELECT doc_id, fp FROM fps
+       |  QUALIFY count(*) OVER (PARTITION BY fp) <= $maxFpDf)
+       |SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS shared
+       |FROM kept l JOIN kept r ON r.fp = l.fp AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** ±1 sign-LSH hyperplanes from the parity of md5's first hex nibble
     * (plane family t·bits+j over dims 0..dim-1) — the engine-portable
     * construction Similarity.planeSign uses, so buckets replay

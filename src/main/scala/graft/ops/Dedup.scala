@@ -566,6 +566,76 @@ object Dedup {
     spark.createDataFrame(labeled).toDF("doc_id", "canonical_id")
   }
 
+  /** Winnowing fingerprint rows (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): hash every n-token shingle (portable 60-bit md5,
+    * [[GraftFunctions.md5Hash60]]), slide a window of `w` consecutive
+    * hashes and keep each window's MINIMUM. The winnowing guarantee:
+    * any token run of length ≥ n + w - 1 shared by two docs yields at
+    * least one shared fingerprint, while only ~2/(w+1) of positions are
+    * sampled — POSITION-ROBUST partial-overlap detection (a shared
+    * paragraph fires regardless of where it sits in either doc), which
+    * whole-doc MinHash misses (it estimates global Jaccard) and
+    * containment only sees through the full uncapped shingle join.
+    *
+    * The whole per-doc computation is ONE codegen'd projection with the
+    * token and hash arrays bound as LAMBDA VARIABLES (the
+    * compressibility-proxy discipline — a multi-referenced projection
+    * alias gets re-inlined by CollapseProject into lambda bodies, which
+    * get no CSE, turning the split O(tokens²); a lambda variable cannot
+    * be re-inlined). Docs with fewer than n+w-1 tokens degrade per the
+    * paper: 1 ≤ hashes < w keeps the single global min; < n tokens
+    * yields nothing.
+    *
+    * Output: (doc_id, fp) — fingerprints DISTINCT per doc, ~0.4·tokens
+    * rows at w=4 (smaller than the shingle frame the Jaccard family
+    * already explodes).
+    */
+  def winnowRows(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val fps = element_at(transform(array(TextOps.tokens(col("text"))), tk =>
+      element_at(transform(array(
+        when(size(tk) >= n,
+          transform(sequence(lit(0), size(tk) - n),
+            i => GraftFunctions.md5Hash60(concat_ws(" ",
+              (0 until n).map(j => element_at(tk, i + j + 1)): _*))))
+          .otherwise(array().cast("array<bigint>"))), hs =>
+        when(size(hs) >= w,
+          array_distinct(transform(sequence(lit(0), size(hs) - w),
+            i => array_min(slice(hs, i + 1, lit(w))))))
+          .when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(hs)), 1)), 1)
+    docs.select(col("doc_id"), explode(fps).as("fp"))
+  }
+
+  /** Partial-overlap near-dup pairs over winnowing fingerprints: an
+    * inverted-index self-join on the fingerprint (the same keyed
+    * generate-candidates shape as [[containmentPairs]]), counting
+    * DISTINCT shared fingerprints per pair. Fingerprints hotter than
+    * `maxFpDf` docs are dropped before the join — same O(Σ df²) ≤
+    * cap · |fp rows| bound and the same consistent-universe argument as
+    * the containment stop-shingle guard. `minShared ≥ 2` suppresses
+    * single-phrase coincidences; a shared run of L tokens contributes
+    * ≈ 2(L-n-w+2)/(w+1) expected fingerprints, so the threshold is a
+    * run-length knob, not a similarity ratio.
+    *
+    * Output: (a, b, shared) with a < b, shared ≥ minShared.
+    */
+  def winnowPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
+      minShared: Long = 2L, maxFpDf: Int = DefaultBandCap): DataFrame = {
+    val rows0 = winnowRows(docs, n, w)
+    val rows = if (maxFpDf <= 0) rows0
+      else rows0
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("df") <= maxFpDf)
+        .drop("df")
+    val la = rows.select(col("doc_id").as("a"), col("fp"))
+    val rb = rows.select(col("doc_id").as("b"), col("fp"))
+    la.join(rb, "fp")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Brute-force O(n²) embedding near-dup baseline — the recall oracle
     * for [[embeddingNearDups]] in tests; never the declared query's plan.
     */

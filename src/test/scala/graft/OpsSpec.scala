@@ -1006,4 +1006,32 @@ class OpsSpec extends SparkSpecBase {
     val mass = rows.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum
     assert(mass == api.Tables.starTriples(spark, dir).count())
   }
+
+  test("winnowing guarantee: a shared n+w-1 token run fires, scattered tokens don't") {
+    import spark.implicits._
+    // C shares exactly the 6-token run a3..a8 with A (n+w-1 = 3+4-1 = 6,
+    // the paper's guarantee threshold); B shares every OTHER token with
+    // A — high token overlap but no common 3-gram, so zero shared
+    // fingerprints. The guarantee makes (A,C) a MUST at minShared=1.
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (2L, "a1 b2 a3 b4 a5 b6 a7 b8 a9 b10"),
+      (3L, "c1 c2 a3 a4 a5 a6 a7 a8 c3 c4")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(pairs == Set((1L, 3L)), s"got $pairs")
+  }
+
+  test("winnow pairs surface the planted split-copy docs against BOTH parents") {
+    // the dedup_winnow query's fixture, on the sf0.001 corpus: planted
+    // doc 300000+i = first-30-tokens(i) ⧺ first-30-tokens(i+10) must
+    // pair with i AND i+10 on local overlap alone (whole-doc Jaccard vs
+    // either parent is low — MinHash banding has no reason to propose it)
+    val pairs = api.Queries.registry("dedup_winnow").fn(spark, dir)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val expected = (0L until 10L).flatMap(i =>
+      Seq((i, 300000L + i), (i + 10L, 300000L + i))).toSet
+    val missing = expected.diff(pairs)
+    assert(missing.isEmpty, s"planted local-overlap pairs not found: $missing")
+  }
 }

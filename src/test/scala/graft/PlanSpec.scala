@@ -339,6 +339,24 @@ class PlanSpec extends SparkSpecBase {
         s"re-inlined into a lambda body means O(tokens²)):\n${opt.take(2000)}")
   }
 
+  test("winnow fingerprints: token split bound once, keyed join, no cartesian") {
+    // same O(tokens) discipline as the compressibility proxy: the token
+    // array and the per-position hash array are lambda variables, so the
+    // split must appear EXACTLY once in winnowRows' optimized plan — a
+    // re-inlined alias would re-split per shingle position (O(tokens²))
+    val rows = graft.ops.Dedup.winnowRows(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val opt = rows.queryExecution.optimizedPlan.toString
+    val nSplit = "split\\(".r.findAllIn(opt).size
+    assert(nSplit == 1,
+      s"token split appears $nSplit times (must be 1 — re-inlined into a " +
+        s"lambda body means O(tokens²)):\n${opt.take(2000)}")
+    // and the pair join stays keyed on the fingerprint
+    val p = plan("dedup_winnow")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in winnow plan:\n${p.take(2000)}")
+  }
+
   test("winsorize thresholds broadcast back onto the value scan") {
     // the per-type [p1,p99] frame is 5 rows — re-joining it to the
     // events scan must be a broadcast, and the whole plan stays keyed
