@@ -2034,6 +2034,45 @@ object Queries {
            |            FROM documents))
            |GROUP BY source, split ORDER BY source, split""".stripMargin)),
 
+    // Curriculum schedule: per-source quality quartiles → 4 training
+    // stages (easy→hard ordering is the curriculum-learning standard;
+    // per-SOURCE boundaries because quality distributions differ by
+    // source, and because that keeps the rank-selection windows
+    // partitioned). Boundaries are EXACT integer rank selection at
+    // ceil(n·k/4) — the winsorize discipline: an actual data value via
+    // integer arithmetic, never an interpolated percentile (which the
+    // two engines round differently). Output is the per-(source, stage)
+    // doc/token manifest a staged training run consumes. At 100 TB the
+    // per-source sort window is the cost; the winsorize_fast KLL-sketch
+    // path is the documented swap (same thresholds-within-rank-tolerance
+    // contract), with stage ASSIGNMENT unchanged — a broadcast join
+    // against a |sources|·3 boundary frame.
+    "pipeline_curriculum" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = graft.ops.TextOps
+        val q = Tables.documents(s, d).select(col("source"), col("doc_id"),
+          t.tokenCount(col("text")).cast("long").as("tok"),
+          t.qualityScore(col("text")).as("qual"))
+        val ranked = q
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy("qual", "doc_id")))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        val thr = ranked.groupBy("source").agg(
+          min(when(col("rn") === expr("(n + 3) div 4"), col("qual"))).as("q1"),
+          min(when(col("rn") === expr("(n * 2 + 3) div 4"), col("qual"))).as("q2"),
+          min(when(col("rn") === expr("(n * 3 + 3) div 4"), col("qual"))).as("q3"))
+        q.join(broadcast(thr), "source")
+          .withColumn("stage",
+            when(col("qual") <= col("q1"), 0L).when(col("qual") <= col("q2"), 1L)
+              .when(col("qual") <= col("q3"), 2L).otherwise(3L))
+          .groupBy("source", "stage")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+            min("qual").as("min_q"), max("qual").as("max_q"))
+          .orderBy("source", "stage")
+      },
+      Some(TextSql.curriculum())),
+
     // Decontamination: flag corpus docs sharing any 4-gram shingle with
     // the benchmark set (here: doc_id < 10 stands in for an eval set).
     // The benchmark shingle set is tiny → broadcast; the probe join is

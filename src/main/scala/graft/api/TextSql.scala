@@ -82,6 +82,42 @@ object TextSql {
     * Same quality/langid expressions as stats/curation (shared
     * fragments), so the gate catches drift in either.
     */
+  /** Curriculum-schedule mirror of `pipeline_curriculum`: per-source
+    * quality quartile boundaries by exact integer rank selection (the
+    * winsorize discipline — an actual data value at rank
+    * ceil(n·k/4), never an interpolated percentile), then the
+    * per-(source, stage) doc/token manifest. Same quality fragment as
+    * stats/curation, so a score-weight change moves every gate
+    * together.
+    */
+  def curriculum(stages: Int = 4): String = {
+    require(stages == 4, "oracle is written for quartile stages")
+    s"""WITH s AS (
+       |  SELECT doc_id, source, text,
+       |    $scoreCols
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source, n_tokens AS tok, $qualityExpr AS qual FROM s),
+       |r AS (
+       |  SELECT source, qual,
+       |    row_number() OVER (PARTITION BY source ORDER BY qual, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM q),
+       |t AS (
+       |  SELECT source,
+       |    min(CASE WHEN rn = (n + 3) // 4 THEN qual END) AS q1,
+       |    min(CASE WHEN rn = (n * 2 + 3) // 4 THEN qual END) AS q2,
+       |    min(CASE WHEN rn = (n * 3 + 3) // 4 THEN qual END) AS q3
+       |  FROM r GROUP BY source)
+       |SELECT q.source,
+       |  CAST(CASE WHEN qual <= q1 THEN 0 WHEN qual <= q2 THEN 1
+       |            WHEN qual <= q3 THEN 2 ELSE 3 END AS BIGINT) AS stage,
+       |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |  min(qual) AS min_q, max(qual) AS max_q
+       |FROM q JOIN t ON t.source = q.source
+       |GROUP BY 1, 2 ORDER BY q.source, stage""".stripMargin
+  }
+
   def quotaSample(perLang: Int = 5): String =
     s"""WITH s AS (
        |  SELECT doc_id, text,

@@ -1007,6 +1007,27 @@ class OpsSpec extends SparkSpecBase {
     assert(mass == api.Tables.starTriples(spark, dir).count())
   }
 
+  test("curriculum stages: mass balance, ordered boundaries, near-quartile sizes") {
+    val rows = api.Queries.registry("pipeline_curriculum").fn(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == docs.count(), "every doc must land in exactly one stage")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, stages) =>
+      val bySt = stages.sortBy(_.getAs[Long]("stage"))
+      // stages are quality-ordered: each stage's max_q <= next stage's min_q
+      bySt.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo.getAs[Long]("max_q") <= hi.getAs[Long]("min_q"),
+            s"$src: stage quality ranges overlap")
+        case _ =>
+      }
+      // rank-selected quartiles: no stage may exceed half the source
+      // (ties can unbalance, but not past the boundary-rank guarantee)
+      val n = bySt.map(_.getAs[Long]("n_docs")).sum
+      assert(bySt.forall(_.getAs[Long]("n_docs") <= (n + 1) / 2),
+        s"$src: degenerate stage split ${bySt.map(_.getAs[Long]("n_docs")).toSeq}")
+    }
+  }
+
   test("winnowing guarantee: a shared n+w-1 token run fires, scattered tokens don't") {
     import spark.implicits._
     // C shares exactly the 6-token run a3..a8 with A (n+w-1 = 3+4-1 = 6,

@@ -357,6 +357,17 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in winnow plan:\n${p.take(2000)}")
   }
 
+  test("curriculum stage boundaries broadcast back onto the scoring scan") {
+    // the |sources|×3 quartile frame must join back as a broadcast —
+    // the corpus never reshuffles for stage assignment (same contract
+    // as the winsorize thresholds)
+    val p = plan("pipeline_curriculum")
+    assert(p.contains("BroadcastHashJoin"),
+      s"boundary join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in curriculum plan:\n${p.take(2000)}")
+  }
+
   test("winsorize thresholds broadcast back onto the value scan") {
     // the per-type [p1,p99] frame is 5 rows — re-joining it to the
     // events scan must be a broadcast, and the whole plan stays keyed
