@@ -2444,6 +2444,18 @@ object Queries {
     // The bigram explode is corpus-linear (tokens − docs rows); the
     // count aggregate map-side combines on (w1,w2); the top-50 is a
     // TakeOrdered, never a full sort.
+    // BPE merge training over the vocab table: 5 byte-pair merges with
+    // greedy longest-first re-segmentation per round — the tokenizer-
+    // construction primitive (subword level, distinct from the
+    // token-level bigram query below). One corpus scan builds the
+    // word-frequency table; every merge round aggregates the CACHED
+    // Heaps-sized vocab (~√corpus), and the only driver traffic is the
+    // 1-row argmax per round (the IVF-centroid collect discipline).
+    "text_bpe_merges" -> Q(
+      (s, d) => graft.ops.TextOps.bpeMerges(Tables.documents(s, d), rounds = 5)
+        .orderBy("round"),
+      Some(TextSql.bpeMerges(rounds = 5))),
+
     "text_bigram_topk" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

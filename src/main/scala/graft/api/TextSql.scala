@@ -118,6 +118,43 @@ object TextSql {
        |GROUP BY 1, 2 ORDER BY q.source, stage""".stripMargin
   }
 
+  /** Oracle mirror of TextOps.bpeMerges: `rounds` unrolled merge CTEs,
+    * each re-segmenting the alnum-normalized vocab by the SAME
+    * longest-first alternation (string_agg ORDER BY length DESC, pair —
+    * the regex pattern is a scalar subquery, which DuckDB evaluates as
+    * a per-row-constant dynamic pattern) and taking the most frequent
+    * adjacent symbol pair with the lexicographic tie-break.
+    */
+  def bpeMerges(rounds: Int = 5): String = {
+    def roundCte(r: Int): String = {
+      val pat =
+        if (r == 1) "'.'"
+        else {
+          val prior = (1 until r).map(i => s"SELECT pair FROM r$i")
+            .mkString(" UNION ALL ")
+          s"(SELECT string_agg(pair, '|' ORDER BY length(pair) DESC, pair) || '|.' FROM ($prior))"
+        }
+      s"""r$r AS (
+         |  SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(sg)-1),
+         |             i -> sg[i] || sg[i+1])) AS pair, f
+         |    FROM (SELECT regexp_extract_all(w, $pat) AS sg, f FROM wf))
+         |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+    }
+    val ctes = (1 to rounds).map(roundCte).mkString(",\n")
+    val sel = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, cnt FROM r$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT regexp_replace(unnest(regexp_split_to_array(lower(text), '\\s+')),
+       |             '[^a-z0-9]', '', 'g') AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |$ctes
+       |$sel ORDER BY round""".stripMargin
+  }
+
   def quotaSample(perLang: Int = 5): String =
     s"""WITH s AS (
        |  SELECT doc_id, text,

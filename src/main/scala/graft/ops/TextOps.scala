@@ -235,4 +235,56 @@ object TextOps {
       .filter(col("rnk") <= perDoc)
       .select(col("doc_id"), col("w"), col("tfidf"), col("rnk").cast("int").as("rnk"))
   }
+
+  /** BPE merge table: `rounds` byte-pair-encoding merges over the
+    * ALNUM-NORMALIZED word-frequency vocabulary (symbols are [a-z0-9]
+    * strings, so merge alternations are regex-literal-safe with no
+    * escaping in either engine). Per round, every word is re-segmented
+    * by greedy longest-merge-first regex alternation
+    * (`m_long|...|m_short|.` — the standard greedy approximation of
+    * sequential merge application; both engines run the same
+    * leftmost-first alternation, so segmentation replays exactly) and
+    * the most frequent adjacent symbol pair (ties → lexicographically
+    * smallest) becomes the round's merge.
+    *
+    * Scale design: the corpus is scanned ONCE for word frequencies; the
+    * merge loop's `rounds` aggregations run over the CACHED vocab table
+    * — Heaps-law sized (~√corpus), not corpus-sized. The per-round
+    * driver collect is a single row (the argmax pair), same bounded
+    * discipline as the IVF centroid pull; output is the `rounds`-row
+    * merge table itself. The segmentation regex is bound as a lambda
+    * variable (the compressibility-proxy rule) so each word is
+    * re-segmented once per round, not once per symbol position.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w0"))
+      .select(regexp_replace(col("w0"), "[^a-z0-9]", "").as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .cache()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (r <- 1 to rounds) {
+        val pat =
+          if (merges.isEmpty) "."
+          else merges.map(_._2).sortBy(p => (-p.length, p)).mkString("", "|", "|.")
+        val top = wf
+          .select(col("f"), element_at(
+            transform(array(regexp_extract_all(col("w"), lit(pat), lit(0))), sg =>
+              when(size(sg) >= 2,
+                transform(sequence(lit(1), size(sg) - 1),
+                  i => concat(element_at(sg, i), element_at(sg, i + 1))))
+                .otherwise(array().cast("array<string>"))), 1).as("prs"))
+          .select(col("f"), explode(col("prs")).as("pair"))
+          .groupBy("pair").agg(sum(col("f")).as("cnt"))
+          .orderBy(desc("cnt"), asc("pair")).limit(1)
+          .collect()(0)
+        merges += ((r.toLong, top.getAs[String]("pair"), top.getAs[Long]("cnt")))
+      }
+      merges.toSeq.toDF("round", "pair", "cnt")
+    } finally { wf.unpersist(); () }
+  }
 }

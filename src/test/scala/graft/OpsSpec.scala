@@ -1028,6 +1028,18 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("bpe merges: hand-computed merge sequence on a crafted vocab") {
+    import spark.implicits._
+    // "abab" ×3: round 1 pairs are ab(×2/word), ba(×1/word) → merge "ab";
+    // round 2 segments each word as [ab, ab] → the only pair is "abab".
+    // "xy." normalizes to "xy" (alnum filter) and contributes pair xy=2
+    // — fewer than ab's 6, so it never wins round 1.
+    val docs = Seq((1L, "abab abab abab xy. xy,")).toDF("doc_id", "text")
+    val m = TextOps.bpeMerges(docs, rounds = 2).orderBy("round").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+    assert(m.toSeq == Seq((1L, "ab", 6L), (2L, "abab", 3L)), s"got ${m.toSeq}")
+  }
+
   test("winnowing guarantee: a shared n+w-1 token run fires, scattered tokens don't") {
     import spark.implicits._
     // C shares exactly the 6-token run a3..a8 with A (n+w-1 = 3+4-1 = 6,
