@@ -2604,6 +2604,19 @@ object Queries {
     // integers — bit-identical cross-engine); the whole query is one
     // codegen projection over the vectors plus a map-side-combining
     // aggregate on the tiny label key space.
+    // Product-quantization reconstruction error (Jégou et al. TPAMI'11
+    // — the PQ of FAISS's IVFPQ): 4 subspaces × 8-centroid codebooks
+    // via the SHARED fixed-point Lloyd trainer (bit-identical to
+    // sim_ann_ivf_exact's, so the whole path is oracle-expressible),
+    // reporting per-subspace mean/max abs reconstruction error — the
+    // (m, ksub) tuning readout, and the complement of the scalar
+    // int8 readout below. Assignment is a codegen'd argmin over 8
+    // literal centroids per subspace; no shuffle before the 4-row agg.
+    "emb_pq_error" -> Q(
+      (s, d) => graft.ops.Similarity.pqError(Tables.embeddings(s, d),
+        m = 4, ksub = 8, iters = 2),
+      Some(TextSql.pqError(m = 4, ksub = 8, iters = 2))),
+
     "emb_quantize_error" -> Q(
       (s, d) => Tables.embeddings(s, d)
         .select(col("label").cast("long").as("label"),

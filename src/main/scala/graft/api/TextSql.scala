@@ -884,6 +884,70 @@ object TextSql {
        |    FROM v CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
   }
 
+  /** Oracle mirror of Similarity.pqError: per-subspace unrolled
+    * fixed-point Lloyd CTEs (the ivfTrainCtes shape, namespaced per
+    * subspace and run over the SLICED fixed-point list), then the
+    * per-subspace abs-reconstruction-error report. Integral division
+    * and BIGINT casts keep the pandas-mode compare exact.
+    */
+  def pqError(m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      dim: Int = 64): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    def distExpr(q: String, c: String): String = ivfDistExpr(q, c, sub)
+    def subspaceCtes(s: Int): String = {
+      val lo = s * sub
+      val rounds = (1 to iters).map { r =>
+        s"""a${r}s$s AS MATERIALIZED (
+           |  SELECT vec_id, q, cell FROM (
+           |    SELECT v.vec_id, v.q, c.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |        ${distExpr("v.q", "c.c")}, c.cell) AS rn
+           |    FROM vs$s v CROSS JOIN c${r - 1}s$s c) WHERE rn = 1),
+           |m${r}s$s AS MATERIALIZED (
+           |  SELECT cell, g.i AS i,
+           |    CAST(floor(CAST(sum(q[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+           |  FROM a${r}s$s CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) g
+           |  GROUP BY cell, g.i),
+           |c${r}s$s AS MATERIALIZED (
+           |  SELECT p.cell, coalesce(u.c, p.c) AS c
+           |  FROM c${r - 1}s$s p LEFT JOIN
+           |    (SELECT cell, list(m ORDER BY i) AS c FROM m${r}s$s GROUP BY cell) u
+           |  ON u.cell = p.cell)""".stripMargin
+      }.mkString(",\n")
+      s"""vs$s AS MATERIALIZED (
+         |  SELECT vec_id, fq[${lo + 1}:${lo + sub}] AS q FROM vpq),
+         |c0s$s AS MATERIALIZED (
+         |  SELECT cell, c FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS c
+         |    FROM vs$s)
+         |  WHERE cell < $ksub),
+         |$rounds,
+         |errs$s AS (
+         |  SELECT list_reduce(list_transform(generate_series(1, $sub),
+         |      i -> abs(v.q[i] - c.c[i])), (a, b) -> a + b) AS err
+         |  FROM (
+         |    SELECT vec_id, cell FROM (
+         |      SELECT v.vec_id, c.cell,
+         |        row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |          ${distExpr("v.q", "c.c")}, c.cell) AS rn
+         |      FROM vs$s v CROSS JOIN c${iters}s$s c) WHERE rn = 1) af
+         |  JOIN vs$s v ON v.vec_id = af.vec_id
+         |  JOIN c${iters}s$s c ON c.cell = af.cell)""".stripMargin
+    }
+    val sel = (0 until m).map(s =>
+      s"""SELECT CAST($s AS BIGINT) AS subspace, count(*) AS n_vecs,
+         |  CAST(sum(err) // (count(*) * $sub) AS BIGINT) AS mean_abs_err_x1e6,
+         |  CAST(max(err) AS BIGINT) AS max_vec_err_x1e6 FROM errs$s""".stripMargin)
+      .mkString("\n UNION ALL ")
+    s"""WITH vpq AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS fq
+       |  FROM embeddings),
+       |${(0 until m).map(subspaceCtes).mkString(",\n")}
+       |$sel ORDER BY subspace""".stripMargin
+  }
+
   def simAnnIvfExact(nlist: Int = 8, nprobe: Int = 2, iters: Int = 2,
       k: Int = 10, dim: Int = 64): String = {
     def distExpr(q: String, c: String): String = ivfDistExpr(q, c, dim)

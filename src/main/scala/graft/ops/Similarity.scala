@@ -275,6 +275,57 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization codebook trainer + reconstruction-error
+    * report (the PQ of IVFPQ — Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the dim-D fixed-point
+    * embedding space splits into `m` contiguous subspaces of D/m dims;
+    * each subspace trains its OWN ksub-centroid codebook via the shared
+    * [[fpTrainCentroids]] loop on the sliced frame (deterministic init,
+    * integer argmin, floor-mean updates — bit-identical on any engine),
+    * and every vector is coded by its per-subspace argmin cell:
+    * m·log₂(ksub) bits/vector instead of 32·D. Output is the
+    * per-subspace reconstruction-error report — the (m, ksub) tuning
+    * readout before committing an index build: (subspace, n_vecs,
+    * mean_abs_err_x1e6 per dim, max_vec_err_x1e6 per-vector sum).
+    *
+    * Scale: total codebook cells are ksub·D (driver guard shared with
+    * IVF); assignment is a codegen'd argmin over ksub literal centroids
+    * per subspace — a pure scan with no shuffle before the m-row agg;
+    * training pulls ksub·(D/m) means per iter per subspace (bounded,
+    * the IVF-centroid collect discipline).
+    */
+  def pqError(embs: DataFrame, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val full = fpQuantized(embs).cache()
+    val dim = full.select(size(col("q")).as("d")).head().getAs[Int]("d")
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    requireCentroidsFitDriver(ksub, dim)
+    val sub = dim / m
+    val parts = (0 until m).map { s =>
+      val vs = full.select(col("vec_id"), slice(col("q"), s * sub + 1, sub).as("q"))
+      val cents = fpTrainCentroids(vs, ksub, iters)
+      val cArr = array(cents.toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)): _*)
+      vs.withColumn("cid", fpCellCol(cents))
+        .withColumn("c", element_at(cArr, col("cid") + 1))
+        .select(lit(s.toLong).as("subspace"),
+          expr("aggregate(zip_with(q, c, (x, y) -> abs(x - y)), " +
+            "cast(0 as bigint), (a, e) -> a + e)").as("err"))
+    }
+    val out = parts.reduce(_ unionByName _)
+      .groupBy("subspace")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr(s"sum(err) div (count(*) * $sub)").as("mean_abs_err_x1e6"),
+        max("err").as("max_vec_err_x1e6"))
+      .orderBy("subspace")
+      .cache()
+    // materialize the m-row report, then release the per-vector cache
+    // (same lifetime discipline as ivfFixedPointTopK)
+    out.count()
+    full.unpersist(blocking = false)
+    out
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al., arXiv:2303.09540):
     * embeddings are k-means-clustered, then near-duplicate PAIRS are
     * searched only WITHIN each cluster — the clustering is what bounds

@@ -1028,6 +1028,24 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("pq error: zero when every vector is a codeword, shrinks with ksub") {
+    val eight = embs.filter(col("vec_id") < 8)
+    // ksub >= n: deterministic init makes every vector its own centroid,
+    // assignment is exact, reconstruction error must be exactly 0
+    val zero = Similarity.pqError(eight, m = 4, ksub = 8, iters = 2).collect()
+    assert(zero.length == 4)
+    assert(zero.forall(_.getAs[Long]("max_vec_err_x1e6") == 0L),
+      "n <= ksub must reconstruct exactly")
+    // a larger codebook can only tighten per-subspace mean error
+    val e8 = Similarity.pqError(embs, m = 4, ksub = 8, iters = 2)
+      .collect().map(r => r.getAs[Long]("subspace") -> r.getAs[Long]("mean_abs_err_x1e6")).toMap
+    val e32 = Similarity.pqError(embs, m = 4, ksub = 32, iters = 2)
+      .collect().map(r => r.getAs[Long]("subspace") -> r.getAs[Long]("mean_abs_err_x1e6")).toMap
+    (0L until 4L).foreach { s =>
+      assert(e32(s) <= e8(s), s"subspace $s: ksub=32 err ${e32(s)} > ksub=8 err ${e8(s)}")
+    }
+  }
+
   test("bpe merges: hand-computed merge sequence on a crafted vocab") {
     import spark.implicits._
     // "abab" ×3: round 1 pairs are ab(×2/word), ba(×1/word) → merge "ab";
