@@ -1985,6 +1985,36 @@ object Queries {
     // ratio is exact DECIMAL(38,0) integral division (Long would
     // overflow at ~10¹³ source tokens). One scan + a |sources|-row
     // aggregate.
+    // Epoch repeat-upsampling plan ("repeat good data" multi-epoch
+    // scheduling): each source earns a repeat factor from its mean
+    // quality (≥8000→4, ≥7000→3, ≥6000→2, else 1 — high-quality
+    // sources are seen in more epochs), and the output is the
+    // per-epoch (sources, tokens, cumulative tokens) training plan.
+    // One corpus scan aggregates to a |sources|-row frame; the epoch
+    // explosion and the running total run on that tiny frame only.
+    "pipeline_epoch_plan" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = graft.ops.TextOps
+        val src = Tables.documents(s, d)
+          .select(col("source"),
+            t.tokenCount(col("text")).cast("long").as("tok"),
+            t.qualityScore(col("text")).as("qual"))
+          .groupBy("source")
+          .agg(sum("tok").as("n_tokens"),
+            expr("sum(qual) div count(*)").as("mq"))
+          .withColumn("rep",
+            when(col("mq") >= 8000, 4L).when(col("mq") >= 7000, 3L)
+              .when(col("mq") >= 6000, 2L).otherwise(1L))
+        src.select(col("n_tokens"),
+            explode(sequence(lit(1L), col("rep"))).as("epoch"))
+          .groupBy("epoch")
+          .agg(count(lit(1)).as("n_sources"), sum("n_tokens").as("epoch_tokens"))
+          .withColumn("cum_tokens", sum("epoch_tokens").over(Window.orderBy("epoch")))
+          .orderBy("epoch")
+      },
+      Some(TextSql.epochPlan)),
+
     "pipeline_temperature_mix" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

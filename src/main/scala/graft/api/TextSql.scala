@@ -1220,6 +1220,35 @@ object TextSql {
       |  CAST((CAST(s_i AS HUGEINT) * 1000000) // CAST(total AS HUGEINT) AS BIGINT) AS w_x1e6
       |FROM s CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** Epoch-plan mirror of `pipeline_epoch_plan`: per-source mean
+    * quality (integral division over the shared quality fragment) →
+    * repeat factor → one epoch row per repeat via generate_series,
+    * aggregated into the per-epoch token plan with a running total.
+    */
+  val epochPlan: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, text,
+       |    $scoreCols
+       |  FROM documents),
+       |q AS (
+       |  SELECT source, n_tokens AS tok, $qualityExpr AS qual FROM s),
+       |t AS (
+       |  SELECT source, CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(qual) // count(*) AS BIGINT) AS mq
+       |  FROM q GROUP BY source),
+       |rep AS (
+       |  SELECT source, n_tokens,
+       |    CASE WHEN mq >= 8000 THEN 4 WHEN mq >= 7000 THEN 3
+       |         WHEN mq >= 6000 THEN 2 ELSE 1 END AS rep
+       |  FROM t),
+       |e AS (
+       |  SELECT source, n_tokens, unnest(generate_series(1, rep)) AS epoch
+       |  FROM rep)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, count(*) AS n_sources,
+       |  CAST(sum(n_tokens) AS BIGINT) AS epoch_tokens,
+       |  CAST(sum(sum(n_tokens)) OVER (ORDER BY epoch) AS BIGINT) AS cum_tokens
+       |FROM e GROUP BY epoch ORDER BY epoch""".stripMargin
+
   /** Decontamination mirror: distinct word n-gram shingles per doc over
     * raw `documents` (same tokenize + shingle construction as
     * Dedup.shingleRows), benchmark = docs below `benchMax`.

@@ -1028,6 +1028,24 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("epoch plan: epoch 1 holds every source, masses shrink, cum total consistent") {
+    val rows = api.Queries.registry("pipeline_epoch_plan").fn(spark, dir)
+      .orderBy("epoch").collect()
+    assert(rows.head.getAs[Long]("epoch") == 1L)
+    val nSources = docs.select("source").distinct.count()
+    assert(rows.head.getAs[Long]("n_sources") == nSources,
+      "every source must be seen in epoch 1")
+    // repeat >= e is monotone: later epochs are subsets
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_sources") <= a.getAs[Long]("n_sources"))
+        assert(b.getAs[Long]("epoch_tokens") <= a.getAs[Long]("epoch_tokens"))
+      case _ =>
+    }
+    val cum = rows.map(_.getAs[Long]("epoch_tokens")).scanLeft(0L)(_ + _).drop(1)
+    assert(rows.map(_.getAs[Long]("cum_tokens")).toSeq == cum.toSeq)
+  }
+
   test("pq error: zero when every vector is a codeword, shrinks with ksub") {
     val eight = embs.filter(col("vec_id") < 8)
     // ksub >= n: deterministic init makes every vector its own centroid,
