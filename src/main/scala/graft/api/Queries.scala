@@ -1295,6 +1295,20 @@ object Queries {
       },
       Some(TextSql.langidEval)),
 
+    // In-engine model training: a 4-feature linear language probe fit
+    // by full-batch gradient descent in INTEGER fixed-point — each step
+    // is one map-side-combinable aggregation (order-free DECIMAL(38,0)
+    // gradient sums → a 6-value driver row), so the training run is
+    // bit-identical on any engine/partitioning, unlike MLlib's float
+    // reductions. The output is the training curve (pre-step MSE +
+    // post-step weights per iteration) — the data-quality probe
+    // artifact. Truncating division throughout (Spark `div` ≡ DuckDB
+    // `//` on signed operands).
+    "text_linear_probe" -> Q(
+      (s, d) => graft.ops.TextOps.linearProbe(Tables.documents(s, d), iters = 3)
+        .orderBy("iter"),
+      Some(TextSql.linearProbe(iters = 3))),
+
     // Composed curation pipeline — what the text/dedup operators exist
     // for: language + quality gates, then exact-dedup keeping the
     // canonical (smallest) doc per fingerprint. One narrow scoring pass,

@@ -1220,6 +1220,56 @@ object TextSql {
       |  CAST((CAST(s_i AS HUGEINT) * 1000000) // CAST(total AS HUGEINT) AS BIGINT) AS w_x1e6
       |FROM s CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** Oracle mirror of TextOps.linearProbe: the full-batch integer-GD
+    * training loop unrolled — per step a 1-row gradient/SSE aggregate
+    * (HUGEINT-exact sums CAST back to BIGINT) and a 1-row weight
+    * update, chained by cross joins. Truncating division throughout
+    * (DuckDB `//` and Spark `div` agree on signed operands). Shares
+    * the stats scoreCols fragment so the features cannot drift from
+    * the quality family.
+    */
+  def linearProbe(iters: Int = 3): String = {
+    val pred = "(f1*w1 + f2*w2 + f3*w3 + f4*w4) // 1000 - y"
+    val steps = (1 to iters).map { r =>
+      s"""g$r AS MATERIALIZED (
+         |  SELECT CAST(sum(f1 * r) AS BIGINT) AS g1,
+         |         CAST(sum(f2 * r) AS BIGINT) AS g2,
+         |         CAST(sum(f3 * r) AS BIGINT) AS g3,
+         |         CAST(sum(f4 * r) AS BIGINT) AS g4,
+         |         CAST(sum(r * r) AS BIGINT) AS sse
+         |  FROM (SELECT f1, f2, f3, f4, $pred AS r
+         |        FROM feat CROSS JOIN w${r - 1})),
+         |w$r AS MATERIALIZED (
+         |  SELECT w${r - 1}.w1 - g$r.g1 // (4000 * n) AS w1,
+         |         w${r - 1}.w2 - g$r.g2 // (4000 * n) AS w2,
+         |         w${r - 1}.w3 - g$r.g3 // (4000 * n) AS w3,
+         |         w${r - 1}.w4 - g$r.g4 // (4000 * n) AS w4
+         |  FROM w${r - 1} CROSS JOIN g$r CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to iters).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS iter,
+         |  CAST(g$r.sse // n AS BIGINT) AS mse_x1e6,
+         |  w$r.w1, w$r.w2, w$r.w3, w$r.w4
+         |FROM g$r CROSS JOIN w$r CROSS JOIN nn""".stripMargin)
+      .mkString("\n UNION ALL ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, text,
+       |    $scoreCols
+       |  FROM documents),
+       |feat AS MATERIALIZED (
+       |  SELECT least(n_tokens, 500) * 2 AS f1,
+       |    least((n_punct * 1000) // greatest(n_tokens, 1), 1000) AS f2,
+       |    least((s_en * 5000) // greatest(n_tokens, 1), 1000) AS f3,
+       |    CAST(1000 AS BIGINT) AS f4,
+       |    CAST(CASE WHEN lang = 'en' THEN 1000 ELSE 0 END AS BIGINT) AS y
+       |  FROM s),
+       |nn AS (SELECT count(*) AS n FROM feat),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+       |              CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4),
+       |$steps
+       |$sel ORDER BY iter""".stripMargin
+  }
+
   /** Epoch-plan mirror of `pipeline_epoch_plan`: per-source mean
     * quality (integral division over the shared quality fragment) →
     * repeat factor → one epoch row per repeat via generate_series,

@@ -236,6 +236,70 @@ object TextOps {
       .select(col("doc_id"), col("w"), col("tfidf"), col("rnk").cast("int").as("rnk"))
   }
 
+  /** In-engine linear-probe training: full-batch gradient descent on a
+    * 4-feature language probe (length, punctuation ratio, English
+    * stopword signal, bias → does the doc read as English), entirely in
+    * INTEGER fixed-point so the training run is bit-identical on any
+    * engine or partitioning — the distributed-ML primitive (one
+    * aggregation per step, gradients are order-free integer sums) with
+    * none of MLlib's float nondeterminism.
+    *
+    * Units: features and weights in milli (x·1000); predictions
+    * p = (Σ f·w) div 1000 and updates w ← w − g div (4000·n) use
+    * TRUNCATING division, which Spark's `div` and DuckDB's `//` agree
+    * on for signed operands (verified: −7 div 2 = −3 on both). The
+    * effective learning rate is 0.25/n — safely under 2/λmax for
+    * features in [0, 1]. Per-row gradient terms are summed as
+    * DECIMAL(38,0) (the cooccurrence discipline: a BIGINT sum wraps
+    * silently past ~10¹² rows; DECIMAL fails loudly and DuckDB's
+    * HUGEINT is exact).
+    *
+    * Scale: each step is ONE map-side-combinable aggregation over the
+    * cached 5-column feature frame → a 6-value driver row (gradients +
+    * SSE); the model never leaves the driver, the corpus never
+    * reshuffles. Output: one row per step — pre-step MSE (×10⁶) and
+    * post-step weights — the training curve a data-quality probe run
+    * records.
+    */
+  def linearProbe(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feat = docs.select(
+        tokenCount(col("text")).cast("long").as("nt"),
+        punctCount(col("text")).cast("long").as("np"),
+        langScore(col("text"), "en").cast("long").as("se"),
+        when(col("lang") === "en", 1000L).otherwise(0L).as("y"))
+      .select(
+        (least(col("nt"), lit(500L)) * 2L).as("f1"),
+        least(expr("(np * 1000) div greatest(nt, 1)"), lit(1000L)).as("f2"),
+        least(expr("(se * 5000) div greatest(nt, 1)"), lit(1000L)).as("f3"),
+        lit(1000L).as("f4"),
+        col("y"))
+      .cache()
+    try {
+      val n = feat.count()
+      require(n > 0, "empty corpus")
+      var w = Array(0L, 0L, 0L, 0L)
+      val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+      for (it <- 1 to iters) {
+        val s = (0 until 4).map(j => col(s"f${j + 1}") * lit(w(j))).reduce(_ + _)
+        val withR = feat.withColumn("r",
+          graft.functions.GraftFunctions.longDiv(s, lit(1000L)) - col("y"))
+        def dsum(c: Column): Column =
+          sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("long")
+        val row = withR.agg(
+          dsum(col("f1") * col("r")).as("g1"), dsum(col("f2") * col("r")).as("g2"),
+          dsum(col("f3") * col("r")).as("g3"), dsum(col("f4") * col("r")).as("g4"),
+          dsum(col("r") * col("r")).as("sse")).head()
+        val g = (0 until 4).map(j => row.getAs[Long](s"g${j + 1}"))
+        val mse = row.getAs[Long]("sse") / n
+        w = w.zipWithIndex.map { case (wj, j) => wj - g(j) / (4000L * n) }
+        curve += ((it.toLong, mse, w(0), w(1), w(2), w(3)))
+      }
+      curve.toSeq.toDF("iter", "mse_x1e6", "w1", "w2", "w3", "w4")
+    } finally { feat.unpersist(); () }
+  }
+
   /** BPE merge table: `rounds` byte-pair-encoding merges over the
     * ALNUM-NORMALIZED word-frequency vocabulary (symbols are [a-z0-9]
     * strings, so merge alternations are regex-literal-safe with no

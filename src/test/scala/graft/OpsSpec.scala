@@ -1028,6 +1028,21 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("linear probe: integer GD descends, weights move toward the label") {
+    val curve = TextOps.linearProbe(docs, iters = 5).orderBy("iter").collect()
+    val mses = curve.map(_.getAs[Long]("mse_x1e6")).toSeq
+    // full-batch GD with eta = 0.25 < 2/lambda_max on [0,1] features
+    // must descend every step at this distance from convergence
+    mses.sliding(2).foreach {
+      case Seq(a, b) => assert(b < a, s"MSE did not descend: $mses")
+      case _ =>
+    }
+    // the stopword feature and bias must carry positive weight (the
+    // probe predicts "is English" and the corpus is majority en)
+    val last = curve.last
+    assert(last.getAs[Long]("w3") > 0 && last.getAs[Long]("w4") > 0)
+  }
+
   test("epoch plan: epoch 1 holds every source, masses shrink, cum total consistent") {
     val rows = api.Queries.registry("pipeline_epoch_plan").fn(spark, dir)
       .orderBy("epoch").collect()
