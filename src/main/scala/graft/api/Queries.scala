@@ -1733,6 +1733,30 @@ object Queries {
         .orderBy("a", "b"),
       Some(TextSql.dedupEmbeddingAuto)),
 
+    // PQ-code-collision near-dup pairs (the FAISS-style blocking):
+    // candidates are vectors whose ENTIRE 4-code PQ word matches — an
+    // equality join on the code vector — then exact-cosine verified.
+    // Codebooks come from the SAME pqTrain as emb_pq_error (bit
+    // identical, the two queries gate each other); data-adaptive cells
+    // complement the data-oblivious sign-LSH candidate path, and the
+    // hot-cell cap bounds Σdf² exactly like the containment guard.
+    // Fixture: vec_id < 10 get a planted 0.99-scaled sibling 900000+id
+    // (cos = 1, same direction — must land in the same cells and
+    // verify); scaling happens in DOUBLE on both engines so the
+    // fixed-point quantization replays bit-for-bit.
+    "dedup_pq_codes" -> Q(
+      (s, d) => {
+        val base = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val planted = base.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 900000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(0.99)).as("embedding"))
+        graft.ops.Similarity.pqCodeDups(base.unionByName(planted),
+          m = 4, ksub = 8, iters = 2, threshold = 0.45)
+          .orderBy("a", "b")
+      },
+      Some(TextSql.dedupPqCodes(m = 4, ksub = 8, iters = 2, threshold = 0.45))),
+
     // Cosine histogram over the schedule-knob LSH candidate pairs — the
     // threshold-tuning readout for embedding near-dup (what
     // dedup_jaccard_histogram is to MinHash): every distinct candidate

@@ -890,62 +890,118 @@ object TextSql {
     * per-subspace abs-reconstruction-error report. Integral division
     * and BIGINT casts keep the pandas-mode compare exact.
     */
+  /** Per-subspace PQ training CTEs (vs$s slice, c0s$s init, unrolled
+    * Lloyd rounds, afs$s final assignment) — shared by [[pqError]] and
+    * [[dedupPqCodes]] so both oracles train bit-identically.
+    */
+  private def pqSubspaceCtes(s: Int, ksub: Int, iters: Int, sub: Int): String = {
+    def distExpr(q: String, c: String): String = ivfDistExpr(q, c, sub)
+    val lo = s * sub
+    val rounds = (1 to iters).map { r =>
+      s"""a${r}s$s AS MATERIALIZED (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT v.vec_id, v.q, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${distExpr("v.q", "c.c")}, c.cell) AS rn
+         |    FROM vs$s v CROSS JOIN c${r - 1}s$s c) WHERE rn = 1),
+         |m${r}s$s AS MATERIALIZED (
+         |  SELECT cell, g.i AS i,
+         |    CAST(floor(CAST(sum(q[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |  FROM a${r}s$s CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) g
+         |  GROUP BY cell, g.i),
+         |c${r}s$s AS MATERIALIZED (
+         |  SELECT p.cell, coalesce(u.c, p.c) AS c
+         |  FROM c${r - 1}s$s p LEFT JOIN
+         |    (SELECT cell, list(m ORDER BY i) AS c FROM m${r}s$s GROUP BY cell) u
+         |  ON u.cell = p.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""vs$s AS MATERIALIZED (
+       |  SELECT vec_id, fq[${lo + 1}:${lo + sub}] AS q FROM vpq),
+       |c0s$s AS MATERIALIZED (
+       |  SELECT cell, c FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS c
+       |    FROM vs$s)
+       |  WHERE cell < $ksub),
+       |$rounds,
+       |afs$s AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${distExpr("v.q", "c.c")}, c.cell) AS rn
+       |    FROM vs$s v CROSS JOIN c${iters}s$s c) WHERE rn = 1)""".stripMargin
+  }
+
+  private val pqBaseCte: String =
+    """vpq AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS fq
+      |  FROM embeddings)""".stripMargin
+
   def pqError(m: Int = 4, ksub: Int = 8, iters: Int = 2,
       dim: Int = 64): String = {
     require(dim % m == 0)
     val sub = dim / m
-    def distExpr(q: String, c: String): String = ivfDistExpr(q, c, sub)
-    def subspaceCtes(s: Int): String = {
-      val lo = s * sub
-      val rounds = (1 to iters).map { r =>
-        s"""a${r}s$s AS MATERIALIZED (
-           |  SELECT vec_id, q, cell FROM (
-           |    SELECT v.vec_id, v.q, c.cell,
-           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
-           |        ${distExpr("v.q", "c.c")}, c.cell) AS rn
-           |    FROM vs$s v CROSS JOIN c${r - 1}s$s c) WHERE rn = 1),
-           |m${r}s$s AS MATERIALIZED (
-           |  SELECT cell, g.i AS i,
-           |    CAST(floor(CAST(sum(q[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
-           |  FROM a${r}s$s CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS i) g
-           |  GROUP BY cell, g.i),
-           |c${r}s$s AS MATERIALIZED (
-           |  SELECT p.cell, coalesce(u.c, p.c) AS c
-           |  FROM c${r - 1}s$s p LEFT JOIN
-           |    (SELECT cell, list(m ORDER BY i) AS c FROM m${r}s$s GROUP BY cell) u
-           |  ON u.cell = p.cell)""".stripMargin
-      }.mkString(",\n")
-      s"""vs$s AS MATERIALIZED (
-         |  SELECT vec_id, fq[${lo + 1}:${lo + sub}] AS q FROM vpq),
-         |c0s$s AS MATERIALIZED (
-         |  SELECT cell, c FROM (
-         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS c
-         |    FROM vs$s)
-         |  WHERE cell < $ksub),
-         |$rounds,
-         |errs$s AS (
+    def errCte(s: Int): String =
+      s"""errs$s AS (
          |  SELECT list_reduce(list_transform(generate_series(1, $sub),
          |      i -> abs(v.q[i] - c.c[i])), (a, b) -> a + b) AS err
-         |  FROM (
-         |    SELECT vec_id, cell FROM (
-         |      SELECT v.vec_id, c.cell,
-         |        row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |          ${distExpr("v.q", "c.c")}, c.cell) AS rn
-         |      FROM vs$s v CROSS JOIN c${iters}s$s c) WHERE rn = 1) af
+         |  FROM afs$s af
          |  JOIN vs$s v ON v.vec_id = af.vec_id
          |  JOIN c${iters}s$s c ON c.cell = af.cell)""".stripMargin
-    }
     val sel = (0 until m).map(s =>
       s"""SELECT CAST($s AS BIGINT) AS subspace, count(*) AS n_vecs,
          |  CAST(sum(err) // (count(*) * $sub) AS BIGINT) AS mean_abs_err_x1e6,
          |  CAST(max(err) AS BIGINT) AS max_vec_err_x1e6 FROM errs$s""".stripMargin)
       .mkString("\n UNION ALL ")
-    s"""WITH vpq AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-       |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS fq
-       |  FROM embeddings),
-       |${(0 until m).map(subspaceCtes).mkString(",\n")}
+    s"""WITH $pqBaseCte,
+       |${(0 until m).map(s => pqSubspaceCtes(s, ksub, iters, sub)).mkString(",\n")},
+       |${(0 until m).map(errCte).mkString(",\n")}
        |$sel ORDER BY subspace""".stripMargin
+  }
+
+  /** Oracle mirror of Similarity.pqCodeDups: the shared per-subspace
+    * training CTEs, code vectors assembled by joining the m final
+    * assignments on vec_id, the hot-cell QUALIFY cap, an equality
+    * self-join on the full code, and exact-cosine verification.
+    */
+  def dedupPqCodes(m: Int = 4, ksub: Int = 8, iters: Int = 2,
+      dim: Int = 64, threshold: Double = 0.45,
+      maxCellDf: Int = graft.ops.Dedup.DefaultBandCap): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val joins = (1 until m).map(s => s"JOIN afs$s a$s ON a$s.vec_id = a0.vec_id")
+      .mkString("\n  ")
+    val codeCols = (0 until m).map(s => s"a$s.cell AS x$s").mkString(", ")
+    val codeKey = (0 until m).map(s => s"x$s").mkString(", ")
+    val onEq = (0 until m).map(s => s"l.x$s = r.x$s").mkString(" AND ")
+    s"""WITH embx AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 900000,
+       |    list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.99)
+       |  FROM embeddings WHERE vec_id < 10),
+       |vpq AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(e,
+       |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS fq
+       |  FROM embx),
+       |ve AS MATERIALIZED (
+       |  SELECT vec_id, e FROM embx),
+       |${(0 until m).map(s => pqSubspaceCtes(s, ksub, iters, sub)).mkString(",\n")},
+       |codes0 AS (
+       |  SELECT a0.vec_id, $codeCols
+       |  FROM afs0 a0
+       |  $joins),
+       |codes AS (
+       |  SELECT vec_id, $codeKey FROM codes0
+       |  QUALIFY count(*) OVER (PARTITION BY $codeKey) <= $maxCellDf)
+       |SELECT a, b, cos FROM (
+       |  SELECT l.vec_id AS a, r.vec_id AS b,
+       |    round(list_dot_product(x.e, y.e)
+       |      / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS cos
+       |  FROM codes l JOIN codes r ON $onEq AND l.vec_id < r.vec_id
+       |  JOIN ve x ON x.vec_id = l.vec_id
+       |  JOIN ve y ON y.vec_id = r.vec_id)
+       |WHERE cos >= $threshold ORDER BY a, b""".stripMargin
   }
 
   def simAnnIvfExact(nlist: Int = 8, nprobe: Int = 2, iters: Int = 2,

@@ -234,10 +234,12 @@ object Similarity {
     * boxed every element: measured 53 s → ~5 s at nlist=160/20k
     * vectors). Exact BIGINTs throughout (bounded ~2⁴⁶).
     */
-  private def fpScoreCol(c: Array[Long]): Column = {
+  private def fpScoreCol(c: Array[Long]): Column = fpScoreColOn(col("q"), c)
+
+  private def fpScoreColOn(q: Column, c: Array[Long]): Column = {
     val c2 = c.foldLeft(0L)((s, x) => s + x * x)
     lit(c2) - lit(2L) * graft.functions.LongDotProduct(
-      col("q"), array(c.toIndexedSeq.map(lit): _*))
+      q, array(c.toIndexedSeq.map(lit): _*))
   }
 
   /** argmin over integer scores; array_position takes the FIRST
@@ -245,8 +247,10 @@ object Similarity {
     * oracle's ORDER BY dist, cell (score and dist induce the same
     * per-row order, see [[fpScoreCol]]).
     */
-  private def fpCellCol(cs: Array[Array[Long]]): Column = {
-    val arr = array(cs.toIndexedSeq.map(fpScoreCol): _*)
+  private def fpCellCol(cs: Array[Array[Long]]): Column = fpCellColOn(col("q"), cs)
+
+  private def fpCellColOn(q: Column, cs: Array[Array[Long]]): Column = {
+    val arr = array(cs.toIndexedSeq.map(c => fpScoreColOn(q, c)): _*)
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
@@ -294,16 +298,30 @@ object Similarity {
     * training pulls ksub·(D/m) means per iter per subspace (bounded,
     * the IVF-centroid collect discipline).
     */
-  def pqError(embs: DataFrame, m: Int = 4, ksub: Int = 8,
-      iters: Int = 2): DataFrame = {
-    val full = fpQuantized(embs).cache()
+  /** Train the m per-subspace PQ codebooks off a cached [[fpQuantized]]
+    * frame; returns (subDim, codebooks). Shared by [[pqError]] and
+    * [[pqCodeDups]] so the two queries train bit-identically.
+    */
+  private def pqTrain(full: DataFrame, m: Int, ksub: Int,
+      iters: Int): (Int, Seq[Array[Array[Long]]]) = {
     val dim = full.select(size(col("q")).as("d")).head().getAs[Int]("d")
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     requireCentroidsFitDriver(ksub, dim)
     val sub = dim / m
+    (sub, (0 until m).map { s =>
+      fpTrainCentroids(
+        full.select(col("vec_id"), slice(col("q"), s * sub + 1, sub).as("q")),
+        ksub, iters)
+    })
+  }
+
+  def pqError(embs: DataFrame, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val full = fpQuantized(embs).cache()
+    val (sub, books) = pqTrain(full, m, ksub, iters)
     val parts = (0 until m).map { s =>
       val vs = full.select(col("vec_id"), slice(col("q"), s * sub + 1, sub).as("q"))
-      val cents = fpTrainCentroids(vs, ksub, iters)
+      val cents = books(s)
       val cArr = array(cents.toIndexedSeq.map(c =>
         array(c.toIndexedSeq.map(lit): _*)): _*)
       vs.withColumn("cid", fpCellCol(cents))
@@ -321,6 +339,50 @@ object Similarity {
       .cache()
     // materialize the m-row report, then release the per-vector cache
     // (same lifetime discipline as ivfFixedPointTopK)
+    out.count()
+    full.unpersist(blocking = false)
+    out
+  }
+
+  /** Embedding near-dup pairs by PQ-CODE COLLISION — the FAISS-style
+    * blocking that makes code-level dedup O(corpus): two vectors are
+    * candidates only when ALL m per-subspace codes agree (an equality
+    * join on the m-int code vector, the same
+    * generate-candidates-then-verify shape as every dedup path), then
+    * candidates are verified by exact cosine ≥ threshold. Codebooks are
+    * [[pqTrain]]'s — bit-identical to `emb_pq_error`'s, so the two
+    * queries gate each other. Cells hotter than `maxCellDf` vectors are
+    * dropped before the self-join (the containment stop-shingle guard;
+    * Σdf² ≤ cap · n). Complements the sign-LSH candidate path: PQ cells
+    * adapt to the data distribution where hyperplanes are oblivious.
+    *
+    * Output: (a, b, cos) with a < b, cos ≥ threshold.
+    */
+  def pqCodeDups(embs: DataFrame, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2, threshold: Double = 0.45,
+      maxCellDf: Int = graft.ops.Dedup.DefaultBandCap): DataFrame = {
+    val full = fpQuantized(embs).cache()
+    val (sub, books) = pqTrain(full, m, ksub, iters)
+    val codeCols = (0 until m).map(s =>
+      fpCellColOn(slice(col("q"), s * sub + 1, sub), books(s)))
+    val coded0 = full.select(col("vec_id"), col("v"), col("nrm"),
+      array(codeCols: _*).as("code"))
+    val coded =
+      if (maxCellDf <= 0) coded0
+      else coded0
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("code")))
+        .filter(col("df") <= maxCellDf)
+        .drop("df")
+    val l = coded.select(col("code"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = coded.select(col("code"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val out = l.join(r, "code")
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+      .cache()
     out.count()
     full.unpersist(blocking = false)
     out

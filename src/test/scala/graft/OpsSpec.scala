@@ -1079,6 +1079,17 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("pq code dedup surfaces every planted scaled sibling at cos 1.0") {
+    val rows = api.Queries.registry("dedup_pq_codes").fn(spark, dir).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val expected = (0L until 10L).map(i => (i, 900000L + i)).toSet
+    // a 0.99-scaled copy keeps its direction: all m subspace argmins
+    // must agree with the original, and the verify sees cos = 1.0
+    assert(expected.subsetOf(pairs), s"missing ${expected.diff(pairs)}")
+    rows.filter(r => r.getAs[Long]("b") >= 900000L).foreach(r =>
+      assert(r.getAs[Double]("cos") == 1.0))
+  }
+
   test("bpe merges: hand-computed merge sequence on a crafted vocab") {
     import spark.implicits._
     // "abab" ×3: round 1 pairs are ab(×2/word), ba(×1/word) → merge "ab";
