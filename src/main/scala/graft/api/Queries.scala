@@ -1309,6 +1309,17 @@ object Queries {
         .orderBy("iter"),
       Some(TextSql.linearProbe(iters = 3))),
 
+    // The eval half of the probe: score the corpus with the trained
+    // weights and report the reliability table (prediction bucket →
+    // volume, actual positives, mean prediction) — what decides if the
+    // probe's scores can gate a curation pipeline. Trains 20 steps
+    // (the curve query stops at 3 — here the scores must SPREAD before
+    // bucketing means anything) through the same fit/CTE text as
+    // text_linear_probe; scoring is one more scan into an 11-row agg.
+    "text_probe_calibration" -> Q(
+      (s, d) => graft.ops.TextOps.probeCalibration(Tables.documents(s, d), iters = 20),
+      Some(TextSql.probeCalibration(iters = 20))),
+
     // Composed curation pipeline — what the text/dedup operators exist
     // for: language + quality gates, then exact-dedup keeping the
     // canonical (smallest) doc per fingerprint. One narrow scoring pass,

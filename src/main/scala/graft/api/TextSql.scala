@@ -1284,7 +1284,11 @@ object TextSql {
     * the stats scoreCols fragment so the features cannot drift from
     * the quality family.
     */
-  def linearProbe(iters: Int = 3): String = {
+  /** The feature/w0/unrolled-GD-step CTEs shared by [[linearProbe]] and
+    * [[probeCalibration]] — one text so the two gates train
+    * identically.
+    */
+  private def linearProbeCtes(iters: Int): String = {
     val pred = "(f1*w1 + f2*w2 + f3*w3 + f4*w4) // 1000 - y"
     val steps = (1 to iters).map { r =>
       s"""g$r AS MATERIALIZED (
@@ -1302,13 +1306,7 @@ object TextSql {
          |         w${r - 1}.w4 - g$r.g4 // (4000 * n) AS w4
          |  FROM w${r - 1} CROSS JOIN g$r CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to iters).map(r =>
-      s"""SELECT CAST($r AS BIGINT) AS iter,
-         |  CAST(g$r.sse // n AS BIGINT) AS mse_x1e6,
-         |  w$r.w1, w$r.w2, w$r.w3, w$r.w4
-         |FROM g$r CROSS JOIN w$r CROSS JOIN nn""".stripMargin)
-      .mkString("\n UNION ALL ")
-    s"""WITH s AS (
+    s"""s AS (
        |  SELECT doc_id, lang, text,
        |    $scoreCols
        |  FROM documents),
@@ -1322,9 +1320,34 @@ object TextSql {
        |nn AS (SELECT count(*) AS n FROM feat),
        |w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
        |              CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  def linearProbe(iters: Int = 3): String = {
+    val sel = (1 to iters).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS iter,
+         |  CAST(g$r.sse // n AS BIGINT) AS mse_x1e6,
+         |  w$r.w1, w$r.w2, w$r.w3, w$r.w4
+         |FROM g$r CROSS JOIN w$r CROSS JOIN nn""".stripMargin)
+      .mkString("\n UNION ALL ")
+    s"""WITH ${linearProbeCtes(iters)}
        |$sel ORDER BY iter""".stripMargin
   }
+
+  /** Calibration mirror of TextOps.probeCalibration: score with the
+    * final-step weights, clamp p//25 into [0, 40] buckets, report
+    * volume / actual positives / truncated mean prediction.
+    */
+  def probeCalibration(iters: Int = 3): String =
+    s"""WITH ${linearProbeCtes(iters)},
+       |scored AS (
+       |  SELECT y, (f1*w1 + f2*w2 + f3*w3 + f4*w4) // 1000 AS p
+       |  FROM feat CROSS JOIN w$iters)
+       |SELECT least(greatest(p // 25, 0), 40) AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN y = 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |  CAST(sum(p) // count(*) AS BIGINT) AS mean_p_milli
+       |FROM scored GROUP BY 1 ORDER BY bucket""".stripMargin
 
   /** Epoch-plan mirror of `pipeline_epoch_plan`: per-source mean
     * quality (integral division over the shared quality fragment) →

@@ -261,9 +261,13 @@ object TextOps {
     * post-step weights — the training curve a data-quality probe run
     * records.
     */
-  def linearProbe(docs: DataFrame, iters: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The (cached) 5-column feature frame + GD fit shared by
+    * [[linearProbe]] and [[probeCalibration]]: returns the cached
+    * feature frame, the per-step curve, and the final weights. Caller
+    * must unpersist the frame.
+    */
+  private def linearProbeFit(docs: DataFrame, iters: Int)
+      : (DataFrame, Seq[(Long, Long, Long, Long, Long, Long)], Array[Long]) = {
     val feat = docs.select(
         tokenCount(col("text")).cast("long").as("nt"),
         punctCount(col("text")).cast("long").as("np"),
@@ -276,27 +280,58 @@ object TextOps {
         lit(1000L).as("f4"),
         col("y"))
       .cache()
+    val n = feat.count()
+    require(n > 0, "empty corpus")
+    var w = Array(0L, 0L, 0L, 0L)
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
+    for (it <- 1 to iters) {
+      val s = (0 until 4).map(j => col(s"f${j + 1}") * lit(w(j))).reduce(_ + _)
+      val withR = feat.withColumn("r",
+        graft.functions.GraftFunctions.longDiv(s, lit(1000L)) - col("y"))
+      def dsum(c: Column): Column =
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("long")
+      val row = withR.agg(
+        dsum(col("f1") * col("r")).as("g1"), dsum(col("f2") * col("r")).as("g2"),
+        dsum(col("f3") * col("r")).as("g3"), dsum(col("f4") * col("r")).as("g4"),
+        dsum(col("r") * col("r")).as("sse")).head()
+      val g = (0 until 4).map(j => row.getAs[Long](s"g${j + 1}"))
+      val mse = row.getAs[Long]("sse") / n
+      w = w.zipWithIndex.map { case (wj, j) => wj - g(j) / (4000L * n) }
+      curve += ((it.toLong, mse, w(0), w(1), w(2), w(3)))
+    }
+    (feat, curve.toSeq, w)
+  }
+
+  def linearProbe(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (feat, curve, _) = linearProbeFit(docs, iters)
+    try curve.toDF("iter", "mse_x1e6", "w1", "w2", "w3", "w4")
+    finally { feat.unpersist(); () }
+  }
+
+  /** Calibration report for the trained probe: score every doc with the
+    * FINAL weights, bucket predictions into 25-milli bins (clamped to
+    * [0, 40]), and report per-bucket volume, actual-positive count and
+    * mean prediction — the reliability-diagram table that decides
+    * whether the probe's scores can gate a curation pipeline. Training
+    * is [[linearProbeFit]] (bit-shared with `text_linear_probe`);
+    * scoring is one more pass over the cached feature frame into an
+    * 11-row aggregate.
+    */
+  def probeCalibration(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val (feat, _, w) = linearProbeFit(docs, iters)
     try {
-      val n = feat.count()
-      require(n > 0, "empty corpus")
-      var w = Array(0L, 0L, 0L, 0L)
-      val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long, Long)]
-      for (it <- 1 to iters) {
-        val s = (0 until 4).map(j => col(s"f${j + 1}") * lit(w(j))).reduce(_ + _)
-        val withR = feat.withColumn("r",
-          graft.functions.GraftFunctions.longDiv(s, lit(1000L)) - col("y"))
-        def dsum(c: Column): Column =
-          sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("long")
-        val row = withR.agg(
-          dsum(col("f1") * col("r")).as("g1"), dsum(col("f2") * col("r")).as("g2"),
-          dsum(col("f3") * col("r")).as("g3"), dsum(col("f4") * col("r")).as("g4"),
-          dsum(col("r") * col("r")).as("sse")).head()
-        val g = (0 until 4).map(j => row.getAs[Long](s"g${j + 1}"))
-        val mse = row.getAs[Long]("sse") / n
-        w = w.zipWithIndex.map { case (wj, j) => wj - g(j) / (4000L * n) }
-        curve += ((it.toLong, mse, w(0), w(1), w(2), w(3)))
-      }
-      curve.toSeq.toDF("iter", "mse_x1e6", "w1", "w2", "w3", "w4")
+      val s = (0 until 4).map(j => col(s"f${j + 1}") * lit(w(j))).reduce(_ + _)
+      feat.withColumn("p", graft.functions.GraftFunctions.longDiv(s, lit(1000L)))
+        .withColumn("bucket",
+          least(greatest(graft.functions.GraftFunctions.longDiv(col("p"), lit(25L)),
+            lit(0L)), lit(40L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("y") === 1000L, 1L).otherwise(0L)).as("n_en"),
+          expr("sum(p) div count(*)").as("mean_p_milli"))
+        .orderBy("bucket")
     } finally { feat.unpersist(); () }
   }
 

@@ -1043,6 +1043,21 @@ class OpsSpec extends SparkSpecBase {
     assert(last.getAs[Long]("w3") > 0 && last.getAs[Long]("w4") > 0)
   }
 
+  test("probe calibration: mass balance, bounded rates, means inside bins") {
+    val rows = api.Queries.registry("text_probe_calibration").fn(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("n_en") <= r.getAs[Long]("n_docs"))
+      // truncated mean of values in [25b, 25(b+1)) stays inside the bin
+      // (clamp buckets 0/40 aside — unclamped on this corpus)
+      if (b > 0 && b < 40) {
+        val m = r.getAs[Long]("mean_p_milli")
+        assert(m >= b * 25 && m < (b + 1) * 25, s"bucket $b mean $m outside bin")
+      }
+    }
+  }
+
   test("epoch plan: epoch 1 holds every source, masses shrink, cum total consistent") {
     val rows = api.Queries.registry("pipeline_epoch_plan").fn(spark, dir)
       .orderBy("epoch").collect()
