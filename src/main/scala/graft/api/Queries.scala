@@ -570,6 +570,60 @@ object Queries {
     // are BIGINTs — aggregation-order-free), so the flagging is
     // deterministic on any layout; the per-type stats frame is tiny and
     // broadcasts back onto the hourly counts.
+    // Robust per-type anomaly detection by median absolute deviation —
+    // the outlier detector that, unlike the winsorize percentiles, a
+    // few extreme values cannot drag (50% breakdown point). Median and
+    // MAD are EXACT integer rank selections in cents (the winsorize
+    // discipline, rn = (n+1) div 2 — the lower median, never an
+    // interpolated float), each a per-type window; the 5·MAD flagging
+    // pass joins the 5-row threshold frame back as a broadcast. Output
+    // is the per-type anomaly report (volume, median, MAD, flagged
+    // count, worst deviation).
+    "events_anomaly_mad" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = Tables.events(s, d)
+          .select(col("event_type"), floor(col("value") * 100).cast("long").as("vc"))
+        def rankMedian(in: DataFrame, valueCol: String, out: String): DataFrame = in
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(valueCol)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .groupBy("event_type").agg(min(valueCol).as(out))
+        val med = rankMedian(v, "vc", "med_c")
+        val dev = v.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("vc") - col("med_c")))
+        val mad = rankMedian(dev.select("event_type", "dev"), "dev", "mad_c")
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min("med_c").as("med_c"), min("mad_c").as("mad_c"),
+            sum(when(col("dev") > col("mad_c") * 5, 1L).otherwise(0L)).as("n_anomalies"),
+            max(when(col("dev") > col("mad_c") * 5, col("dev"))).as("worst_dev_c"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH v AS (SELECT event_type,
+          |             CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+          |r1 AS (SELECT event_type, vc,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY vc) AS rn,
+          |         count(*) OVER (PARTITION BY event_type) AS n FROM v),
+          |med AS (SELECT event_type, min(vc) AS med_c FROM r1
+          |        WHERE rn = (n + 1) // 2 GROUP BY event_type),
+          |d AS (SELECT v.event_type, v.vc, abs(v.vc - m.med_c) AS dev
+          |      FROM v JOIN med m USING (event_type)),
+          |r2 AS (SELECT event_type, dev,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+          |         count(*) OVER (PARTITION BY event_type) AS n FROM d),
+          |mad AS (SELECT event_type, min(dev) AS mad_c FROM r2
+          |        WHERE rn = (n + 1) // 2 GROUP BY event_type)
+          |SELECT d.event_type, count(*) AS n,
+          |  min(m.med_c) AS med_c, min(x.mad_c) AS mad_c,
+          |  CAST(sum(CASE WHEN d.dev > 5 * x.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+          |  CAST(max(CASE WHEN d.dev > 5 * x.mad_c THEN d.dev END) AS BIGINT) AS worst_dev_c
+          |FROM d JOIN med m USING (event_type) JOIN mad x USING (event_type)
+          |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)),
+
     "events_anomalous_hours" -> Q(
       (s, d) => {
         val hourly = Tables.events(s, d)

@@ -1043,6 +1043,40 @@ class OpsSpec extends SparkSpecBase {
     assert(last.getAs[Long]("w3") > 0 && last.getAs[Long]("w4") > 0)
   }
 
+  test("mad anomalies: breakdown robustness — flags survive a planted extreme tail") {
+    import spark.implicits._
+    // 98 ordinary values + 2 extremes per type: the median/MAD of the
+    // 98 must barely move (robust), and exactly the 2 extremes flag.
+    // A mean/stddev detector would have its threshold dragged by the
+    // tail; 5·MAD must not be.
+    val rows = (0 until 98).map(i => ("t", 100.0 + (i % 7))) ++
+      Seq(("t", 100000.0), ("t", -100000.0))
+    val ev = rows.toDF("event_type", "value")
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("ts", current_timestamp())
+      .withColumn("user_id", lit(1L)).withColumn("props", lit(""))
+    val v = ev.select(col("event_type"), floor(col("value") * 100).cast("long").as("vc"))
+    // run the declared pipeline shape directly on the crafted frame
+    import org.apache.spark.sql.expressions.Window
+    def rankMedian(in: org.apache.spark.sql.DataFrame, c: String, out: String) = in
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type").orderBy(c)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .groupBy("event_type").agg(min(c).as(out))
+    val med = rankMedian(v, "vc", "med_c")
+    val dev = v.join(med, "event_type").withColumn("dev", abs(col("vc") - col("med_c")))
+    val mad = rankMedian(dev.select("event_type", "dev"), "dev", "mad_c")
+    val rep = dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(min("med_c").as("med_c"), min("mad_c").as("mad_c"),
+        sum(when(col("dev") > col("mad_c") * 5, 1L).otherwise(0L)).as("n_anomalies"))
+      .collect().head
+    assert(rep.getAs[Long]("med_c") >= 10000L && rep.getAs[Long]("med_c") <= 10600L,
+      "median dragged by the planted tail")
+    assert(rep.getAs[Long]("n_anomalies") == 2L,
+      s"expected exactly the 2 planted extremes, got ${rep.getAs[Long]("n_anomalies")}")
+  }
+
   test("probe calibration: mass balance, bounded rates, means inside bins") {
     val rows = api.Queries.registry("text_probe_calibration").fn(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
