@@ -1758,6 +1758,46 @@ object Queries {
         .orderBy("a", "b"),
       Some(TextSql.dedupContainment())),
 
+    // Multi-detector dedup funnel: exact fingerprint keep-min →
+    // MinHash near-dup keep-min over the exact survivors → winnowing
+    // partial-overlap keep-min over those — each detector sees only
+    // what the previous kept (the order a curation pipeline actually
+    // runs: cheapest-and-strictest first), with per-stage doc AND token
+    // accounting. Detector internals are the SAME operators as their
+    // standalone gates (exactGroups' fingerprint, minhashPairs,
+    // winnowPairs) and the oracle composes the same CTE fragments, so
+    // the funnel and the detectors cannot drift. Pairwise keep-min
+    // (drop the larger id of every pair) is deliberate here — the
+    // cluster-resolution variant is `dedup_clusters`/
+    // `pipeline_cluster_keep`'s territory.
+    "pipeline_dedup_funnel" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = graft.ops.TextOps
+        val t0 = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"),
+          t.fingerprint(col("text")).as("fp"),
+          t.tokenCount(col("text")).cast("long").as("nt"))
+        val surv1 = t0
+          .withColumn("rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+          .select("doc_id", "text", "source", "nt")
+        val drop2 = graft.ops.Dedup.minhashPairs(surv1)
+          .select(col("b").as("doc_id")).distinct()
+        val surv2 = surv1.join(drop2, Seq("doc_id"), "left_anti")
+        val drop3 = graft.ops.Dedup.winnowPairs(surv2)
+          .select(col("b").as("doc_id")).distinct()
+        val surv3 = surv2.join(drop3, Seq("doc_id"), "left_anti")
+        def stageRow(name: String, df: DataFrame): DataFrame = df
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+        stageRow("0_all", t0)
+          .unionByName(stageRow("1_exact", surv1))
+          .unionByName(stageRow("2_minhash", surv2))
+          .unionByName(stageRow("3_winnow", surv3))
+          .orderBy("stage")
+      },
+      Some(TextSql.dedupFunnel())),
+
     // Winnowing partial-overlap dedup (MOSS fingerprinting, Schleimer
     // et al. SIGMOD'03): window-min-sampled 3-gram hashes, so any
     // shared token run ≥ n+w-1 = 6 fires regardless of position —

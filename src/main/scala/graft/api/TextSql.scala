@@ -199,6 +199,71 @@ object TextSql {
        |  UNION ALL SELECT '3_dedup', CAST(n_kept AS BIGINT) FROM k)
        |ORDER BY stage""".stripMargin
 
+  /** Multi-detector dedup funnel mirror (`pipeline_dedup_funnel`):
+    * exact fingerprint keep-min, then the SHARED banded MinHash
+    * candidate chain over the exact survivors (drop every pair's
+    * larger id), then the winnowing chain over those survivors — each
+    * stage's detector runs only on what the previous stage kept, and
+    * every fragment is the same text as its standalone gate
+    * (fpExpr / shinglesCte+minhashCandCtes / the dedupWinnow CTEs), so
+    * the funnel cannot drift from the detectors it composes.
+    */
+  def dedupFunnel(w: Int = 4, minShared: Long = 2L): String = {
+    val gram = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
+    s"""WITH t0 AS (
+       |  SELECT doc_id, text, source, $fpExpr AS fp,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt
+       |  FROM documents),
+       |surv1 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |    FROM t0) WHERE rn = 1),
+       |docs AS (
+       |  SELECT t0.doc_id, t0.text, t0.source FROM t0 JOIN surv1 USING (doc_id)),
+       |$shinglesCte,
+       |$minhashCandCtes,
+       |surv2 AS (
+       |  SELECT doc_id FROM surv1
+       |  WHERE doc_id NOT IN (SELECT DISTINCT b FROM cand)),
+       |wtoks AS (
+       |  SELECT t.doc_id, t.tk FROM toks t JOIN surv2 USING (doc_id)),
+       |whashes AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= 3 THEN
+       |      list_transform(generate_series(1, len(tk) - 2),
+       |        i -> ${GraphSql.md5Hash60(gram)})
+       |    ELSE CAST([] AS BIGINT[]) END AS hs
+       |  FROM wtoks),
+       |wfps AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(hs) >= $w THEN
+       |      list_transform(generate_series(1, len(hs) - ${w - 1}),
+       |        i -> list_min(hs[i:i+${w - 1}]))
+       |    WHEN len(hs) > 0 THEN [list_min(hs)]
+       |    ELSE hs END)) AS fp
+       |  FROM whashes),
+       |wkept AS (
+       |  SELECT doc_id, fp FROM wfps
+       |  QUALIFY count(*) OVER (PARTITION BY fp) <= $bandCap),
+       |wpairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b
+       |  FROM wkept l JOIN wkept r ON r.fp = l.fp AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared),
+       |surv3 AS (
+       |  SELECT doc_id FROM surv2
+       |  WHERE doc_id NOT IN (SELECT DISTINCT b FROM wpairs))
+       |SELECT stage, n_docs, n_tokens FROM (
+       |  SELECT '0_all' AS stage, count(*) AS n_docs,
+       |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM t0
+       |  UNION ALL SELECT '1_exact', count(*), CAST(sum(nt) AS BIGINT)
+       |    FROM t0 JOIN surv1 USING (doc_id)
+       |  UNION ALL SELECT '2_minhash', count(*), CAST(sum(nt) AS BIGINT)
+       |    FROM t0 JOIN surv2 USING (doc_id)
+       |  UNION ALL SELECT '3_winnow', count(*), CAST(sum(nt) AS BIGINT)
+       |    FROM t0 JOIN surv3 USING (doc_id))
+       |ORDER BY stage""".stripMargin
+  }
+
   /** Planted-duplicate construction shared by the dedup oracles; mirrors
     * Queries.plantedDocs.
     */

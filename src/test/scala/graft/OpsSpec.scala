@@ -1151,6 +1151,20 @@ class OpsSpec extends SparkSpecBase {
     assert(m.toSeq == Seq((1L, "ab", 6L), (2L, "abab", 3L)), s"got ${m.toSeq}")
   }
 
+  test("dedup funnel: monotone survivors, exact stage equals distinct fingerprints") {
+    val rows = api.Queries.registry("pipeline_dedup_funnel").fn(spark, dir)
+      .orderBy("stage").collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("0_all", "1_exact", "2_minhash", "3_winnow"))
+    val ns = rows.map(_.getAs[Long]("n_docs"))
+    val ts = rows.map(_.getAs[Long]("n_tokens"))
+    ns.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => }
+    ts.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => }
+    assert(ns.last > 0, "funnel must not annihilate the corpus")
+    val distinctFp = docs.select(TextOps.fingerprint(col("text"))).distinct.count()
+    assert(ns(1) == distinctFp, "exact stage must keep one doc per fingerprint")
+  }
+
   test("winnowing guarantee: a shared n+w-1 token run fires, scattered tokens don't") {
     import spark.implicits._
     // C shares exactly the 6-token run a3..a8 with A (n+w-1 = 3+4-1 = 6,
