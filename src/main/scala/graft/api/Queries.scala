@@ -2840,6 +2840,21 @@ object Queries {
         .orderBy("query_id", "rnk"),
       Some(TextSql.simAnnIvfExact())),
 
+    // IVFPQ ANN (FAISS IndexIVFPQ shape): coarse cells route each
+    // query to nprobe cells, candidates rank by the integer ADC
+    // distance — the query's exact subvectors vs each candidate's PQ
+    // codewords through a per-QUERY lookup table broadcast with the
+    // probes (m lookups + adds per candidate, |Q|-independent plan).
+    // Coarse quantizer and codebooks are the shared fixed-point
+    // trainers (bit-identical to sim_ann_ivf_exact / emb_pq_error), so
+    // the whole approximate-search path is hash-gated — no float ANN
+    // nondeterminism.
+    "sim_ann_ivfpq" -> Q(
+      (s, d) => graft.ops.Similarity.ivfPqTopK(
+          Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L), k = 10)
+        .orderBy("query_id", "rnk"),
+      Some(TextSql.simAnnIvfPq())),
+
     // Sign-LSH ANN with md5-nibble hyperplanes — the full pipeline
     // (planes → buckets → candidate join → rank) has a DuckDB mirror.
     "sim_ann_lsh" -> Q(

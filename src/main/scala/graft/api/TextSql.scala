@@ -1069,6 +1069,59 @@ object TextSql {
        |WHERE cos >= $threshold ORDER BY a, b""".stripMargin
   }
 
+  /** Oracle mirror of Similarity.ivfPqTopK: the shared coarse-IVF
+    * training CTEs (v/c0/…/afinal) + the shared per-subspace PQ CTEs
+    * (vpq bridged from v), codes assembled per vector, query probes
+    * ranked on the full-dim distance, and the ADC rank computed as the
+    * TRUE integer Σ_s ‖q_s − codeword‖² via per-subspace codebook
+    * joins.
+    */
+  def simAnnIvfPq(nlist: Int = 8, nprobe: Int = 2, m: Int = 4,
+      ksub: Int = 8, iters: Int = 2, k: Int = 10, dim: Int = 64,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L)): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    def fullDist(q: String, c: String): String = ivfDistExpr(q, c, dim)
+    val codeJoins = (1 until m).map(s => s"JOIN afs$s a$s ON a$s.vec_id = a0.vec_id")
+      .mkString("\n  ")
+    val codeCols = (0 until m).map(s => s"a$s.cell AS x$s").mkString(", ")
+    val adcJoins = (0 until m).map(s =>
+      s"""JOIN vs$s vq$s ON vq$s.vec_id = c.query_id
+         |  JOIN c${iters}s$s cb$s ON cb$s.cell = x.x$s""".stripMargin)
+      .mkString("\n  ")
+    val adcSum = (0 until m).map(s => ivfDistExpr(s"vq$s.q", s"cb$s.c", sub))
+      .mkString("\n    + ")
+    s"""WITH ${ivfTrainCtes(nlist, iters, dim)},
+       |vpq AS MATERIALIZED (SELECT vec_id, q AS fq FROM v),
+       |${(0 until m).map(s => pqSubspaceCtes(s, ksub, iters, sub)).mkString(",\n")},
+       |codes AS (
+       |  SELECT a0.vec_id, $codeCols
+       |  FROM afs0 a0
+       |  $codeJoins),
+       |qp AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${fullDist("v.q", "c.c")}, c.cell) AS rn
+       |    FROM v CROSS JOIN c$iters c
+       |    WHERE v.vec_id IN (${queryIds.mkString(", ")})) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM afinal a JOIN qp p ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST($adcSum AS BIGINT) AS adist
+       |  FROM cand c
+       |  JOIN codes x ON x.vec_id = c.vec_id
+       |  $adcJoins),
+       |r AS (
+       |  SELECT query_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, vec_id, adist, CAST(rnk AS INT) AS rnk FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   def simAnnIvfExact(nlist: Int = 8, nprobe: Int = 2, iters: Int = 2,
       k: Int = 10, dim: Int = 64): String = {
     def distExpr(q: String, c: String): String = ivfDistExpr(q, c, dim)

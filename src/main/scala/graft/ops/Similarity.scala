@@ -388,6 +388,74 @@ object Similarity {
     out
   }
 
+  /** IVFPQ ANN search (Jégou et al. TPAMI 2011, the FAISS IndexIVFPQ
+    * shape): a coarse nlist-cell quantizer routes each query to its
+    * `nprobe` nearest cells, and candidates in those cells are ranked
+    * by ASYMMETRIC DISTANCE — the query's exact subvectors against
+    * each candidate's PQ codewords, Σ_s ‖q_s − cb_s[code_s(x)]‖².
+    * Everything is exact fixed-point: the coarse quantizer is the
+    * shared [[fpTrainCentroids]] loop, codebooks are [[pqTrain]]'s
+    * (bit-identical to `emb_pq_error` / `dedup_pq_codes`), and the ADC
+    * rank is an integer, so the whole search path is oracle-gateable —
+    * no float ANN nondeterminism anywhere.
+    *
+    * The per-query subspace lookup table (the IVFPQ trick: m·ksub
+    * distances per QUERY, not per candidate) is a COLUMN on the probe
+    * frame — computed once per query row, broadcast with the probes,
+    * and indexed per candidate by its stored code: the per-candidate
+    * work is m array lookups + adds, the plan is |Q|-independent, and
+    * the corpus is touched only through the keyed `cid` join. Scale
+    * knobs are IVF's (nlist↑ with corpus; model frames past the driver
+    * guard → the frame-resident trainer).
+    *
+    * Output: (query_id, vec_id, adist, rnk) — adist is the exact
+    * integer ADC distance in micro-units², ties broken by vec_id.
+    */
+  def ivfPqTopK(embs: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      nlist: Int = 8, nprobe: Int = 2, m: Int = 4, ksub: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val full = fpQuantized(embs).cache()
+    val coarse = fpTrainCentroids(full, nlist, iters)
+    val (sub, books) = pqTrain(full, m, ksub, iters)
+    val codeCols = (0 until m).map(s =>
+      fpCellColOn(slice(col("q"), s * sub + 1, sub), books(s)))
+    val assigned = full
+      .withColumn("cid", fpCellCol(coarse))
+      .withColumn("code", array(codeCols: _*))
+      .cache()
+    full.unpersist(blocking = false)
+    val distStructs = array(coarse.zipWithIndex.map { case (c, i) =>
+      struct(fpScoreCol(c).as("d"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    // LUT[s][j] = score(q_s, cb_s[j]) = |cb|² − 2·q_s·cb; adding the
+    // per-query constant Σ_s |q_s|² = |q|² turns scores into TRUE
+    // squared distances, which the oracle computes directly
+    val lutCol = array((0 until m).map(s =>
+      array((0 until ksub).map(j =>
+        fpScoreColOn(slice(col("q"), s * sub + 1, sub), books(s)(j))): _*)): _*)
+    val probes = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), lutCol.as("lut"),
+        graft.functions.LongDotProduct(col("q"), col("q")).as("q2"),
+        explode(slice(array_sort(distStructs), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("lut"), col("q2"), col("p.cell").as("cid"))
+    val adist = (0 until m).map(s =>
+        element_at(element_at(col("lut"), s + 1), element_at(col("code"), s + 1) + 1))
+      .reduce(_ + _) + col("q2")
+    val perQuery = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+      .select("query_id", "vec_id", "adist")
+    val w = Window.partitionBy("query_id").orderBy(asc("adist"), asc("vec_id"))
+    val topk = perQuery.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("adist"),
+        col("rnk").cast("int").as("rnk"))
+      .cache()
+    topk.count()
+    assigned.unpersist(blocking = false)
+    topk
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al., arXiv:2303.09540):
     * embeddings are k-means-clustered, then near-duplicate PAIRS are
     * searched only WITHIN each cluster — the clustering is what bounds

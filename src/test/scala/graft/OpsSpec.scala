@@ -1110,6 +1110,31 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("cum_tokens")).toSeq == cum.toSeq)
   }
 
+  test("ivfpq: ADC distances are true non-negative squared L2; usable recall vs exact") {
+    val got = Similarity.ivfPqTopK(embs, queryIds = Seq(0L, 1L, 2L), k = 10).collect()
+    assert(got.forall(_.getAs[Long]("adist") >= 0L),
+      "ADC must be a true squared distance (score + |q|²), never negative")
+    // driver-side exact fixed-point L2 ground truth on the fixture corpus
+    val vecs = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6).toLong).toArray).toMap
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recall = Seq(0L, 1L, 2L).map { q =>
+      val exact = (vecs - q).toSeq
+        .map { case (id, v) => (l2(vecs(q), v), id) }.sorted.take(10).map(_._2).toSet
+      val approx = got.filter(_.getAs[Long]("query_id") == q)
+        .map(_.getAs[Long]("vec_id")).toSet
+      exact.intersect(approx).size
+    }.sum / 30.0
+    // i.i.d.-random fixture embeddings are PQ's WORST case (no cluster
+    // structure for 4×8 codebooks to exploit); measured recall here is
+    // ~0.23 vs ~0.05 for picking 10 at random from the probed cells.
+    // The floor pins "far above random", not production recall — that
+    // tuning readout is emb_pq_error's and sim_ann_recall's job.
+    assert(recall >= 0.15, s"IVFPQ recall@10 collapsed: $recall")
+  }
+
   test("pq error: zero when every vector is a codeword, shrinks with ksub") {
     val eight = embs.filter(col("vec_id") < 8)
     // ksub >= n: deterministic init makes every vector its own centroid,
