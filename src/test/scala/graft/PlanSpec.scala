@@ -368,6 +368,15 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in curriculum plan:\n${p.take(2000)}")
   }
 
+  test("dedup funnel composes keyed joins only — no cartesian anywhere") {
+    // three detectors + two anti-joins in one plan: every join must be
+    // keyed (fp / band+key / doc_id); a cartesian would mean a detector
+    // lost its blocking key somewhere in the composition
+    val p = plan("pipeline_dedup_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in funnel plan:\n${p.take(2500)}")
+  }
+
   test("winsorize thresholds broadcast back onto the value scan") {
     // the per-type [p1,p99] frame is 5 rows — re-joining it to the
     // events scan must be a broadcast, and the whole plan stays keyed
