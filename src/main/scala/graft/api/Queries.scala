@@ -2629,6 +2629,17 @@ object Queries {
         .orderBy("round"),
       Some(TextSql.bpeMerges(rounds = 5))),
 
+    // Apply-side complement of the merge trainer: segment the vocab
+    // with the final longest-first alternation and report each learned
+    // symbol's frequency-weighted usage — whether the tokenizer's
+    // inventory is actually used (usage ≠ training-round counts, since
+    // all merges apply simultaneously at apply time). Shares bpeFit /
+    // the oracle CTEs with text_bpe_merges.
+    "text_bpe_apply" -> Q(
+      (s, d) => graft.ops.TextOps.bpeApply(Tables.documents(s, d), rounds = 5, k = 10)
+        .orderBy(desc("cnt"), asc("sym")),
+      Some(TextSql.bpeApply(rounds = 5, k = 10))),
+
     "text_bigram_topk" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

@@ -125,7 +125,10 @@ object TextSql {
     * a per-row-constant dynamic pattern) and taking the most frequent
     * adjacent symbol pair with the lexicographic tie-break.
     */
-  def bpeMerges(rounds: Int = 5): String = {
+  /** The wf + unrolled merge-round CTEs shared by [[bpeMerges]] and
+    * [[bpeApply]] — one text so training cannot drift between gates.
+    */
+  private def bpeCtes(rounds: Int): String = {
     def roundCte(r: Int): String = {
       val pat =
         if (r == 1) "'.'"
@@ -141,18 +144,41 @@ object TextSql {
          |    FROM (SELECT regexp_extract_all(w, $pat) AS sg, f FROM wf))
          |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
     }
-    val ctes = (1 to rounds).map(roundCte).mkString(",\n")
-    val sel = (1 to rounds)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, cnt FROM r$r")
-      .mkString("\n UNION ALL ")
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
        |    SELECT regexp_replace(unnest(regexp_split_to_array(lower(text), '\\s+')),
        |             '[^a-z0-9]', '', 'g') AS w
        |    FROM documents)
        |  WHERE length(w) >= 2 GROUP BY w),
-       |$ctes
+       |${(1 to rounds).map(roundCte).mkString(",\n")}""".stripMargin
+  }
+
+  def bpeMerges(rounds: Int = 5): String = {
+    val sel = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, cnt FROM r$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH ${bpeCtes(rounds)}
        |$sel ORDER BY round""".stripMargin
+  }
+
+  /** Oracle mirror of TextOps.bpeApply: train the same `rounds` merges
+    * (shared CTEs), segment the vocab with the FINAL longest-first
+    * alternation, and report the frequency-weighted usage of every
+    * learned (multi-char) symbol.
+    */
+  def bpeApply(rounds: Int = 5, k: Int = 10): String = {
+    val prior = (1 to rounds).map(i => s"SELECT pair FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(rounds)},
+       |pat AS (
+       |  SELECT string_agg(pair, '|' ORDER BY length(pair) DESC, pair) || '|.' AS p
+       |  FROM ($prior)),
+       |seg AS (
+       |  SELECT f, unnest(regexp_extract_all(w, (SELECT p FROM pat))) AS sym
+       |  FROM wf)
+       |SELECT sym, CAST(sum(f) AS BIGINT) AS cnt FROM seg
+       |WHERE length(sym) > 1
+       |GROUP BY sym ORDER BY cnt DESC, sym LIMIT $k""".stripMargin
   }
 
   def quotaSample(perLang: Int = 5): String =

@@ -355,35 +355,68 @@ object TextOps {
     * variable (the compressibility-proxy rule) so each word is
     * re-segmented once per round, not once per symbol position.
     */
-  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Longest-first alternation for a merge list — the segmentation
+    * pattern both engines share.
+    */
+  private def bpePattern(merges: Seq[String]): String =
+    if (merges.isEmpty) "."
+    else merges.sortBy(p => (-p.length, p)).mkString("", "|", "|.")
+
+  /** The cached word-freq frame + trained merges shared by
+    * [[bpeMerges]] and [[bpeApply]]; caller unpersists the frame.
+    */
+  private def bpeFit(docs: DataFrame, rounds: Int)
+      : (DataFrame, Seq[(Long, String, Long)]) = {
     val wf = docs
       .select(explode(split(lower(col("text")), "\\s+")).as("w0"))
       .select(regexp_replace(col("w0"), "[^a-z0-9]", "").as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (r <- 1 to rounds) {
+      val pat = bpePattern(merges.map(_._2).toSeq)
+      val top = wf
+        .select(col("f"), element_at(
+          transform(array(regexp_extract_all(col("w"), lit(pat), lit(0))), sg =>
+            when(size(sg) >= 2,
+              transform(sequence(lit(1), size(sg) - 1),
+                i => concat(element_at(sg, i), element_at(sg, i + 1))))
+              .otherwise(array().cast("array<string>"))), 1).as("prs"))
+        .select(col("f"), explode(col("prs")).as("pair"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(1)
+        .collect()(0)
+      merges += ((r.toLong, top.getAs[String]("pair"), top.getAs[Long]("cnt")))
+    }
+    (wf, merges.toSeq)
+  }
+
+  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (wf, merges) = bpeFit(docs, rounds)
+    try merges.toDF("round", "pair", "cnt")
+    finally { wf.unpersist(); () }
+  }
+
+  /** Apply the trained merge table: segment the vocab with the FINAL
+    * longest-first alternation and report the frequency-weighted usage
+    * of each LEARNED (multi-char) symbol — the "is the tokenizer's
+    * inventory actually used" readout, and the apply-side complement of
+    * [[bpeMerges]] (usage counts differ from training-round counts
+    * because all merges apply simultaneously here). Same cost shape:
+    * one corpus scan + vocab-order work.
+    */
+  def bpeApply(docs: DataFrame, rounds: Int = 5, k: Int = 10): DataFrame = {
+    val (wf, merges) = bpeFit(docs, rounds)
     try {
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-      for (r <- 1 to rounds) {
-        val pat =
-          if (merges.isEmpty) "."
-          else merges.map(_._2).sortBy(p => (-p.length, p)).mkString("", "|", "|.")
-        val top = wf
-          .select(col("f"), element_at(
-            transform(array(regexp_extract_all(col("w"), lit(pat), lit(0))), sg =>
-              when(size(sg) >= 2,
-                transform(sequence(lit(1), size(sg) - 1),
-                  i => concat(element_at(sg, i), element_at(sg, i + 1))))
-                .otherwise(array().cast("array<string>"))), 1).as("prs"))
-          .select(col("f"), explode(col("prs")).as("pair"))
-          .groupBy("pair").agg(sum(col("f")).as("cnt"))
-          .orderBy(desc("cnt"), asc("pair")).limit(1)
-          .collect()(0)
-        merges += ((r.toLong, top.getAs[String]("pair"), top.getAs[Long]("cnt")))
-      }
-      merges.toSeq.toDF("round", "pair", "cnt")
+      val pat = bpePattern(merges.map(_._2))
+      wf.select(col("f"),
+          explode(regexp_extract_all(col("w"), lit(pat), lit(0))).as("sym"))
+        .filter(length(col("sym")) > 1)
+        .groupBy("sym").agg(sum(col("f")).as("cnt"))
+        .orderBy(desc("cnt"), asc("sym")).limit(k)
     } finally { wf.unpersist(); () }
   }
 }

@@ -1190,6 +1190,19 @@ class OpsSpec extends SparkSpecBase {
     assert(ns(1) == distinctFp, "exact stage must keep one doc per fingerprint")
   }
 
+  test("bpe apply: every trained merge is used, usage bounded by raw adjacency") {
+    val trained = TextOps.bpeMerges(docs, rounds = 5).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("cnt")).toMap
+    val used = TextOps.bpeApply(docs, rounds = 5, k = 10).collect()
+      .map(r => r.getAs[String]("sym") -> r.getAs[Long]("cnt")).toMap
+    trained.keys.foreach(p =>
+      assert(used.get(p).exists(_ > 0L), s"trained merge '$p' unused at apply time"))
+    // the round-1 merge was counted over RAW character adjacencies — no
+    // segmentation can make the symbol occur more often than that
+    val first = TextOps.bpeMerges(docs, rounds = 1).collect().head
+    assert(used(first.getAs[String]("pair")) <= first.getAs[Long]("cnt"))
+  }
+
   test("winnowing guarantee: a shared n+w-1 token run fires, scattered tokens don't") {
     import spark.implicits._
     // C shares exactly the 6-token run a3..a8 with A (n+w-1 = 3+4-1 = 6,
