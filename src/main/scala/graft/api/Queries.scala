@@ -570,6 +570,41 @@ object Queries {
     // are BIGINTs — aggregation-order-free), so the flagging is
     // deterministic on any layout; the per-type stats frame is tiny and
     // broadcasts back onto the hourly counts.
+    // CDC latest-state compaction (SCD-1 upsert semantics): one row
+    // per user = their most recent event (ts desc, event_id desc as
+    // the deterministic tie-break — a CDC log's sequence number), then
+    // the per-type census of latest states. The window partitions by
+    // user_id — millions of small partitions, never a global sort —
+    // which is exactly the MERGE INTO / compaction shape a lakehouse
+    // upsert runs at 100 TB; in production the same query maintains
+    // the materialized latest-state table incrementally per batch.
+    "events_cdc_latest" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+            floor(col("value") * 100).cast("long").as("vc"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"),
+            expr("sum(vc) div count(*)").as("mean_value_c"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH v AS (SELECT user_id, event_id, ts, event_type,
+          |             CAST(floor(value * 100) AS BIGINT) AS vc FROM events),
+          |latest AS (
+          |  SELECT event_type, vc FROM (
+          |    SELECT event_type, vc,
+          |      row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM v) WHERE rn = 1)
+          |SELECT event_type, count(*) AS n_users,
+          |  CAST(sum(vc) // count(*) AS BIGINT) AS mean_value_c
+          |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Robust per-type anomaly detection by median absolute deviation —
     // the outlier detector that, unlike the winsorize percentiles, a
     // few extreme values cannot drag (50% breakdown point). Median and

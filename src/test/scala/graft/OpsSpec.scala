@@ -1043,6 +1043,14 @@ class OpsSpec extends SparkSpecBase {
     assert(last.getAs[Long]("w3") > 0 && last.getAs[Long]("w4") > 0)
   }
 
+  test("cdc latest: one state per user, census masses the distinct-user count") {
+    val rows = api.Queries.registry("events_cdc_latest").fn(spark, dir).collect()
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct.count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users,
+      "every user must surface exactly one latest state")
+  }
+
   test("mad anomalies: breakdown robustness — flags survive a planted extreme tail") {
     import spark.implicits._
     // 98 ordinary values + 2 extremes per type: the median/MAD of the
