@@ -437,4 +437,47 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  // ---- Stateful latest-state maintenance (the streaming twin of
+  //      events_cdc_latest) ----
+
+  final case class ValuedEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, value_c: Long)
+  final case class LatestState(ts_us: Long, event_id: Long,
+      event_type: String, value_c: Long)
+  final case class UserState(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, value_c: Long)
+
+  /** Per-user latest-state maintenance with explicit keyed state — the
+    * streaming MERGE INTO: state holds each user's current latest row
+    * ((ts, event_id) max — the CDC sequence tie-break), and the group
+    * emits the post-batch latest whenever the user appears. Unlike
+    * [[sessionize]]/[[transitions]], this op needs NO monotone-batch
+    * assumption: a late event with a smaller (ts, event_id) simply
+    * loses the max and the state is untouched — upsert semantics are
+    * naturally disorder-tolerant. One state row per user; the emitted
+    * stream's last row per user converges to `events_cdc_latest`'s
+    * per-user latest (GraphStreamSpec, crafted disorder + corpus).
+    */
+  def latestStates(events: org.apache.spark.sql.Dataset[ValuedEvent])
+      : org.apache.spark.sql.Dataset[UserState] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(user: Long, it: Iterator[ValuedEvent],
+        state: GroupState[LatestState]): Iterator[UserState] = {
+      val candidates = state.getOption
+        .map(s => ValuedEvent(user, s.ts_us, s.event_id, s.event_type, s.value_c))
+        .iterator ++ it
+      val newest = candidates.maxBy(e => (e.ts_us, e.event_id))
+      state.update(LatestState(newest.ts_us, newest.event_id,
+        newest.event_type, newest.value_c))
+      Iterator.single(UserState(user, newest.ts_us, newest.event_id,
+        newest.event_type, newest.value_c))
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -597,6 +597,75 @@ class GraphStreamSpec extends SparkSpecBase {
       assert(streamed.nonEmpty)
     } finally q2.stop()
   }
+
+  test("stateful latest-state upsert: late events lose, replay is idempotent, census converges") {
+    import spark.implicits._
+    val valuedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value_c", org.apache.spark.sql.types.LongType)))
+    // crafted disorder: batch 2 carries a LATE event for user 1
+    // (ts 20 < the state's 30) that must NOT override, and a genuinely
+    // newer state for user 2 that must. Upsert convergence is
+    // batch-order-independent (max wins), unlike the monotone-batch ops.
+    val stage = java.nio.file.Files.createTempDirectory("graft-latest")
+    Seq((1L, 10L, 1L, "view", 100L), (1L, 30L, 3L, "view", 300L),
+        (2L, 20L, 2L, "purchase", 200L))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value_c")
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Seq((1L, 20L, 4L, "click", 999L), (2L, 40L, 5L, "view", 500L))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value_c")
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val in = spark.readStream.schema(valuedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+      .as[EventStream.ValuedEvent]
+    val q = EventStream.latestStates(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_latest").start()
+    try {
+      q.processAllAvailable()
+      val fin = spark.table("stream_latest").as[EventStream.UserState].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(r => (r.ts_us, r.event_id)) }
+      assert(fin(1L).event_id == 3L && fin(1L).value_c == 300L,
+        s"late event overrode user 1's state: ${fin(1L)}")
+      assert(fin(2L).event_id == 5L && fin(2L).value_c == 500L)
+    } finally q.stop()
+
+    // corpus + replay: the SAME events file twice (cross-batch state +
+    // upsert idempotence) — the final per-type census must equal the
+    // batch events_cdc_latest query exactly
+    val stage2 = java.nio.file.Files.createTempDirectory("graft-latest2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage2.resolve("events-000.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage2.resolve("events-001.parquet"))
+    val in2 = EventStream.readEvents(spark, stage2.toString)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("value_c"))
+      .as[EventStream.ValuedEvent]
+    val q2 = EventStream.latestStates(in2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_latest2").start()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("stream_latest2").as[EventStream.UserState].collect()
+        .groupBy(_.user_id)
+        .map { case (_, rows) => rows.maxBy(r => (r.ts_us, r.event_id)) }
+        .toSeq.groupBy(_.event_type)
+        .map { case (t, rows) =>
+          t -> (rows.size.toLong, rows.map(_.value_c).sum / rows.size) }
+      val batch = api.Queries.registry("events_cdc_latest").fn(spark, dir).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n_users"), r.getAs[Long]("mean_value_c"))).toMap
+      assert(streamed == batch, s"streamed census $streamed != batch $batch")
+    } finally q2.stop()
+  }
 }
 
 /** Local filesystem whose rename REFUSES any destination named like this
