@@ -564,6 +564,39 @@ object Queries {
           |WHERE day - cohort <= 7
           |GROUP BY 1, 2 ORDER BY cohort, offset_days""".stripMargin)),
 
+    // Full cohort-retention matrix — the week-granular triangle chart
+    // behind every growth dashboard: cohort = first-active ISO week,
+    // cell (cohort, week offset) = distinct users active then. Week
+    // arithmetic is integer day-diff div 7 from the cohort's Monday
+    // (both engines truncate weeks to ISO Monday); the string cast on
+    // the cohort keeps the pandas compare date-safe (the retention
+    // query's lesson). Two aggregations + one broadcast-size first-seen
+    // join per user — no window, no shuffle beyond the keyed groupBys.
+    "events_cohort_matrix" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"))
+          .distinct()
+        val first = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+        ev.join(first, "user_id")
+          .withColumn("offset_weeks",
+            expr("CAST(datediff(wk, cohort) AS BIGINT) div 7"))
+          .groupBy(col("cohort").cast("string").as("cohort"), col("offset_weeks"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort", "offset_weeks")
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+          |  FROM events),
+          |f AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+          |SELECT CAST(cohort AS VARCHAR) AS cohort,
+          |  CAST(wk - cohort AS BIGINT) // 7 AS offset_weeks,
+          |  count(*) AS n_users
+          |FROM ev JOIN f USING (user_id)
+          |GROUP BY 1, 2 ORDER BY cohort, offset_weeks""".stripMargin)),
+
     // Hourly anomaly detection: flag (type, hour) buckets whose count
     // sits more than 2σ from the type's mean hourly rate. Mean and
     // variance come from exact integer partials (sum, sum-of-squares

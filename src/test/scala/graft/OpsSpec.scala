@@ -1043,6 +1043,20 @@ class OpsSpec extends SparkSpecBase {
     assert(last.getAs[Long]("w3") > 0 && last.getAs[Long]("w4") > 0)
   }
 
+  test("cohort matrix: offset-0 mass equals the user universe, no negative offsets") {
+    val rows = api.Queries.registry("events_cohort_matrix").fn(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("offset_weeks") >= 0L))
+    val users = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct.count()
+    val diag = rows.filter(_.getAs[Long]("offset_weeks") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(diag == users, "every user belongs to exactly one cohort's offset-0 cell")
+    // later cells can never exceed their cohort's offset-0 size
+    val c0 = rows.filter(_.getAs[Long]("offset_weeks") == 0L)
+      .map(r => r.getAs[String]("cohort") -> r.getAs[Long]("n_users")).toMap
+    rows.foreach(r => assert(r.getAs[Long]("n_users") <= c0(r.getAs[String]("cohort"))))
+  }
+
   test("cdc latest: one state per user, census masses the distinct-user count") {
     val rows = api.Queries.registry("events_cdc_latest").fn(spark, dir).collect()
     val users = spark.read.parquet(s"$dir/events.parquet")
