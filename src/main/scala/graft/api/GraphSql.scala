@@ -101,6 +101,17 @@ object GraphSql {
        |ORDER BY rank_u DESC, node""".stripMargin
   }
 
+  /** Batched-PPR mirror: the per-seed unrolled PPR SQL unioned with a
+    * seed label — each seed's slice is exactly the single-seed oracle,
+    * which is the equality the batched operator guarantees.
+    */
+  def personalizedPagerankBatch(seeds: Seq[String], iters: Int = 5): String =
+    seeds.map(s =>
+      s"""SELECT '$s' AS seed, node, rank_u FROM (
+         |${personalizedPagerank(s, iters)}
+         |)""".stripMargin)
+      .mkString("\nUNION ALL\n") + "\nORDER BY seed, rank_u DESC, node"
+
   /** 60-bit hex value of md5(s)'s first 15 chars — the portable shard
     * hash family (same construction the MinHash/SimHash oracles use).
     */

@@ -1288,6 +1288,24 @@ object Queries {
         .orderBy(desc("rank_u"), asc("node")),
       Some(GraphSql.personalizedPagerank("order:1", iters = 5))),
 
+    // BATCHED multi-seed PPR — "related nodes for every query entity"
+    // in one pass: state is keyed by (node, seed) pairs end-to-end
+    // (closure, rank loop, teleport), so k seeds share each hop's
+    // edge-bucket shuffle instead of running k passes, and a batch of
+    // hub seeds stays executor-resident where k driver closures would
+    // not. Per-pair arithmetic is the same order-free BIGINT loop, so
+    // each seed's slice is bit-identical to its single-seed run — the
+    // oracle IS the single-seed SQL unioned per seed.
+    "graph_ppr_batch" -> Q(
+      (s, d) => graft.graph.GraphOps
+        .personalizedPageRankFixedPointBatch(
+          graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d),
+          Seq("order:1", "order:2", "order:3"), iters = 5)
+        .filter(col("rank_u") > 0)
+        .orderBy(asc("seed"), desc("rank_u"), asc("node")),
+      Some(GraphSql.personalizedPagerankBatch(
+        Seq("order:1", "order:2", "order:3"), iters = 5))),
+
     // Connected-component sizes, labeled by each component's minimum
     // node string (portable — oracle is 20 unrolled min-label rounds).
     "graph_cc_sizes" -> Q(

@@ -345,6 +345,97 @@ object GraphOps {
     * only this form works. The declared `graph_ppr_related` query keeps
     * the seed-local path; this is the documented 100 TB escape hatch.
     */
+  /** BATCHED multi-seed PPR: every phase of the distributed form, with
+    * state keyed by (node, seed) pairs — the closure, the rank loop and
+    * the teleport all carry the seed through the key, so one pass over
+    * the bucketed edge layout serves every seed simultaneously (the
+    * "related items for every query entity" production shape: k seeds
+    * cost one shared edge shuffle per hop, not k passes). Per-pair
+    * arithmetic is the SAME order-free BIGINT loop, so each seed's
+    * slice is bit-identical to its single-seed run — the oracle is the
+    * per-seed SQL unioned, and BatchedPprSpec/OpsSpec pin slice
+    * equality. State size is Σ per-seed neighborhood (pair-keyed, never
+    * a per-seed broadcast), so a batch of hub seeds stays executor-
+    * resident where k driver closures would not.
+    */
+  def personalizedPageRankFixedPointBatch(g: Graph[String, String],
+      seeds: Seq[String], iters: Int): DataFrame = {
+    val spark = sessionOf(g)
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val seedIds = seeds.map(s => graft.functions.Murmur3x64.hash64(s)).toArray
+    val parts = new org.apache.spark.HashPartitioner(
+      math.max(g.edges.getNumPartitions, sc.defaultParallelism))
+    val bySrc: RDD[(VertexId, VertexId)] = g.edges
+      .map(e => (e.srcId, e.dstId)).partitionBy(parts).cache()
+
+    // closure over (node, seed) pairs: the edge side joins on node, the
+    // seed rides along in the value — one frontier-sized shuffle per
+    // hop regardless of how many seeds are in flight
+    var reached: RDD[(VertexId, VertexId)] = sc
+      .parallelize(seedIds.map(sid => (sid, sid)).toSeq).partitionBy(parts).cache()
+    var frontier = reached
+    var frontierSize = seedIds.length.toLong
+    var depth = 0
+    while (depth < iters - 1 && frontierSize > 0) {
+      val next = frontier.join(bySrc, parts)
+        .map { case (_, (sid, dst)) => ((dst, sid), ()) }
+        .reduceByKey((a, _) => a)
+        .map { case ((dst, sid), _) => (dst, sid) }
+        .partitionBy(parts)
+        .subtract(reached, parts)
+        .cache()
+      frontierSize = next.count()
+      val prevReached = reached
+      val prevFrontier = frontier
+      reached = reached.union(next).distinct(parts.numPartitions).partitionBy(parts).cache()
+      reached.foreachPartition(_ => ())
+      prevReached.unpersist(blocking = false)
+      if (prevFrontier ne prevReached) prevFrontier.unpersist(blocking = false)
+      frontier = next
+      depth += 1
+    }
+
+    // out-edges + exact global out-degrees of every reached node (seed
+    // union — degree is seed-independent, computed once)
+    val reachedNodes = reached.map { case (n, _) => (n, ()) }
+      .reduceByKey(parts, (a, _) => a)
+    val sub = reachedNodes.join(bySrc, parts).map { case (s, (_, d)) => (s, d) }
+    val outDeg = sub.mapValues(_ => 1L).reduceByKey(parts, _ + _)
+    val withDeg = sub.join(outDeg, parts).cache()
+    withDeg.foreachPartition(_ => ())
+
+    // the shared BIGINT loop, pair-keyed: contributions shuffle on the
+    // node (carrying the seed), teleport mass lands on (seed, seed)
+    val seedSet = seedIds.toSet
+    val seedZero = sc.parallelize(seedIds.map(sid => ((sid, sid), 0L)).toSeq)
+    var rank: RDD[((VertexId, VertexId), Long)] =
+      sc.parallelize(seedIds.map(sid => ((sid, sid), 1000000L)).toSeq)
+    for (_ <- 0 until iters) {
+      val contribs = withDeg
+        .join(rank.map { case ((n, sid), r) => (n, (sid, r)) }, parts)
+        .map { case (_, ((dst, dg), (sid, r))) => ((dst, sid), r / dg) }
+        .reduceByKey(_ + _)
+      rank = contribs.mapValues(s => 85L * s / 100L)
+        .union(seedZero)
+        .reduceByKey(_ + _)
+        .map { case ((v, sid), r) =>
+          ((v, sid), r + (if (v == sid && seedSet(v)) 150000L else 0L)) }
+    }
+    val names = sc.broadcast(seeds.map(s =>
+      graft.functions.Murmur3x64.hash64(s) -> s).toMap)
+    val out = g.vertices
+      .join(rank.map { case ((n, sid), r) => (n, (sid, r)) })
+      .map { case (_, (node, (sid, r))) => (names.value(sid), node, r) }
+      .toDF("seed", "node", "rank_u")
+    out.cache().count()
+    withDeg.unpersist(blocking = false)
+    frontier.unpersist(blocking = false)
+    reached.unpersist(blocking = false)
+    bySrc.unpersist(blocking = false)
+    out
+  }
+
   def personalizedPageRankFixedPointDistributed(g: Graph[String, String],
       seed: String, iters: Int): DataFrame = {
     val spark = sessionOf(g)

@@ -105,6 +105,23 @@ class GraphStreamSpec extends SparkSpecBase {
       s"distributed/seed-local diverge: ${dist.toSet.diff(local.toSet).take(5)} vs ${local.toSet.diff(dist.toSet).take(5)}")
   }
 
+  test("batched PPR slices are bit-identical to the single-seed runs") {
+    val g = GraphOps.cachedGraph(Tables.starTriples(spark, dir), dir)
+    val seeds = Seq("order:1", "order:2", "cust:42")
+    val batch = GraphOps.personalizedPageRankFixedPointBatch(g, seeds, iters = 5)
+      .filter(col("rank_u") > 0).collect()
+      .groupBy(_.getAs[String]("seed"))
+      .map { case (s, rows) => s ->
+        rows.map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_u")).toMap }
+    seeds.foreach { s =>
+      val single = GraphOps.personalizedPageRankFixedPoint(g, s, iters = 5)
+        .filter(col("rank_u") > 0).collect()
+        .map(r => r.getAs[String]("node") -> r.getAs[Long]("rank_u")).toMap
+      assert(batch.getOrElse(s, Map.empty) == single,
+        s"batched slice for $s diverges from the single-seed run")
+    }
+  }
+
   test("componentSizes labels components by their min node string") {
     import spark.implicits._
     val t = Seq(
