@@ -353,7 +353,7 @@ object GraphOps {
     * cost one shared edge shuffle per hop, not k passes). Per-pair
     * arithmetic is the SAME order-free BIGINT loop, so each seed's
     * slice is bit-identical to its single-seed run — the oracle is the
-    * per-seed SQL unioned, and BatchedPprSpec/OpsSpec pin slice
+    * per-seed SQL unioned, and GraphStreamSpec pins slice
     * equality. State size is Σ per-seed neighborhood (pair-keyed, never
     * a per-seed broadcast), so a batch of hub seeds stays executor-
     * resident where k driver closures would not.
