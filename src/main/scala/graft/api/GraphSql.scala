@@ -75,7 +75,15 @@ object GraphSql {
     * contribute `0 // deg = 0`, matching the Spark side's
     * skip-zero-messages optimization exactly.
     */
-  def personalizedPagerank(seed: String, iters: Int = 5): String = {
+  /** SQL string-literal escape for seed values interpolated into the
+    * PPR oracles — a seed containing a single quote must neither break
+    * the oracle nor inject (the node ids here are star-schema entity
+    * names, but the operator contract is any string).
+    */
+  private def sq(s: String): String = s.replace("'", "''")
+
+  def personalizedPagerank(seed0: String, iters: Int = 5): String = {
+    val seed = sq(seed0)
     val steps = (1 to iters).map { k =>
       s"""c$k AS MATERIALIZED (
          |  SELECT t.obj AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS s
@@ -107,7 +115,7 @@ object GraphSql {
     */
   def personalizedPagerankBatch(seeds: Seq[String], iters: Int = 5): String =
     seeds.map(s =>
-      s"""SELECT '$s' AS seed, node, rank_u FROM (
+      s"""SELECT '${sq(s)}' AS seed, node, rank_u FROM (
          |${personalizedPagerank(s, iters)}
          |)""".stripMargin)
       .mkString("\nUNION ALL\n") + "\nORDER BY seed, rank_u DESC, node"

@@ -1838,11 +1838,16 @@ object Queries {
     // Asymmetric-overlap containment: catches a short quote fully
     // embedded in a long doc, which Jaccard-estimating detectors miss
     // (the planted quotes sit at Jaccard ≈ 0.01, containment 1.0).
-    // Default args on BOTH sides — the oracle def pins them.
+    // Runs at Dedup.containmentSchedule(n)'s stop-shingle cap — the
+    // corpus-scheduled knob that holds the inverted-index join's
+    // candidate bound as n grows (the fixed cap 128 was measured
+    // superlinear at 10×, SCALE.md r8/r9); the oracle replays the same
+    // integer schedule off the same count, so this is hash-gated at
+    // exactly the knobs a 100 TB run would use.
     "dedup_containment" -> Q(
-      (s, d) => graft.ops.Dedup.containmentPairs(plantedQuoteDocs(s, d))
+      (s, d) => graft.ops.Dedup.containmentPairsAuto(plantedQuoteDocs(s, d))
         .orderBy("a", "b"),
-      Some(TextSql.dedupContainment())),
+      Some(TextSql.dedupContainmentAuto())),
 
     // Multi-detector dedup funnel: exact fingerprint keep-min →
     // MinHash near-dup keep-min over the exact survivors → winnowing
@@ -1867,10 +1872,17 @@ object Queries {
           .withColumn("rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
           .filter(col("rn") === 1)
           .select("doc_id", "text", "source", "nt")
-        val drop2 = graft.ops.Dedup.minhashPairs(surv1)
+        // knobs passed EXPLICITLY from the shared constants the oracle's
+        // CTE fragments are generated from — a default drifting on either
+        // side cannot silently de-sync the hash gate
+        val drop2 = graft.ops.Dedup.minhashPairs(surv1,
+            k = graft.ops.Dedup.OracleMinhashK,
+            bands = graft.ops.Dedup.OracleMinhashBands)
           .select(col("b").as("doc_id")).distinct()
         val surv2 = surv1.join(drop2, Seq("doc_id"), "left_anti")
-        val drop3 = graft.ops.Dedup.winnowPairs(surv2)
+        val drop3 = graft.ops.Dedup.winnowPairs(surv2,
+            w = graft.ops.Dedup.WinnowW,
+            minShared = graft.ops.Dedup.WinnowMinShared)
           .select(col("b").as("doc_id")).distinct()
         val surv3 = surv2.join(drop3, Seq("doc_id"), "left_anti")
         def stageRow(name: String, df: DataFrame): DataFrame = df
@@ -1882,7 +1894,9 @@ object Queries {
           .unionByName(stageRow("3_winnow", surv3))
           .orderBy("stage")
       },
-      Some(TextSql.dedupFunnel())),
+      Some(TextSql.dedupFunnel(
+        w = graft.ops.Dedup.WinnowW,
+        minShared = graft.ops.Dedup.WinnowMinShared))),
 
     // Winnowing partial-overlap dedup (MOSS fingerprinting, Schleimer
     // et al. SIGMOD'03): window-min-sampled 3-gram hashes, so any

@@ -234,7 +234,8 @@ object TextSql {
     * (fpExpr / shinglesCte+minhashCandCtes / the dedupWinnow CTEs), so
     * the funnel cannot drift from the detectors it composes.
     */
-  def dedupFunnel(w: Int = 4, minShared: Long = 2L): String = {
+  def dedupFunnel(w: Int = graft.ops.Dedup.WinnowW,
+      minShared: Long = graft.ops.Dedup.WinnowMinShared): String = {
     val gram = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"
     s"""WITH t0 AS (
        |  SELECT doc_id, text, source, $fpExpr AS fp,
@@ -329,11 +330,18 @@ object TextSql {
     * the oracles cannot drift from each other.
     */
   private def minhashSigBandCtes: String = {
-    val mins = (0 until 8).map(i =>
+    // k and bands derive from the SAME constants the Scala operators
+    // default to (Dedup.OracleMinhashK/Bands) — one definition, zero
+    // drift between the funnel, the standalone gates, and this chain
+    val k = graft.ops.Dedup.OracleMinhashK
+    val nb = graft.ops.Dedup.OracleMinhashBands
+    val r = k / nb
+    val mins = (0 until k).map(i =>
       s"min(substr(md5('${i / 2}#' || s), ${1 + (i % 2) * 16}, 16)) AS m$i").mkString(", ")
-    val bands = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(m${2 * b} || '|' || m${2 * b + 1}) AS key FROM sigs")
-      .mkString("\n  UNION ALL ")
+    val bands = (0 until nb).map { b =>
+      val key = (b * r until (b + 1) * r).map(i => s"m$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($key) AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
     s"""sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands0 AS (
        |  $bands)""".stripMargin
@@ -599,6 +607,38 @@ object TextSql {
        |  JOIN sizes sb ON sb.doc_id = b)
        |WHERE containment >= $threshold ORDER BY a, b""".stripMargin
 
+  /** Containment mirror at the SCHEDULE-chosen stop-shingle cap —
+    * replays Dedup.containmentSchedule in SQL: cap = clamp(8, 128,
+    * budget // n) over the SAME corpus count the Scala side reads, as a
+    * one-row CTE the QUALIFY compares against (BIGINT floor division of
+    * non-negative values is exact on both engines, so the schedule
+    * cannot diverge by a ulp). Everything after the cap is the fixed
+    * mirror's text.
+    */
+  def dedupContainmentAuto(threshold: Double = 0.8): String =
+    s"""WITH $plantQuoteCte,
+       |$shinglesCte,
+       |capv AS (
+       |  SELECT greatest(CAST(8 AS BIGINT), least(CAST(128 AS BIGINT),
+       |    ${graft.ops.Dedup.ContainmentDfBudget} // count(*))) AS cap
+       |  FROM docs),
+       |shf AS (
+       |  SELECT doc_id, s FROM sh
+       |  QUALIFY count(*) OVER (PARTITION BY s) <= (SELECT cap FROM capv)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+       |  FROM shf l JOIN shf r ON r.s = l.s AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, containment, contained_id FROM (
+       |  SELECT a, b,
+       |    round(CAST(i AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment,
+       |    CASE WHEN sa.sz <= sb.sz THEN a ELSE b END AS contained_id
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b)
+       |WHERE containment >= $threshold ORDER BY a, b""".stripMargin
+
   /** Oracle mirror of Dedup.winnowPairs over a planted split-copy
     * fixture: docs `doc_id < plantMax` get a planted sibling
     * `doc_id + 300000` whose text is first-30-tokens(doc_id) ⧺
@@ -612,7 +652,8 @@ object TextSql {
     * threshold. Registration must pass the SAME (n=3, w, minShared,
     * maxFpDf) to the Scala operator or the compare silently diverges.
     */
-  def dedupWinnow(w: Int = 4, minShared: Long = 2L,
+  def dedupWinnow(w: Int = graft.ops.Dedup.WinnowW,
+      minShared: Long = graft.ops.Dedup.WinnowMinShared,
       maxFpDf: Int = graft.ops.Dedup.DefaultBandCap,
       plantMax: Long = 10L): String = {
     val gram = "tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]"

@@ -388,7 +388,11 @@ object GraphOps {
       frontierSize = next.count()
       val prevReached = reached
       val prevFrontier = frontier
-      reached = reached.union(next).distinct(parts.numPartitions).partitionBy(parts).cache()
+      // union is disjoint-distinct by construction (`next` is deduped
+      // and subtracted from `reached`), so no distinct pass; both sides
+      // share `parts`, making the union partitioner-aware and the
+      // partitionBy a no-op guard rather than an extra shuffle
+      reached = reached.union(next).partitionBy(parts).cache()
       reached.foreachPartition(_ => ())
       prevReached.unpersist(blocking = false)
       if (prevFrontier ne prevReached) prevFrontier.unpersist(blocking = false)

@@ -86,12 +86,30 @@ object Dedup {
     */
   val DefaultBandCap = 128
 
+  /** The banded-MD5-MinHash knobs shared by the Scala operators
+    * (as their parameter DEFAULTS) and the SQL oracle chain
+    * (TextSql.minhashSigBandCtes derives its signature/band CTEs from
+    * these). A change on either side would silently drift every
+    * hash-gated MinHash query AND the funnel that composes them, so
+    * there is deliberately ONE definition.
+    */
+  val OracleMinhashK = 8
+  val OracleMinhashBands = 4
+
+  /** The winnowing knobs shared the same way (winnowRows/winnowPairs
+    * defaults, TextSql.dedupWinnow/dedupFunnel defaults, and the
+    * explicit pipeline_dedup_funnel registration).
+    */
+  val WinnowW = 4
+  val WinnowMinShared = 2L
+
   /** LSH candidate pairs from banded MD5 MinHash: k hashes in `bands`
     * bands of k/bands rows; docs sharing any full band collide.
     * Bands hotter than `maxBandFreq` are dropped (see [[dropHotBands]]).
     * Output: (a, b) doc-id pairs, a < b, distinct.
     */
-  def minhashPairs(docs: DataFrame, k: Int = 8, bands: Int = 4,
+  def minhashPairs(docs: DataFrame, k: Int = OracleMinhashK,
+      bands: Int = OracleMinhashBands,
       maxBandFreq: Int = DefaultBandCap): DataFrame =
     minhashPairsFromShingles(shingleRows(docs, 3), k, bands, maxBandFreq)
 
@@ -317,6 +335,32 @@ object Dedup {
       .select("a", "b", "containment", "contained_id")
   }
 
+  /** The stop-shingle-cap budget behind [[containmentSchedule]]: the cap
+    * is `clamp(8, 128, ContainmentDfBudget / n)` for corpus size n, so
+    * the worst-case candidate volume bound cap·|shingle rows| stops
+    * growing with the cap term once n passes the budget/128 knee
+    * (~16 k docs) — the last dedup path with a fixed skew knob gets the
+    * lshSchedule/semDedupSchedule corpus-scheduled discipline. 2²¹ keeps
+    * the declared SFs at the measured cap 128 (500–5 020 docs) and
+    * schedules 41 at the 10× probe corpus / 13 at 30×, where round-8
+    * measured the fixed cap superlinear on df growth. Integer-exact on
+    * both engines (BIGINT floor division of non-negative values), which
+    * is what lets the oracle replay the schedule in SQL.
+    */
+  val ContainmentDfBudget = 1L << 21
+
+  def containmentSchedule(n: Long): Int =
+    math.max(8L, math.min(128L, ContainmentDfBudget / math.max(1L, n))).toInt
+
+  /** Corpus-size-aware [[containmentPairs]] at [[containmentSchedule]]'s
+    * cap — the declared `dedup_containment` path. The count() is one
+    * cheap driver action against columnar footers (the
+    * embeddingNearDupsAuto discipline).
+    */
+  def containmentPairsAuto(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.8): DataFrame =
+    containmentPairs(docs, n, threshold, containmentSchedule(docs.count()))
+
   /** Prefix-filtered containment variant — the classic lossless
     * candidate optimization (PPJoin-family): probe the inverted index
     * with only each doc's df-ascending prefix of ⌊(1-t)·sz⌋+1 kept
@@ -478,8 +522,9 @@ object Dedup {
     * (batch_id, n_corpus_dups, first_dup) — i.e. the drop/route decision
     * per incoming doc; batch docs with no match simply pass through.
     */
-  def crossCorpusMatches(corpus: DataFrame, batch: DataFrame, k: Int = 8,
-      bands: Int = 4, maxBandFreq: Int = DefaultBandCap): DataFrame = {
+  def crossCorpusMatches(corpus: DataFrame, batch: DataFrame,
+      k: Int = OracleMinhashK, bands: Int = OracleMinhashBands,
+      maxBandFreq: Int = DefaultBandCap): DataFrame = {
     val cb = dropHotBands(
         bandKeys(sigsFromShingles(shingleRows(corpus, 3), k), k, bands), maxBandFreq)
       .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
@@ -502,8 +547,9 @@ object Dedup {
     * The benchmark band frame is tiny → broadcast; the hot-band cap
     * applies to the corpus side (the O(hot·bench) skew risk).
     */
-  def contaminatedDocs(corpus: DataFrame, bench: DataFrame, k: Int = 8,
-      bands: Int = 4, maxBandFreq: Int = DefaultBandCap): DataFrame = {
+  def contaminatedDocs(corpus: DataFrame, bench: DataFrame,
+      k: Int = OracleMinhashK, bands: Int = OracleMinhashBands,
+      maxBandFreq: Int = DefaultBandCap): DataFrame = {
     val cb = dropHotBands(
         bandKeys(sigsFromShingles(shingleRows(corpus, 3), k), k, bands), maxBandFreq)
       .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
@@ -529,7 +575,8 @@ object Dedup {
     * shuffle entirely.
     */
   def crossCorpusMatchesShuffled(corpus: DataFrame, batch: DataFrame,
-      k: Int = 8, bands: Int = 4, maxBandFreq: Int = DefaultBandCap): DataFrame = {
+      k: Int = OracleMinhashK, bands: Int = OracleMinhashBands,
+      maxBandFreq: Int = DefaultBandCap): DataFrame = {
     val cb = dropHotBands(
         bandKeys(sigsFromShingles(shingleRows(corpus, 3), k), k, bands), maxBandFreq)
       .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
@@ -591,7 +638,7 @@ object Dedup {
     * rows at w=4 (smaller than the shingle frame the Jaccard family
     * already explodes).
     */
-  def winnowRows(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+  def winnowRows(docs: DataFrame, n: Int = 3, w: Int = WinnowW): DataFrame = {
     val fps = element_at(transform(array(TextOps.tokens(col("text"))), tk =>
       element_at(transform(array(
         when(size(tk) >= n,
@@ -620,8 +667,9 @@ object Dedup {
     *
     * Output: (a, b, shared) with a < b, shared ≥ minShared.
     */
-  def winnowPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
-      minShared: Long = 2L, maxFpDf: Int = DefaultBandCap): DataFrame = {
+  def winnowPairs(docs: DataFrame, n: Int = 3, w: Int = WinnowW,
+      minShared: Long = WinnowMinShared,
+      maxFpDf: Int = DefaultBandCap): DataFrame = {
     val rows0 = winnowRows(docs, n, w)
     val rows = if (maxFpDf <= 0) rows0
       else rows0

@@ -219,7 +219,7 @@ object Similarity {
   /** (vec_id, v, q, nrm) projection shared by the fixed-point k-means
     * consumers: q = floor(component·10⁶) BIGINT micro-units.
     */
-  private def fpQuantized(embs: DataFrame): DataFrame =
+  private[graft] def fpQuantized(embs: DataFrame): DataFrame =
     embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("q", transform(col("v"), x => floor(x * 1e6).cast("long")))
       .withColumn("nrm", norm(col("v")))
@@ -260,7 +260,7 @@ object Similarity {
     * and bit-identical on any engine/partitioning. `v` must be the
     * (cached) [[fpQuantized]] frame.
     */
-  private def fpTrainCentroids(v: DataFrame, nlist: Int, iters: Int): Array[Array[Long]] = {
+  private[graft] def fpTrainCentroids(v: DataFrame, nlist: Int, iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = v.orderBy("vec_id").limit(nlist)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
     requireCentroidsFitDriver(nlist, cents.headOption.map(_.length).getOrElse(0))
@@ -309,11 +309,41 @@ object Similarity {
     requireCentroidsFitDriver(ksub, dim)
     val sub = dim / m
     (sub, (0 until m).map { s =>
-      fpTrainCentroids(
+      fpTrainCentroidsAuto(
         full.select(col("vec_id"), slice(col("q"), s * sub + 1, sub).as("q")),
         ksub, iters)
     })
   }
+
+  /** Trainer escalation shared by the PQ/IVFPQ chain and (via
+    * semanticDedupAuto's equivalent switch) SemDeDup: below
+    * [[DriverTrainerMaxNlist]] the driver-resident Lloyd loop wins (no
+    * per-round shuffle); past it the frame-resident
+    * [[fpTrainAssignDistributed]] loop trains — bit-identical fixed
+    * point (OpsSpec gates equality on a sliced subspace frame) — and
+    * only the FINISHED nlist-row model is collected, because the
+    * consumers here (PQ codebook literals, the coarse-quantizer argmin)
+    * are codegen'd column expressions over literal centroids. That
+    * materialization is what [[requireCentroidsFitDriver]] still
+    * guards: the 2²² ceiling is a driver-memory/codegen fact about the
+    * literal form, independent of which trainer produced the model.
+    * ksub in any real PQ is ≤ 256 (8-bit codes) and the coarse nlist
+    * grows as √n — both orders of magnitude inside the guard at 100 TB;
+    * a model past it keeps the frame form end-to-end
+    * ([[ivfFixedPointTopKDistributed]] / [[semanticDedupDistributed]]).
+    */
+  private[graft] def fpTrainCentroidsAuto(v: DataFrame, nlist: Int,
+      iters: Int): Array[Array[Long]] =
+    if (nlist <= DriverTrainerMaxNlist) fpTrainCentroids(v, nlist, iters)
+    else {
+      val (assigned, cents) = fpTrainAssignDistributed(v, nlist, iters)
+      val out = cents.select("cid", "c").collect()
+        .sortBy(_.getAs[Int]("cid"))
+        .map(_.getSeq[Long](1).toArray)
+      assigned.unpersist(blocking = false)
+      cents.unpersist(blocking = false)
+      out
+    }
 
   def pqError(embs: DataFrame, m: Int = 4, ksub: Int = 8,
       iters: Int = 2): DataFrame = {
@@ -415,7 +445,7 @@ object Similarity {
       nlist: Int = 8, nprobe: Int = 2, m: Int = 4, ksub: Int = 8,
       iters: Int = 2): DataFrame = {
     val full = fpQuantized(embs).cache()
-    val coarse = fpTrainCentroids(full, nlist, iters)
+    val coarse = fpTrainCentroidsAuto(full, nlist, iters)
     val (sub, books) = pqTrain(full, m, ksub, iters)
     val codeCols = (0 until m).map(s =>
       fpCellColOn(slice(col("q"), s * sub + 1, sub), books(s)))
@@ -423,7 +453,6 @@ object Similarity {
       .withColumn("cid", fpCellCol(coarse))
       .withColumn("code", array(codeCols: _*))
       .cache()
-    full.unpersist(blocking = false)
     val distStructs = array(coarse.zipWithIndex.map { case (c, i) =>
       struct(fpScoreCol(c).as("d"), lit(i).as("cell"))
     }.toIndexedSeq: _*)
@@ -451,7 +480,11 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("adist"),
         col("rnk").cast("int").as("rnk"))
       .cache()
+    // materialize BEFORE releasing `full`: `assigned`'s lazy cache reads
+    // the fpQuantized projection, so unpersisting full earlier (as r8
+    // did) recomputed it uncached inside the timed action
     topk.count()
+    full.unpersist(blocking = false)
     assigned.unpersist(blocking = false)
     topk
   }

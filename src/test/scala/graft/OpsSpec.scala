@@ -172,6 +172,43 @@ class OpsSpec extends SparkSpecBase {
     assert(!jac((9000L, 9100L)), "quote pair should be invisible to Jaccard at 0.5")
   }
 
+  test("containment schedule: declared SFs keep cap 128, knee drops it 1/n, auto == fixed at the scheduled cap") {
+    // the schedule's integer form: clamp(8, 128, 2^21 // n)
+    assert(Dedup.containmentSchedule(520) == 128)    // sf0.01 + plants
+    assert(Dedup.containmentSchedule(5020) == 128)   // sf0.1 + plants
+    assert(Dedup.containmentSchedule(16384) == 128)  // the knee
+    assert(Dedup.containmentSchedule(50020) == 41)   // 10x probe corpus
+    assert(Dedup.containmentSchedule(150020) == 13)  // 30x
+    assert(Dedup.containmentSchedule(1L << 30) == 8) // floor
+    // auto must be EXACTLY the fixed operator at the scheduled cap —
+    // the declared query's oracle replays this equality in SQL
+    val d = docs.limit(400)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("containment"))).toSet
+    val n = d.count()
+    assert(key(Dedup.containmentPairsAuto(d, threshold = 0.5)) ==
+      key(Dedup.containmentPairs(d, threshold = 0.5,
+        maxShingleDf = Dedup.containmentSchedule(n))))
+  }
+
+  test("PQ trainer escalation: frame-resident codebook equals the driver codebook on a sliced subspace frame") {
+    // past DriverTrainerMaxNlist, pqTrain/ivfPqTopK switch to the
+    // frame-resident Lloyd loop (fpTrainCentroidsAuto); the two trainers
+    // must agree BIT-FOR-BIT on the same sliced frame or the PQ queries
+    // would silently drift when a corpus crosses the switch
+    val nlist = Similarity.DriverTrainerMaxNlist + 8
+    val full = Similarity.fpQuantized(embs).cache()
+    val sliced = full.select(col("vec_id"), slice(col("q"), 1, 16).as("q")).cache()
+    sliced.count()
+    val driver = Similarity.fpTrainCentroids(sliced, nlist, 2).map(_.toSeq).toSeq
+    val auto = Similarity.fpTrainCentroidsAuto(sliced, nlist, 2).map(_.toSeq).toSeq
+    sliced.unpersist(blocking = false)
+    full.unpersist(blocking = false)
+    assert(auto.size == nlist)
+    assert(auto == driver, "frame-resident codebook diverges from the driver trainer")
+  }
+
   test("prefix-filtered containment is lossless (same pairs as the direct join)") {
     // the PPJoin-style rarest-prefix probe claims completeness: any pair
     // at containment >= t shares a df-ascending prefix shingle of its
