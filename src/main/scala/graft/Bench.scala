@@ -81,26 +81,65 @@ object Bench {
     // no recoverable cause — a wedged tail must be attributable from the
     // artifact alone, not from a stderr stream nobody captured
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // In-run contention heartbeat: a TRIVIAL control query (one scan +
-    // tiny agg, no plan in common with the heavy families) timed every
-    // `controlEvery` queries plus once after the sweep, recorded as
-    // (query_index, sec) pairs. Cross-round attribution reads per-query
-    // ratios against same-session controls (SCALE.md rounds 7-8: every
-    // flagged "regression" so far was a loaded measurement window);
-    // embedding the series makes a loaded window visible from the
-    // artifact ALONE — r8's six >2x in-artifact outliers all reverted
-    // on isolated re-probe, which this field now shows without one.
+    // In-run contention heartbeat, TWO plan classes: (a) a TRIVIAL scan
+    // control (one scan + tiny agg) and (b) a tiny JOIN+SORT control
+    // (nation ⋈ region, merge-hinted so the plan carries real exchanges
+    // and sorts) — timed every `controlEvery` queries plus once after
+    // the sweep, recorded as (query_index, scan_sec, join_sec) triples.
+    // Round 8 proved a scan probe alone cannot see shuffle/sort-memory
+    // contention: a ~5-query window slowed three shuffle-heavy joins
+    // 4-5x while the scan control sat flat. Attribution now reads
+    // whichever control matches the flagged query's plan class.
     val controlFn = SparkEntry.queries.get("string_brand_stats")
+    def joinControl(): Unit = {
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      import org.apache.spark.sql.functions._
+      n.hint("merge").join(r.hint("merge"),
+          n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), sum("n_nationkey").as("s"))
+        .orderBy(desc("cnt"), asc("r_name"))
+        .queryExecution.toRdd.count()
+    }
     val controlEvery = 15
-    val controlSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    def runControl(idx: Int): Unit = controlFn.foreach { fn =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count()
-        controlSeries += ((idx, (System.nanoTime() - t0) / 1e9)) }
+    val controlSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    // storage-memory high-water companion: persisted bytes (mem + disk)
+    // at each control point — the round-8 finding was a bench session
+    // accumulating ~300 never-released result caches; this series is the
+    // in-artifact proof the per-query release below keeps storage flat
+    val storageSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    def runControl(idx: Int): Unit = {
+      controlFn.foreach { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          val t1 = System.nanoTime()
+          joinControl()
+          val t2 = System.nanoTime()
+          controlSeries += ((idx, (t1 - t0) / 1e9, (t2 - t1) / 1e9))
+        } catch { case _: Throwable => () }
+      }
+      try storageSeries += ((idx,
+        spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum))
       catch { case _: Throwable => () }
     }
-    val raw = selected.toSeq.zipWithIndex.map { case ((name, fn), qi) =>
-      if (qi % controlEvery == 0) runControl(qi)
+    // Per-query cache release: several operators return small .cache()'d
+    // result frames (deliberate — the caller's action would otherwise
+    // recompute the whole chain); across a 145-query x 2-run sweep those
+    // accumulate (round-8 finding #2, the most plausible amplifier of
+    // its contention window). Snapshot the persistent-RDD id set before
+    // each query and unpersist whatever the query added AFTER both runs
+    // (so run 2 still reuses run 1's caches). The warmup memos (shared
+    // triples view, memoized graph) predate every snapshot and survive;
+    // a released memo built mid-sweep lazily re-materializes if a later
+    // query needs it — correctness is unaffected.
+    def releaseNewRdds(before: scala.collection.Set[Int]): Unit =
+      try spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
+      } catch { case _: Throwable => () }
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count()
@@ -113,10 +152,77 @@ object Bench {
       }
       val rs = Iterator.continually(once())
         .take(runsPerQuery).takeWhile(_ >= 0).toSeq
-      name -> (if (rs.size == runsPerQuery) rs else Seq(-1.0))
+      releaseNewRdds(before)
+      if (rs.size == runsPerQuery) rs else Seq(-1.0)
+    }
+    val raw = selected.toSeq.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi % controlEvery == 0) runControl(qi)
+      name -> timeQuery(name, fn)
     }
     runControl(selected.size)
-    val results = raw.map { case (name, rs) => name -> rs.min }
+
+    // ---- In-artifact outlier self-adjudication (round-8 verdict #1).
+    // BENCH_SF1H_r08 shipped two 4-5x cross-round outliers that min-of-2
+    // could not see through (one contention window covers back-to-back
+    // runs) and the controls missed; a fresh-order re-probe after the
+    // sweep is outside that window. Any query whose min exceeds 2x its
+    // value in the PRIOR same-SF artifact (and by > 0.25 s absolute, so
+    // micro-query jitter doesn't churn) is re-run min-of-2 in name
+    // order; BOTH readings land in the sidecar ("reprobes") and the
+    // headline takes the adjudicated min. Prior artifact: explicit
+    // SPARK_GRAFT_PRIOR path, else the highest-round BENCH*_r{N}.json in
+    // cwd whose "sf" matches this run (excluding the current round).
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def queriesOf(f: java.io.File): Option[(String, Map[String, Double])] =
+      try {
+        val root = om.readTree(f)
+        if (root.path("sf").asText("") == sfDir && root.has("queries")) {
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          val qn = root.path("queries")
+          val it = qn.fieldNames()
+          while (it.hasNext) { val k = it.next(); m(k) = qn.path(k).asDouble(-1) }
+          Some(f.getName -> m.toMap)
+        } else None
+      } catch { case _: Throwable => None }
+    val currentRound = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+    val prior: Option[(String, Map[String, Double])] =
+      sys.env.get("SPARK_GRAFT_PRIOR").map(new java.io.File(_)).filter(_.isFile)
+        .flatMap(queriesOf)
+        .orElse {
+          val rx = "BENCH(?:_[A-Z0-9]+)?_r(\\d+)\\.json".r
+          Option(new java.io.File(".").listFiles).getOrElse(Array.empty).toSeq
+            .flatMap { f => f.getName match {
+              case rx(n) if !currentRound.contains(n.toInt) => Some((n.toInt, f))
+              case _ => None
+            } }
+            .sortBy(-_._1)
+            .iterator.flatMap { case (_, f) => queriesOf(f) }
+            .nextOption()
+        }
+    val reprobes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    prior.foreach { case (pname, pq) =>
+      val flagged = raw.flatMap { case (name, rs) =>
+        val cur = rs.min
+        pq.get(name).filter(p => p > 0 && cur > 2 * p && cur - p > 0.25)
+          .map(_ => name)
+      }.sorted.take(20)
+      if (flagged.nonEmpty) {
+        System.err.println(s"[bench] re-probing ${flagged.size} >2x outliers vs $pname: " +
+          flagged.mkString(", "))
+        runControl(selected.size + 1)
+        flagged.foreach { name =>
+          selected.get(name).foreach { fn =>
+            val orig = raw.collectFirst { case (`name`, rs) => rs.min }.getOrElse(-1.0)
+            val rep = timeQuery(name + "#reprobe", fn).min
+            if (rep >= 0) reprobes(name) = (orig, rep)
+          }
+        }
+        runControl(selected.size + 2)
+      }
+    }
+    val results = raw.map { case (name, rs) =>
+      name -> reprobes.get(name).map { case (o, r) => math.min(o, r) }.getOrElse(rs.min)
+    }
     // Keep the JSON line SHORT (3-decimal seconds) and emit it as the
     // absolute LAST stdout line, after spark.stop(): the round driver
     // tail-captures output, and in round 2 the ~4 KB full-precision line
@@ -148,9 +254,29 @@ object Bench {
     val errorsJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val controlJson = controlSeries
-      .map { case (i, s) => s"[$i,${r3(s)}]" }.mkString("[", ",", "]")
+      .map { case (i, sc, jn) => s"[$i,${r3(sc)},${r3(jn)}]" }.mkString("[", ",", "]")
+    val storageJson = storageSeries
+      .map { case (i, b) => s"[$i,$b]" }.mkString("[", ",", "]")
+    val reprobesJson = reprobes
+      .map { case (k, (o, r)) => jstr(k) + s":[${r3(o)},${r3(r)}]" }
+      .mkString("{", ",", "}")
+    val priorJson = prior.map(p => jstr(p._1)).getOrElse("null")
+    // corpus seed travels with scaled corpora via make_sf.py's
+    // MANIFEST.json; absent manifest (the driver's own testdata dirs) the
+    // field is omitted rather than guessed
+    val corpusSeed: Option[Long] =
+      try {
+        val mf = new java.io.File(s"$sfDir/MANIFEST.json")
+        if (mf.isFile) {
+          val n = om.readTree(mf).path("seed")
+          if (n.isNumber) Some(n.asLong) else None
+        } else None
+      } catch { case _: Throwable => None }
+    val seedJson = corpusSeed.map(s => s""","corpus_seed":$s""").getOrElse("")
     val sidecarJson = json.dropRight(1) +
-      s""","runs":$runsJson,"errors":$errorsJson,"control_series":$controlJson}"""
+      s""","runs":$runsJson,"errors":$errorsJson,"control_series":$controlJson,""" +
+      s""""storage_series":$storageJson,"reprobes":$reprobesJson,""" +
+      s""""prior_artifact":$priorJson$seedJson}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sidecar),

@@ -58,11 +58,11 @@ KEYED = {
 COPY_ONCE = ["region", "nation"]
 
 
-def shuffle_text(col: pa.ChunkedArray, copy: int) -> pa.Array:
+def shuffle_text(col: pa.ChunkedArray, copy: int, seed: int) -> pa.Array:
     out = []
     for i, v in enumerate(col.to_pylist()):
         toks = v.split(" ")
-        random.Random((copy << 32) | i).shuffle(toks)
+        random.Random((seed << 48) ^ (copy << 32) | i).shuffle(toks)
         out.append(" ".join(toks))
     return pa.array(out, type=col.type)
 
@@ -81,18 +81,23 @@ def roll_embedding(col: pa.ChunkedArray, copy: int) -> pa.Array:
 HEAPS_Q = 0.24
 
 
-def heaps_text(col: pa.ChunkedArray, copy: int) -> pa.Array:
+def heaps_text(col: pa.ChunkedArray, copy: int, seed: int) -> pa.Array:
     out = []
     for i, v in enumerate(col.to_pylist()):
-        rng = random.Random((copy << 32) | i)
+        rng = random.Random((seed << 48) ^ (copy << 32) | i)
         toks = [f"{w}~{copy}" if rng.random() < HEAPS_Q else w
                 for w in v.split(" ")]
         out.append(" ".join(toks))
     return pa.array(out, type=col.type)
 
 
+def table_stat(path: Path):
+    md = pq.read_metadata(path)
+    return {"rows": md.num_rows, "bytes": path.stat().st_size}
+
+
 def main(src: Path, out: Path, factor: int, perturb: bool,
-         heaps: bool = False) -> None:
+         heaps: bool = False, seed: int = 42) -> None:
     out.mkdir(parents=True, exist_ok=True)
     for t in COPY_ONCE:
         pq.write_table(pq.read_table(src / f"{t}.parquet"), out / f"{t}.parquet")
@@ -108,19 +113,41 @@ def main(src: Path, out: Path, factor: int, perturb: bool,
                 if name in units and c > 0:
                     col = pa.compute.add(col, c * units[name])
                 elif heaps and c > 0 and t == "documents" and name == "text":
-                    col = heaps_text(col, c)
+                    col = heaps_text(col, c, seed)
                 elif perturb and c > 0 and t == "documents" and name == "text":
-                    col = shuffle_text(col, c)
+                    col = shuffle_text(col, c, seed)
                 elif (perturb or heaps) and c > 0 and t == "embeddings" and name == "embedding":
                     col = roll_embedding(col, c)
                 cols.append(col)
             copies.append(pa.table(cols, names=tbl.column_names))
         big = pa.concat_tables(copies)
-        pq.write_table(big, out / f"{t}.parquet")
+        # pin the row-group size so output bytes depend only on content —
+        # the cross-round fingerprint-drift fix (round-8 verdict #4):
+        # with the seed explicit and the layout pinned, two regenerations
+        # from the same source are byte-identical
+        pq.write_table(big, out / f"{t}.parquet", row_group_size=1 << 20)
         print(f"{t}: {tbl.num_rows} -> {big.num_rows}")
+    # Manifest: the seed + mode + source/output fingerprints, read by
+    # graft.Bench to stamp "corpus_seed" into scaled-run artifacts, and
+    # by humans to attribute any residual drift to SOURCE regeneration
+    # (the driver rewrites /root/testdata each round) vs this script.
+    import json
+    mode = "heaps" if heaps else ("perturb" if perturb else "base")
+    manifest = {
+        "seed": seed, "factor": factor, "mode": mode,
+        "source_dir": str(src),
+        "source": {t: table_stat(src / f"{t}.parquet")
+                   for t in list(KEYED) + COPY_ONCE},
+        "output": {t: table_stat(out / f"{t}.parquet")
+                   for t in list(KEYED) + COPY_ONCE},
+    }
+    (out / "MANIFEST.json").write_text(json.dumps(manifest, indent=1))
+    print(f"MANIFEST.json: seed={seed} mode={mode} factor={factor}")
 
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    seed = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                 if a.startswith("--seed=")), 42)
     main(Path(args[0]), Path(args[1]), int(args[2]),
-         "--perturb" in sys.argv, "--heaps" in sys.argv)
+         "--perturb" in sys.argv, "--heaps" in sys.argv, seed)
