@@ -143,18 +143,43 @@ object TextOps {
   /** PII detection/redaction regexes — RE2-safe subset (no lookaround,
     * no \b) so the same pattern runs identically in any engine's regex
     * dialect; greedy leftmost-longest semantics agree between Java
-    * regex and RE2 for these shapes.
+    * regex and RE2 for these shapes. Source of truth lives with the
+    * fused scanner ([[graft.functions.PiiUtil]]) that compiles them.
     */
-  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val phoneRe = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
-  val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val emailRe: String = graft.functions.PiiUtil.emailRe
+  val phoneRe: String = graft.functions.PiiUtil.phoneRe
+  val ipRe: String = graft.functions.PiiUtil.ipRe
 
   /** Per-doc PII counts + the fingerprint of the redacted text. Order
     * matters: IPs redact BEFORE phones cannot collide (disjoint
     * shapes), but emails must go first — the email local part may
     * contain digit runs a later pattern could clip.
+    *
+    * The scan is ONE fused codegen'd expression
+    * ([[graft.functions.PiiScanExpr]]: 1 string conversion + 5 matcher
+    * passes per row, vs 6 independent regex expressions with 2 extra
+    * intermediate strings in the built-in chain) — the DeflateSizeExpr
+    * discipline applied to the most expensive pure scan of the 10x
+    * bench. The struct is aliased once and its fields projected from
+    * the alias; CollapseProject does not re-inline a multiply-referenced
+    * non-cheap expression, and TextSpec pins both the plan (exactly one
+    * graft_pii_scan) and row equality with [[piiScrubBuiltin]].
     */
-  def piiScrub(docs: DataFrame): DataFrame = {
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.PiiScanExpr(col("text")).as("pii"))
+      .select(
+        col("doc_id"),
+        col("pii.n_emails").as("n_emails"),
+        col("pii.n_ips").as("n_ips"),
+        col("pii.n_phones").as("n_phones"),
+        md5(col("pii.redacted")).as("redacted_fp"))
+
+  /** The composed built-in form [[piiScrub]] replaced — kept as the
+    * equivalence twin TextSpec gates the fused scanner against (row
+    * equality on the planted-PII fixture plus the raw corpus).
+    */
+  private[graft] def piiScrubBuiltin(docs: DataFrame): DataFrame = {
     val redacted = regexp_replace(
       regexp_replace(
         regexp_replace(col("text"), emailRe, "[EMAIL]"),

@@ -367,6 +367,18 @@ object EventStream {
     * flatMapGroupsWithState` shape a 100 TB clickstream pipeline needs —
     * state lives in the state store, partitioned by user, never on the
     * driver.
+    *
+    * Disorder bound (quantified in GraphStreamSpec's disorder test):
+    * within a micro-batch any disorder is healed by the in-batch sort;
+    * ACROSS batches a late event landing delta behind the open tail
+    * regresses last_us, so the next event's computed gap is its true
+    * gap g plus delta — g <= gapSec − delta stays correct, a true gap
+    * in (gapSec − delta, gapSec] splits spuriously (closing the session
+    * at the regressed timestamp), and late events are absorbed into the
+    * open session but never retroactively split or merge a closed one.
+    * Pipelines with unbounded cross-batch disorder should use the
+    * order-free [[latestStates]] upsert family or a watermark-delayed
+    * batch recompute instead.
     */
   def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
       gapSec: Long): org.apache.spark.sql.Dataset[CompletedSession] = {

@@ -28,7 +28,12 @@ object ScaleProbe {
     def embs = graft.api.Tables.embeddings(spark, sfDir)
     val probes: Seq[(String, () => DataFrame)] = Seq(
       "containment_direct" -> (() => graft.ops.Dedup.containmentPairs(docs)),
+      "containment_sched" -> (() => graft.ops.Dedup.containmentPairsAuto(docs)),
       "containment_prefix" -> (() => graft.ops.Dedup.containmentPairsPrefixed(docs)),
+      // fused codegen'd PII scanner vs the 6-expression built-in chain
+      // it replaced (round-9): same rows (OpsSpec), cost is the measure
+      "pii_fused" -> (() => graft.ops.TextOps.piiScrub(docs)),
+      "pii_builtin" -> (() => graft.ops.TextOps.piiScrubBuiltin(docs)),
       "jaccard" -> (() => graft.ops.Dedup.ngramJaccardPairs(docs)),
       // pruned-verify variant: semi-filter the shingle frame to docs
       // that appear in ANY candidate pair before the intersection

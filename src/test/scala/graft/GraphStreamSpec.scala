@@ -551,6 +551,103 @@ class GraphStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionize/transitions cross-batch disorder bound: gaps <= gap-delta safe, (gap-delta, gap] may split; no retroactive merge") {
+    import spark.implicits._
+    // The monotone-batch assumption quantified (the bound latestStates
+    // explicitly does NOT need — its max-wins upsert is order-free):
+    // a cross-batch LATE event landing delta behind the open session's
+    // tail regresses last_us by delta, so the NEXT event's computed gap
+    // is its true gap g plus delta. Hence:
+    //   - g <= gapSec - delta  -> correct (no spurious split);
+    //   - gapSec - delta < g <= gapSec -> SPURIOUS split (only window);
+    //   - late events are absorbed (n counts them), never retroactively
+    //     split or merge an already-closed session;
+    //   - within ONE batch, any disorder is fully healed by the
+    //     in-batch sort.
+    // gap = 100 s, delta = 20 s; all times in seconds below, us in data.
+    def us(s: Long) = s * 1000000L
+    val stage = java.nio.file.Files.createTempDirectory("graft-disorder")
+    // user 1 exercises the SAFE side (g = 70 <= 100 - 20), user 2 the
+    // spurious window (g = 85 in (80, 100]); both have identical
+    // batch-1 history and the same delta=20 late event in batch 2.
+    Seq((1L, us(0), 1L), (1L, us(50), 2L),
+        (2L, us(0), 3L), (2L, us(50), 4L),
+        // user 3: WITHIN-batch disorder only (written out of order,
+        // every true gap 80 <= 100) — the in-batch sort must heal it
+        (3L, us(160), 5L), (3L, us(0), 6L), (3L, us(80), 7L))
+      .toDF("user_id", "ts_us", "event_id")
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100) // file source orders batches by mod time
+    Seq((1L, us(30), 8L), (1L, us(120), 9L),   // late delta=20; next g=70
+        (2L, us(30), 10L), (2L, us(135), 11L), // late delta=20; next g=85
+        // close both users' sessions with a genuine > gap jump so the
+        // assertions read COMPLETED sessions, not open state
+        (1L, us(1000), 12L), (2L, us(1000), 13L))
+      .toDF("user_id", "ts_us", "event_id")
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType)))
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+      .as[EventStream.SessionEvent]
+    val q = EventStream.sessionize(in, gapSec = 100)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_disorder").start()
+    try {
+      q.processAllAvailable()
+      val sessions = spark.table("stream_disorder")
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          (r.getAs[Long]("start_us"), r.getAs[Long]("end_us"), r.getAs[Int]("n_events"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toList).toMap
+      // user 1 (safe side): ONE completed session absorbing the late
+      // event — [0, 120] with n=4 (the late t=30 counted, no split)
+      assert(sessions(1L) == List((us(0), us(120), 4)),
+        s"user 1 (g <= gap - delta) must not split: ${sessions(1L)}")
+      // user 2 (spurious window): the regressed tail splits at t=135 —
+      // the session closes at the LATE timestamp (end_us = 30, the
+      // regressed last_us), the documented artifact
+      assert(sessions(2L) == List((us(0), us(30), 3), (us(135), us(135), 1)),
+        s"user 2 (gap - delta < g <= gap) must split spuriously: ${sessions(2L)}")
+      // user 3: in-batch disorder fully healed — one open session
+      // [0, 160] (n=3) still in state, so NOTHING completed
+      assert(!sessions.contains(3L),
+        s"user 3's in-batch disorder must heal to one open session: ${sessions.get(3L)}")
+    } finally q.stop()
+
+    // transitions under the same staging: the cross-batch late event
+    // emits in ARRIVAL order (view@50 -> late click@30), i.e. the pair
+    // direction inverts vs the true-time batch oracle — the bound is
+    // "pairs follow arrival order across batches, true order within"
+    val stageT = java.nio.file.Files.createTempDirectory("graft-disorder-t")
+    Seq((9L, us(10), 1L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .coalesce(1).write.parquet(stageT.resolve("b1").toString)
+    Thread.sleep(1100)
+    Seq((9L, us(5), 2L, "click"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+      .coalesce(1).write.parquet(stageT.resolve("b2").toString)
+    val schemaT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val inT = spark.readStream.schema(schemaT)
+      .option("maxFilesPerTrigger", 1).parquet(stageT.toString + "/*/")
+      .as[EventStream.TypedEvent]
+    val qT = EventStream.transitions(inT)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_disorder_t").start()
+    try {
+      qT.processAllAvailable()
+      val pairs = spark.table("stream_disorder_t")
+        .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dst"))).toList
+      assert(pairs == List(("view", "click")),
+        s"cross-batch late event must pair in arrival order: $pairs")
+    } finally qT.stop()
+  }
+
   test("stateful transitions converge to batch lead() counts; pairs straddle batches") {
     import spark.implicits._
     // explicit two-batch fixture: user 1's last batch-1 event (t=30,

@@ -775,6 +775,35 @@ class OpsSpec extends SparkSpecBase {
       redacted.contains("[IP]") && !redacted.contains("@"))
   }
 
+  test("fused pii scanner: row-identical to the built-in chain; plan carries exactly one scan call") {
+    import spark.implicits._
+    // adversarial shapes: IP-alike inside an email domain (consumed by
+    // the email REDACTION but still COUNTED as an ip on the original —
+    // the count-on-original contract), adjacent matches, empty text,
+    // multiple of one family
+    val df = (Seq(
+      (1L, "x 10.1.2.3 y u@h10.1.2.3x.com z"),
+      (2L, "a@b.co c@d.org +123 456-7890 999 888-7777 1.2.3.4 5.6.7.8"),
+      (3L, ""),
+      (4L, "plain words only")).toDF("doc_id", "text"))
+      .unionByName(docs.select(col("doc_id") + 1000, col("text")).limit(200)
+        .toDF("doc_id", "text"))
+    def key(out: org.apache.spark.sql.DataFrame) = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"),
+        r.getAs[Long]("n_phones"), r.getAs[String]("redacted_fp"))).toSet
+    val fused = key(TextOps.piiScrub(df))
+    val builtin = key(TextOps.piiScrubBuiltin(df))
+    assert(fused == builtin,
+      s"fused scanner diverges: fused-only=${(fused -- builtin).take(3)} " +
+        s"builtin-only=${(builtin -- fused).take(3)}")
+    // the struct must be evaluated ONCE per row: a CollapseProject
+    // re-inline would put 4 graft_pii_scan calls in the plan (the
+    // compressibility-proxy failure mode, here for a struct alias)
+    val plan = TextOps.piiScrub(df).queryExecution.executedPlan.toString
+    val calls = "graft_pii_scan".r.findAllIn(plan).size
+    assert(calls == 1, s"expected exactly 1 graft_pii_scan in the plan, got $calls:\n$plan")
+  }
+
   test("property: bounded top-k equals sort-take on random grouped data") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
