@@ -3159,7 +3159,405 @@ object Queries {
           |      FROM docs)
           |SELECT digest, count(*) AS n_assets, min(asset_id) AS canonical_id,
           |  min(nb) AS n_bytes
-          |FROM a GROUP BY digest HAVING count(*) > 1 ORDER BY digest""".stripMargin))
+          |FROM a GROUP BY digest HAVING count(*) > 1 ORDER BY digest""".stripMargin)),
+
+    // ===== Round 9: basket mining, record linkage, data selection =====
+
+    // Market-basket association rules over co-ordered parts: support /
+    // confidence / lift ×1e6 in exact integer arithmetic. The per-order
+    // pair explode is bounded by basket width (≤ C(13,2) pair rows per
+    // order here) and the support-≥2 prune cuts the edge set before the
+    // metric joins — candidates-then-verify on keyed joins only.
+    "assoc_part_pairs" -> Q(
+      (s, d) => graft.ops.Basket.assocRules(Tables.lineitem(s, d), minSupport = 2)
+        .orderBy("pa", "pb"),
+      Some(
+        """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_both
+          |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |pp AS (SELECT pk, count(*) AS n_part FROM op GROUP BY 1),
+          |n AS (SELECT count(DISTINCT ok) AS n_orders FROM op)
+          |SELECT pa, pb, n_both,
+          |  CAST(CAST(n_both AS HUGEINT) * 1000000 // CAST(na.n_part AS HUGEINT)
+          |       AS BIGINT) AS conf_ab_x1e6,
+          |  CAST(CAST(n_both AS HUGEINT) * CAST(n.n_orders AS HUGEINT) * 1000000
+          |       // (CAST(na.n_part AS HUGEINT) * CAST(nb.n_part AS HUGEINT))
+          |       AS BIGINT) AS lift_x1e6
+          |FROM e JOIN pp na ON na.pk = pa JOIN pp nb ON nb.pk = pb CROSS JOIN n
+          |ORDER BY pa, pb""".stripMargin)),
+
+    // Triangle census on the support-pruned co-order graph (edges
+    // oriented a < b so each triangle counts once as a < b < c): the
+    // global clustering readout. Both joins are keyed on the pruned
+    // edge set — Σ deg² of the THINNED adjacency, not the raw one.
+    "graph_triangles" -> Q(
+      (s, d) => graft.ops.Basket.triangleStats(Tables.lineitem(s, d), minSupport = 2),
+      Some(
+        """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e AS (SELECT a.pk AS pa, b.pk AS pb
+          |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |w AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+          |      FROM e e1 JOIN e e2 ON e2.pa = e1.pb)
+          |SELECT (SELECT count(*) FROM e) AS n_edges,
+          |  (SELECT count(*) FROM w) AS n_wedges,
+          |  (SELECT count(*) FROM w WHERE EXISTS
+          |     (SELECT 1 FROM e WHERE e.pa = w.a AND e.pb = w.c)) AS n_triangles""".stripMargin)),
+
+    // Blocked fuzzy record linkage over customer names: collapse to
+    // DISTINCT names first (exact-dup mass becomes a multiplicity and
+    // the dist=0 row), then block on the name minus its last 2 chars
+    // and verify with Levenshtein ≤ 2 inside the block. The collapse
+    // is the scale move — block width is bounded by the suffix charset
+    // (≤ |charset|²) REGARDLESS of how often a name repeats, so pair
+    // volume tracks distinct names, not corpus rows (measured: the
+    // pre-collapse form cost 96× at the name-replicated 10× corpus).
+    "dedup_fuzzy_names" -> Q(
+      (s, d) => graft.ops.Linkage.fuzzyNameSummary(
+          Tables.customer(s, d), "c_name")
+        .orderBy("dist"),
+      Some(
+        """WITH nm AS (SELECT c_name AS name, count(*) AS m FROM customer GROUP BY 1),
+          |k AS (SELECT name, m,
+          |        substring(name, 1, length(name) - 2) AS block FROM nm),
+          |fz AS (SELECT a.block, a.m * b.m AS w, levenshtein(a.name, b.name) AS dist
+          |       FROM k a JOIN k b ON b.block = a.block AND a.name < b.name),
+          |ex AS (SELECT CAST(0 AS BIGINT) AS dist,
+          |         CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_pairs,
+          |         count(DISTINCT block) AS n_blocks
+          |       FROM k WHERE m > 1 HAVING sum(m * (m - 1) // 2) IS NOT NULL)
+          |SELECT * FROM ex
+          |UNION ALL
+          |SELECT CAST(dist AS BIGINT) AS dist, CAST(sum(w) AS BIGINT) AS n_pairs,
+          |  count(DISTINCT block) AS n_blocks
+          |FROM fz WHERE dist <= 2 GROUP BY dist
+          |ORDER BY dist""".stripMargin)),
+
+    // Aggressive canonicalization dedup: lowercase + strip punctuation
+    // + collapse whitespace, over a corpus with planted punct/case
+    // variants (doc_id < 50 re-appended under id+300000 wrapped in
+    // punctuation). `exact_too` marks groups the whitespace-normalized
+    // fingerprint (dedup_exact's key) already catches — false rows are
+    // what canonicalization alone buys. Same one-shuffle hash-groupBy
+    // as exact dedup.
+    "dedup_canonical" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val plants = base.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 300000)
+          .withColumn("text", concat(lit("*** "), upper(col("text")), lit(" ???")))
+        graft.ops.Linkage.canonicalGroups(base.unionByName(plants))
+          .orderBy("cfp")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 300000, '*** ' || upper(text) || ' ???'
+          |  FROM documents WHERE doc_id < 50),
+          |c AS (SELECT doc_id,
+          |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+          |      ' +', ' ', 'g'))) AS cfp,
+          |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          |  FROM docs)
+          |SELECT cfp, count(*) AS n, min(doc_id) AS canonical_id,
+          |  (count(DISTINCT fp) = 1) AS exact_too
+          |FROM c GROUP BY cfp HAVING count(*) > 1 ORDER BY cfp""".stripMargin)),
+
+    // DSIR data selection (Xie et al. 2023): rank docs by the hashed-
+    // bigram importance weight of a target distribution (the 'en'
+    // slice) over the raw corpus. The model is a FIXED 4096-bucket
+    // log-ratio table (two map-side-combined aggs) broadcast back onto
+    // the token stream; per-bucket scores are floored to ×1e6 BIGINT
+    // before the per-doc sum, so doc totals are order-free integer
+    // arithmetic. Top 50 by weight = the kept slice.
+    "pipeline_dsir_sample" -> Q(
+      (s, d) => graft.ops.Selection.dsirWeights(Tables.documents(s, d))
+        .orderBy(desc("avg_score_x1e6"), asc("doc_id"))
+        .limit(50),
+      Some(
+        s"""WITH t AS (SELECT doc_id, lang, source,
+           |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+           |  FROM documents),
+           |bg AS (SELECT doc_id, lang, source,
+           |    unnest(list_transform(generate_series(1, len(toks) - 1),
+           |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+           |  FROM t WHERE len(toks) >= 2),
+           |bk AS (SELECT doc_id, lang, source,
+           |    ${GraphSql.md5Hash60("bg")} % 4096 AS bucket FROM bg),
+           |raw AS (SELECT bucket, count(*) AS cr FROM bk GROUP BY 1),
+           |tgt AS (SELECT bucket, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY 1),
+           |tot AS (SELECT count(*) AS tr,
+           |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt FROM bk),
+           |model AS (SELECT raw.bucket,
+           |    CAST(floor((ln(COALESCE(tgt.ct, 0) + 1) - ln(raw.cr + 1)
+           |        + ln(tot.tr + 4096) - ln(tot.tt + 4096)) * 1e6) AS BIGINT) AS score_x1e6
+           |  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+           |w AS (SELECT doc_id, lang, source, count(*) AS n_bigrams,
+           |    sum(score_x1e6) AS w FROM bk JOIN model USING (bucket)
+           |  GROUP BY 1, 2, 3)
+           |SELECT doc_id, lang, source, n_bigrams,
+           |  CAST(CAST(w AS HUGEINT) // CAST(n_bigrams AS HUGEINT) AS BIGINT) AS avg_score_x1e6
+           |FROM w ORDER BY avg_score_x1e6 DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // Zipf's-law fit over the term-frequency ranks: slope of
+    // log(freq) vs log(rank) for the top 1000 terms, in fixed-point
+    // least squares (per-point logs floored to ×1e6 BIGINT, then the
+    // closed-form slope in DECIMAL(38,0) integer sums — order-free).
+    // The rank window runs over the VOCABULARY frame (Heaps-bounded,
+    // ~√corpus), not the corpus; the corpus-order work is one token agg.
+    "text_zipf_slope" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = Tables.documents(s, d)
+          .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val pts = tf
+          .withColumn("rnk", row_number().over(Window.orderBy(desc("cnt"), asc("w"))))
+          .filter(col("rnk") <= 1000)
+          .select(floor(log(col("rnk")) * 1e6).cast("long").as("x"),
+            floor(log(col("cnt")) * 1e6).cast("long").as("y"))
+        def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          c.cast("decimal(38,0)")
+        pts.agg(count(lit(1)).as("n"),
+            sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+            sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+            sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+          .select(col("n").as("n_terms"),
+            expr("""cast((cast(n as decimal(38,0)) * sxy - sx * sy) * 1000000
+                   | div (cast(n as decimal(38,0)) * sxx - sx * sx) as bigint)""".stripMargin)
+              .as("slope_x1e6"))
+      },
+      Some(
+        """WITH tf AS (
+          |  SELECT w, count(*) AS cnt FROM (
+          |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+          |    FROM documents) WHERE w <> '' GROUP BY w),
+          |pts AS (
+          |  SELECT CAST(floor(ln(rnk) * 1e6) AS BIGINT) AS x,
+          |         CAST(floor(ln(cnt) * 1e6) AS BIGINT) AS y
+          |  FROM (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM tf)
+          |  WHERE rnk <= 1000),
+          |s AS (SELECT count(*) AS n,
+          |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+          |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+          |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+          |  FROM pts)
+          |SELECT n AS n_terms,
+          |  CAST((CAST(n AS HUGEINT) * sxy - sx * sy) * 1000000
+          |       // (CAST(n AS HUGEINT) * sxx - sx * sx) AS BIGINT) AS slope_x1e6
+          |FROM s""".stripMargin)),
+
+    // RFM customer segmentation: quartile recency / frequency /
+    // monetary labels per market segment (rank windows PARTITIONED by
+    // segment — the winsorize discipline; the 100 TB swap is KLL
+    // boundaries with assignment unchanged). All metrics integer (days
+    // since 1992-01-01, order count, cents); ntile ties broken by a
+    // total order so both engines bucket identically.
+    "customer_rfm" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val m = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(datediff(max(col("o_orderdate").cast("date")),
+              to_date(lit("1992-01-01"))).cast("long").as("r_days"),
+            count(lit(1)).as("freq"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("mon_c"))
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg")), "o_custkey")
+        def q(metric: String): org.apache.spark.sql.Column = ntile(4).over(
+          Window.partitionBy("seg").orderBy(col(metric), col("o_custkey")))
+        m.select(col("seg"), col("o_custkey"), col("mon_c"),
+            q("r_days").as("r_q"), q("freq").as("f_q"), q("mon_c").as("m_q"))
+          .groupBy("seg", "r_q", "f_q", "m_q")
+          .agg(count(lit(1)).as("n_customers"),
+            expr("sum(mon_c) div count(1)").cast("long").as("avg_monetary_c"))
+          .withColumn("r_q", col("r_q").cast("long"))
+          .withColumn("f_q", col("f_q").cast("long"))
+          .withColumn("m_q", col("m_q").cast("long"))
+          .select("seg", "r_q", "f_q", "m_q", "n_customers", "avg_monetary_c")
+          .orderBy("seg", "r_q", "f_q", "m_q")
+      },
+      Some(
+        """WITH m AS (
+          |  SELECT o_custkey,
+          |    CAST(date_diff('day', DATE '1992-01-01', CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS r_days,
+          |    count(*) AS freq,
+          |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS mon_c
+          |  FROM orders GROUP BY 1),
+          |j AS (SELECT m.*, c.c_mktsegment AS seg FROM m
+          |      JOIN customer c ON c.c_custkey = m.o_custkey),
+          |q AS (SELECT seg, o_custkey, mon_c,
+          |    ntile(4) OVER (PARTITION BY seg ORDER BY r_days, o_custkey) AS r_q,
+          |    ntile(4) OVER (PARTITION BY seg ORDER BY freq, o_custkey) AS f_q,
+          |    ntile(4) OVER (PARTITION BY seg ORDER BY mon_c, o_custkey) AS m_q
+          |  FROM j)
+          |SELECT seg, CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+          |  CAST(m_q AS BIGINT) AS m_q, count(*) AS n_customers,
+          |  CAST(sum(mon_c) // count(*) AS BIGINT) AS avg_monetary_c
+          |FROM q GROUP BY seg, r_q, f_q, m_q
+          |ORDER BY seg, r_q, f_q, m_q""".stripMargin)),
+
+    // One-pass column profiling of `orders` (the data-quality readout a
+    // pipeline runs before trusting a new drop): per column — nulls,
+    // exact distinct count, min/max as canonical strings. One scan, six
+    // distinct aggregates (Catalyst expands), money in cents so no
+    // float formatting crosses engines.
+    "profile_columns" -> Q(
+      (s, d) => {
+        val p = Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("o_totalprice_c"),
+          col("o_orderdate"), col("o_orderpriority"))
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice_c", "o_orderdate", "o_orderpriority")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+          count(col(c)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max")) }
+        val stackExpr = "stack(" + cols.size + ", " + cols.map { c =>
+          s"'$c', n_rows - ${c}_nn, ${c}_nd, ${c}_min, ${c}_max"
+        }.mkString(", ") + ") as (column_name, n_nulls, n_distinct, min_s, max_s)"
+        p.agg(aggs.head, aggs.tail: _*)
+          .select(expr(stackExpr))
+          .orderBy("column_name")
+      },
+      Some(
+        """WITH p AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          |    CAST(floor(o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+          |    o_orderdate, o_orderpriority FROM orders)
+          |SELECT 'o_custkey' AS column_name,
+          |  count(*) - count(o_custkey) AS n_nulls, count(DISTINCT o_custkey) AS n_distinct,
+          |  CAST(min(o_custkey) AS VARCHAR) AS min_s, CAST(max(o_custkey) AS VARCHAR) AS max_s FROM p
+          |UNION ALL SELECT 'o_orderdate', count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
+          |  CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM p
+          |UNION ALL SELECT 'o_orderkey', count(*) - count(o_orderkey), count(DISTINCT o_orderkey),
+          |  CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM p
+          |UNION ALL SELECT 'o_orderpriority', count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+          |  min(o_orderpriority), max(o_orderpriority) FROM p
+          |UNION ALL SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+          |  min(o_orderstatus), max(o_orderstatus) FROM p
+          |UNION ALL SELECT 'o_totalprice_c', count(*) - count(o_totalprice_c), count(DISTINCT o_totalprice_c),
+          |  CAST(min(o_totalprice_c) AS VARCHAR), CAST(max(o_totalprice_c) AS VARCHAR) FROM p
+          |ORDER BY column_name""".stripMargin)),
+
+    // Integer EWMA of hourly event volume (α = 1/2 truncated at 10
+    // lags): each hour's count SCATTERS to the next 10 hours with
+    // weight 2^(9−lag) — an explode-then-agg (no range join, no
+    // window), one shuffle on (type, hour). Weighted sums are exact
+    // integers; the readout is the last 24 hours per type.
+    "events_ewma" -> Q(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val mx = Tables.events(s, d)
+          .agg(max(date_trunc("hour", col("ts"))).as("mx"))
+        hourly
+          .withColumn("lag", explode(expr("sequence(0, 9)")))
+          .withColumn("t", expr("hr + make_interval(0, 0, 0, 0, lag, 0, 0)"))
+          .withColumn("wgt", expr("shiftleft(cast(1 as bigint), 9 - lag)"))
+          .groupBy("event_type", "t")
+          .agg(sum(col("n") * col("wgt")).as("ewma_wsum"))
+          .crossJoin(broadcast(mx))
+          .filter(col("t") <= col("mx") &&
+            col("t") >= expr("mx - interval 23 hours"))
+          .select("event_type", "t", "ewma_wsum")
+          .orderBy("event_type", "t")
+      },
+      Some(
+        """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+          |    count(*) AS n FROM events GROUP BY 1, 2),
+          |mx AS (SELECT max(date_trunc('hour', ts)) AS mx FROM events),
+          |c AS (SELECT event_type,
+          |    hr + lag * (INTERVAL 1 HOUR) AS t,
+          |    n * (1 << (9 - lag)) AS c
+          |  FROM hourly, unnest(generate_series(0, 9)) AS u(lag))
+          |SELECT event_type, t, CAST(sum(c) AS BIGINT) AS ewma_wsum
+          |FROM c CROSS JOIN mx
+          |WHERE t <= mx AND t >= mx - INTERVAL 23 HOUR
+          |GROUP BY event_type, t ORDER BY event_type, t""".stripMargin)),
+
+    // Shuffle-key skew diagnostic for the three lineitem join keys:
+    // exact distinct counts, hottest-key share, and the max/avg
+    // imbalance over 32 md5 hash buckets — the pre-join readout that
+    // decides salting / AQE-skew handling before a 100 TB shuffle.
+    // Everything is two small aggregations per key; integer ratios.
+    "stats_key_skew" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def skewFor(keyCol: String): DataFrame = {
+          val keyed = li.select(col(keyCol).cast("long").as("k"))
+          val perKey = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+          val keyAgg = perKey.agg(sum("cnt").as("n"),
+            count(lit(1)).as("n_distinct"), max("cnt").as("max_key"))
+          val bktAgg = keyed
+            .groupBy(pmod(graft.functions.GraftFunctions.md5Hash60(col("k")), lit(32L)).as("bkt"))
+            .agg(count(lit(1)).as("bn"))
+            .agg(max("bn").as("max_bucket"))
+          keyAgg.crossJoin(bktAgg)
+            .select(lit(keyCol).as("key_name"), col("n").cast("long").as("n"),
+              col("n_distinct"),
+              expr("max_key * 1000000L div n").cast("long").as("top_key_share_x1e6"),
+              expr("max_bucket * 32L * 1000000L div n").cast("long").as("bucket_imbalance_x1e6"))
+        }
+        skewFor("l_orderkey")
+          .unionByName(skewFor("l_partkey"))
+          .unionByName(skewFor("l_suppkey"))
+          .orderBy("key_name")
+      },
+      Some(
+        s"""WITH ks AS (
+           |  SELECT 'l_orderkey' AS key_name, l_orderkey AS k FROM lineitem
+           |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+           |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+           |pk AS (SELECT key_name, k, count(*) AS cnt FROM ks GROUP BY 1, 2),
+           |ka AS (SELECT key_name, sum(cnt) AS n, count(*) AS n_distinct,
+           |    max(cnt) AS max_key FROM pk GROUP BY 1),
+           |bk AS (SELECT key_name, ${GraphSql.md5Hash60("CAST(k AS VARCHAR)")} % 32 AS bkt,
+           |    count(*) AS bn FROM ks GROUP BY 1, 2),
+           |ba AS (SELECT key_name, max(bn) AS max_bucket FROM bk GROUP BY 1)
+           |SELECT ka.key_name, CAST(ka.n AS BIGINT) AS n, ka.n_distinct,
+           |  CAST(max_key * 1000000 // ka.n AS BIGINT) AS top_key_share_x1e6,
+           |  CAST(max_bucket * 32 * 1000000 // ka.n AS BIGINT) AS bucket_imbalance_x1e6
+           |FROM ka JOIN ba USING (key_name) ORDER BY ka.key_name""".stripMargin)),
+
+    // Matryoshka-style truncation quality: the fraction of each
+    // vector's energy kept by its first 16 of 64 dims, ×1e6 in exact
+    // integer arithmetic over ×1e6-quantized components (the
+    // emb_quantize_error discipline), averaged per label. Pure codegen
+    // scan + one tiny agg — no shuffle before the label groupBy.
+    "emb_truncate_error" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000) as bigint))").as("q"))
+        .withColumn("e_full", expr("aggregate(q, cast(0 as bigint), (a, x) -> a + x * x)"))
+        .withColumn("e_head", expr("aggregate(slice(q, 1, 16), cast(0 as bigint), (a, x) -> a + x * x)"))
+        .filter(col("e_full") > 0)
+        .withColumn("kept_x1e6", expr(
+          "cast(cast(e_head as decimal(38,0)) * 1000000 div cast(e_full as decimal(38,0)) as bigint)"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          expr("sum(kept_x1e6) div count(1)").cast("long").as("avg_kept_x1e6"))
+        .orderBy("label"),
+      Some(
+        """WITH v AS (SELECT label, list_transform(CAST(embedding AS DOUBLE[]),
+          |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS q FROM embeddings),
+          |e AS (SELECT label,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(q, x -> x * x)), (a, b) -> a + b) AS e_full,
+          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+          |      list_transform(q[1:16], x -> x * x)), (a, b) -> a + b) AS e_head
+          |  FROM v),
+          |k AS (SELECT label,
+          |    CAST(CAST(e_head AS HUGEINT) * 1000000 // CAST(e_full AS HUGEINT) AS BIGINT) AS kept_x1e6
+          |  FROM e WHERE e_full > 0)
+          |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+          |  CAST(sum(CAST(kept_x1e6 AS HUGEINT)) // count(*) AS BIGINT) AS avg_kept_x1e6
+          |FROM k GROUP BY label ORDER BY label""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket / co-occurrence-graph operators over the order lines:
+  * association rules (support / confidence / lift) and triangle counting
+  * on the support-pruned co-order graph.
+  *
+  * Scale shape: the pair explode is bounded per order by the max basket
+  * width (TPC-H ≤ 7–13 items ⇒ ≤ C(13,2) = 78 pair rows per order), so
+  * pair volume is O(rows · basket), one shuffle on (pa, pb). The
+  * support threshold then prunes the edge set before any graph step —
+  * random co-orders almost never repeat, so support ≥ 2 cuts the 100 TB
+  * edge set by orders of magnitude BEFORE the triangle join (the same
+  * candidates-then-verify discipline as the dedup family). The triangle
+  * enumeration is two keyed joins on the pruned edges (Σ deg² of the
+  * pruned adjacency, the standard node-iterator bound); edges carry
+  * `pa < pb` so each triangle is counted exactly once as a < b < c.
+  * All derived metrics are exact integer arithmetic (DECIMAL(38,0)
+  * products, integral division) — layout- and engine-invariant.
+  */
+object Basket {
+
+  /** Distinct (order, part) incidence — baskets as a bipartite edge list. */
+  def orderParts(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+
+  /** Co-order edges (pa < pb) with their support count, pruned at
+    * `minSupport`. One self-join keyed on the order (bounded fan-out per
+    * key = basket width), one aggregation shuffle on the pair.
+    */
+  def coOrderEdges(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val op = orderParts(lineitem)
+    op.select(col("ok"), col("pk").as("pa"))
+      .join(op.select(col("ok"), col("pk").as("pb")), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+  }
+
+  /** Association rules over the support-pruned pairs: for each unordered
+    * pair {a, b}, confidence(a→b) = n_both / n_a and the symmetric lift
+    * = n_both · n_orders / (n_a · n_b), both ×1e6 in exact integer
+    * arithmetic. Per-part counts join in from one aggregation of the
+    * incidence list; the order total is a broadcast scalar.
+    */
+  def assocRules(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val op = orderParts(lineitem)
+    val perPart = op.groupBy("pk").agg(count(lit(1)).as("n_part"))
+    val nOrders = op.agg(countDistinct(col("ok")).as("n_orders"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    coOrderEdges(lineitem, minSupport)
+      .join(perPart.select(col("pk").as("pa"), col("n_part").as("n_a")), "pa")
+      .join(perPart.select(col("pk").as("pb"), col("n_part").as("n_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("conf_ab_x1e6",
+        graft.functions.GraftFunctions.longDiv(
+          dec(col("n_both")) * dec(lit(1000000L)), dec(col("n_a"))).cast("long"))
+      .withColumn("lift_x1e6",
+        graft.functions.GraftFunctions.longDiv(
+          dec(col("n_both")) * dec(col("n_orders")) * dec(lit(1000000L)),
+          dec(col("n_a")) * dec(col("n_b"))).cast("long"))
+      .select("pa", "pb", "n_both", "conf_ab_x1e6", "lift_x1e6")
+  }
+
+  /** Triangle count on the support-pruned co-order graph. Edges are
+    * oriented a < b, so the two keyed joins enumerate each triangle
+    * once: (a,b) ⋈_b (b,c) produces wedges a < b < c, closed by the
+    * (a,c) edge. Returns one row: edges in the pruned graph, wedges, and
+    * closed triangles (the global clustering numerator).
+    */
+  def triangleStats(lineitem: DataFrame, minSupport: Int = 2): DataFrame = {
+    val e = coOrderEdges(lineitem, minSupport).select("pa", "pb").cache()
+    val wedges = e.select(col("pa").as("a"), col("pb").as("b"))
+      .join(e.select(col("pa").as("b"), col("pb").as("c")), "b")
+    val triangles = wedges
+      .join(e.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      .select("n_edges", "n_wedges", "n_triangles")
+  }
+}
