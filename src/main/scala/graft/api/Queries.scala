@@ -3286,20 +3286,58 @@ object Queries {
            |  FROM t WHERE len(toks) >= 2),
            |bk AS (SELECT doc_id, lang, source,
            |    ${GraphSql.md5Hash60("bg")} % 4096 AS bucket FROM bg),
-           |raw AS (SELECT bucket, count(*) AS cr FROM bk GROUP BY 1),
-           |tgt AS (SELECT bucket, count(*) AS ct FROM bk WHERE lang = 'en' GROUP BY 1),
-           |tot AS (SELECT count(*) AS tr,
-           |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tt FROM bk),
-           |model AS (SELECT raw.bucket,
-           |    CAST(floor((ln(COALESCE(tgt.ct, 0) + 1) - ln(raw.cr + 1)
+           |counts AS (SELECT bucket, count(*) AS cr,
+           |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct FROM bk GROUP BY 1),
+           |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
+           |model AS (SELECT counts.bucket,
+           |    CAST(floor((ln(counts.ct + 1) - ln(counts.cr + 1)
            |        + ln(tot.tr + 4096) - ln(tot.tt + 4096)) * 1e6) AS BIGINT) AS score_x1e6
-           |  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+           |  FROM counts CROSS JOIN tot),
            |w AS (SELECT doc_id, lang, source, count(*) AS n_bigrams,
            |    sum(score_x1e6) AS w FROM bk JOIN model USING (bucket)
            |  GROUP BY 1, 2, 3)
            |SELECT doc_id, lang, source, n_bigrams,
            |  CAST(CAST(w AS HUGEINT) // CAST(n_bigrams AS HUGEINT) AS BIGINT) AS avg_score_x1e6
            |FROM w ORDER BY avg_score_x1e6 DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // UniMax language mixing (Chung et al., ICLR 2023): spend 90% of
+    // the corpus character budget as uniformly across languages as the
+    // 1-epoch repeat cap allows. Closed water-filling form — no
+    // iteration: capped languages take their capacity, the rest split
+    // the remainder exactly (integer division, deterministic remainder
+    // distribution; allocations sum to the budget EXACTLY). One corpus
+    // agg to a |languages|-row frame; all windows on that tiny frame.
+    "pipeline_unimax_mix" -> Q(
+      (s, d) => graft.ops.Selection.unimaxAllocation(Tables.documents(s, d))
+        .orderBy("lang"),
+      Some(
+        """WITH lt AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS toks
+          |            FROM documents GROUP BY 1),
+          |b AS (SELECT CAST(sum(toks) * 9 // 10 AS BIGINT) AS budget FROM lt),
+          |s AS (SELECT lang, toks, toks * 1 AS cap,
+          |        row_number() OVER (ORDER BY toks * 1, lang) AS i,
+          |        sum(toks * 1) OVER (ORDER BY toks * 1, lang
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+          |        count(*) OVER () AS n
+          |      FROM lt),
+          |f AS (SELECT s.*, b.budget,
+          |        CASE WHEN cap * (n - i + 1) <= budget - (p - cap)
+          |             THEN 1 ELSE 0 END AS isfull
+          |      FROM s CROSS JOIN b),
+          |k AS (SELECT COALESCE(max(CASE WHEN isfull = 1 THEN i END), 0) AS k,
+          |             COALESCE(max(CASE WHEN isfull = 1 THEN p END), 0) AS pk FROM f)
+          |SELECT lang, toks,
+          |  CAST(CASE WHEN i <= k.k THEN cap
+          |       ELSE (budget - k.pk) // (n - k.k)
+          |            + CASE WHEN i - k.k <= (budget - k.pk) % (n - k.k)
+          |              THEN 1 ELSE 0 END
+          |  END AS BIGINT) AS alloc,
+          |  CAST(CASE WHEN i <= k.k THEN cap
+          |       ELSE (budget - k.pk) // (n - k.k)
+          |            + CASE WHEN i - k.k <= (budget - k.pk) % (n - k.k)
+          |              THEN 1 ELSE 0 END
+          |  END * 1000000 // toks AS BIGINT) AS epochs_x1e6
+          |FROM f CROSS JOIN k ORDER BY lang""".stripMargin)),
 
     // Zipf's-law fit over the term-frequency ranks: slope of
     // log(freq) vs log(rank) for the top 1000 terms, in fixed-point
@@ -3524,6 +3562,55 @@ object Queries {
            |  CAST(max_key * 1000000 // ka.n AS BIGINT) AS top_key_share_x1e6,
            |  CAST(max_bucket * 32 * 1000000 // ka.n AS BIGINT) AS bucket_imbalance_x1e6
            |FROM ka JOIN ba USING (key_name) ORDER BY ka.key_name""".stripMargin)),
+
+    // Dominant principal component of the embedding cloud by
+    // fixed-point power iteration (All-but-the-Top, Mu & Viswanath
+    // 1702.01417 — the direction a whitening pipeline removes first).
+    // Matrix-free: each step is one scan computing a codegen'd BIGINT
+    // dot (LongDotProduct) + a 64-row per-dim aggregate; the iterate is
+    // rescaled to |v|∞ = 2²⁰ by truncating integral division, so every
+    // step is exact integer arithmetic and the unrolled 3-step DuckDB
+    // oracle gates it hash-exact. Covariance never materializes.
+    "emb_pca_power" -> Q(
+      (s, d) => graft.ops.Spectral.pcaPower(Tables.embeddings(s, d), iters = 3),
+      Some(
+        """WITH q0 AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+          |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS xq FROM embeddings),
+          |dims AS (SELECT unnest(generate_series(1,
+          |    (SELECT len(xq) FROM q0 LIMIT 1))) AS d),
+          |m AS (SELECT d, CAST(sum(xq[d]) AS HUGEINT) // count(*) AS mu
+          |      FROM q0 CROSS JOIN dims GROUP BY d),
+          |ml AS (SELECT list(CAST(mu AS BIGINT) ORDER BY d) AS mu FROM m),
+          |qc AS (SELECT list_transform(generate_series(1, len(xq)),
+          |         i -> xq[i] - mu[i]) AS q
+          |       FROM q0 CROSS JOIN ml),
+          |v0 AS (SELECT list_transform(generate_series(1,
+          |         (SELECT len(q) FROM qc LIMIT 1)),
+          |         i -> CAST(1048576 AS BIGINT)) AS v),
+          |d1 AS (SELECT q, list_reduce(list_transform(generate_series(1, len(q)),
+          |         i -> q[i] * v[i]), (a, b) -> a + b) AS dot
+          |       FROM qc CROSS JOIN v0),
+          |s1 AS (SELECT d, sum(CAST(q[d] AS HUGEINT) * CAST(dot AS HUGEINT)) AS s
+          |       FROM d1 CROSS JOIN dims GROUP BY d),
+          |x1 AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s1),
+          |v1 AS (SELECT list(CAST(s * 1048576 // mx AS BIGINT) ORDER BY d) AS v
+          |       FROM s1 CROSS JOIN x1),
+          |d2 AS (SELECT q, list_reduce(list_transform(generate_series(1, len(q)),
+          |         i -> q[i] * v[i]), (a, b) -> a + b) AS dot
+          |       FROM qc CROSS JOIN v1),
+          |s2 AS (SELECT d, sum(CAST(q[d] AS HUGEINT) * CAST(dot AS HUGEINT)) AS s
+          |       FROM d2 CROSS JOIN dims GROUP BY d),
+          |x2 AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s2),
+          |v2 AS (SELECT list(CAST(s * 1048576 // mx AS BIGINT) ORDER BY d) AS v
+          |       FROM s2 CROSS JOIN x2),
+          |d3 AS (SELECT q, list_reduce(list_transform(generate_series(1, len(q)),
+          |         i -> q[i] * v[i]), (a, b) -> a + b) AS dot
+          |       FROM qc CROSS JOIN v2),
+          |s3 AS (SELECT d, sum(CAST(q[d] AS HUGEINT) * CAST(dot AS HUGEINT)) AS s
+          |       FROM d3 CROSS JOIN dims GROUP BY d),
+          |x3 AS (SELECT greatest(max(abs(s)), 1) AS mx FROM s3)
+          |SELECT CAST(d AS BIGINT) AS d, CAST(s * 1048576 // mx AS BIGINT) AS v
+          |FROM s3 CROSS JOIN x3 ORDER BY d""".stripMargin)),
 
     // Matryoshka-style truncation quality: the fraction of each
     // vector's energy kept by its first 16 of 64 dims, ×1e6 in exact

@@ -49,14 +49,15 @@ object Selection {
       buckets: Int = 4096): DataFrame = {
     val bg = bigramRows(docs)
       .withColumn("bucket", pmod(GraftFunctions.md5Hash60(col("bg")), lit(buckets.toLong)))
-    val raw = bg.groupBy("bucket").agg(count(lit(1)).as("cr"))
-    val tgt = bg.filter(col("lang") === targetLang)
-      .groupBy("bucket").agg(count(lit(1)).as("ct"))
-    val totals = bg.agg(
-      count(lit(1)).as("tr"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tt"))
-    val model = raw.join(tgt, Seq("bucket"), "left")
-      .na.fill(0L, Seq("ct"))
+    // raw + target counts in ONE map-side-combined pass (a conditional
+    // sum rides the same shuffle as the count); totals then come from
+    // the buckets-row frame, so the corpus is scanned exactly twice —
+    // once for the model, once for the per-doc scoring join.
+    val counts = bg.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val model = counts
       .crossJoin(broadcast(totals))
       .withColumn("score_x1e6", floor(
         (log(col("ct") + 1) - log(col("cr") + 1)
@@ -70,5 +71,50 @@ object Selection {
       .withColumn("avg_score_x1e6",
         expr("w div n_bigrams").cast("long"))
       .select("doc_id", "lang", "source", "n_bigrams", "avg_score_x1e6")
+  }
+
+  /** UniMax language allocation (Chung et al., ICLR 2023): spend a
+    * token budget across languages as uniformly as possible subject to
+    * a per-language repeat cap (capacity · maxEpochs). The greedy
+    * ascending allocation has a closed water-filling form, so no
+    * iteration is needed: languages whose cap fits under the running
+    * fair share take their cap, the rest split the remainder exactly
+    * (integer division, remainder distributed deterministically in
+    * sort order — the allocation sums to the budget EXACTLY).
+    *
+    * Scale shape: one corpus aggregation to a |languages|-row frame;
+    * every window after that runs on that tiny frame (the
+    * shard-budget prefix-frame discipline — never a corpus-sized
+    * window). All arithmetic is exact integers.
+    */
+  def unimaxAllocation(docs: DataFrame, tokenCol: String = "n_chars",
+      budgetNum: Long = 9, budgetDen: Long = 10, maxEpochs: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = docs.groupBy("lang")
+      .agg(sum(col(tokenCol)).cast("long").as("toks"))
+    val budget = lt.agg((sum("toks") * budgetNum).cast("long").as("bn"))
+      .select(expr(s"bn div $budgetDen").cast("long").as("budget"))
+    val ord = Window.orderBy(col("cap"), col("lang"))
+    val s = lt.withColumn("cap", col("toks") * maxEpochs)
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("p", sum("cap").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val f = s.crossJoin(broadcast(budget))
+      .withColumn("isfull",
+        (col("cap") * (col("n") - col("i") + 1) <=
+          col("budget") - (col("p") - col("cap"))).cast("int"))
+    val k = f.agg(
+      coalesce(max(when(col("isfull") === 1, col("i"))), lit(0L)).cast("long").as("k"),
+      coalesce(max(when(col("isfull") === 1, col("p"))), lit(0L)).cast("long").as("pk"))
+    f.crossJoin(broadcast(k))
+      .withColumn("alloc",
+        when(col("i") <= col("k"), col("cap"))
+          .otherwise(expr(
+            """(budget - pk) div (n - k)
+              | + if(i - k <= (budget - pk) % (n - k), 1L, 0L)""".stripMargin))
+          .cast("long"))
+      .select(col("lang"), col("toks"), col("alloc"),
+        expr("alloc * 1000000 div toks").cast("long").as("epochs_x1e6"))
   }
 }

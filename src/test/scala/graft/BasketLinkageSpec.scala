@@ -113,6 +113,65 @@ class BasketLinkageSpec extends SparkSpecBase {
     assert(w.values.forall(_ > Long.MinValue))
   }
 
+  test("UniMax water-filling: caps bind, remainder splits exactly") {
+    // A:10 chars, B:100 chars; budget = 9/10 · 110 = 99, 1-epoch cap.
+    // A's cap (10) fits under the fair share → full; B takes the
+    // remaining 89. Allocation must sum to the budget EXACTLY.
+    val docs = Seq((1L, "A", 10L), (2L, "B", 100L))
+      .toDF("doc_id", "lang", "n_chars")
+    val rows = Selection.unimaxAllocation(docs)
+      .orderBy("lang")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("alloc"),
+        r.getAs[Long]("epochs_x1e6")))
+    assert(rows.toSeq == Seq(("A", 10L, 1000000L), ("B", 89L, 890000L)))
+  }
+
+  test("UniMax remainder distribution is deterministic and budget-exact") {
+    // three equal languages, budget 100: share 33 each + remainder 1
+    // to the first in sort order; total is exactly the budget
+    val docs = Seq((1L, "a", 500L), (2L, "b", 500L), (3L, "c", 500L))
+      .toDF("doc_id", "lang", "n_chars")
+    // budget = 9/10 · 1500 = 1350 < any cap·(n−i+1) path? caps are 500
+    // each; 500·3 = 1500 > 1350 → nobody full; share = 450 each, no
+    // remainder. Then perturb: budget 1351 is not expressible with
+    // fixed 9/10 — use unequal sizes instead: 499+500+501 → budget
+    // 1350, sorted caps (499,500,501): 499·3=1497>1350 → share
+    // 450/450/450 with remainder 0
+    val docs2 = Seq((1L, "a", 499L), (2L, "b", 500L), (3L, "c", 501L))
+      .toDF("doc_id", "lang", "n_chars")
+    for (d <- Seq(docs, docs2)) {
+      val rows = Selection.unimaxAllocation(d).collect()
+      val budget = d.agg(org.apache.spark.sql.functions.expr(
+        "sum(n_chars) * 9 div 10")).head.getLong(0)
+      assert(rows.map(_.getAs[Long]("alloc")).sum == budget,
+        "allocation must exactly exhaust the budget")
+      assert(rows.forall(r => r.getAs[Long]("alloc") <= r.getAs[Long]("toks")),
+        "no language exceeds its 1-epoch cap")
+    }
+  }
+
+  test("PCA power iteration recovers a planted rank-1 direction exactly") {
+    // zero-mean cloud along (3, 4): the dominant component is ±(0.6,
+    // 0.8), so the ∞-normalized iterate must be exactly
+    // (0.75·2²⁰, 2²⁰) after one step — and stay there
+    val embs = Seq(
+      (1L, Array(0.3f, 0.4f)), (2L, Array(-0.3f, -0.4f)),
+      (3L, Array(0.6f, 0.8f)), (4L, Array(-0.6f, -0.8f))
+    ).toDF("vec_id", "embedding")
+    val v = graft.ops.Spectral.pcaPower(embs, iters = 3)
+      .collect().map(r => r.getAs[Long]("d") -> r.getAs[Long]("v")).toMap
+    assert(v(1L) == (graft.ops.Spectral.Scale * 3) / 4 && v(2L) == graft.ops.Spectral.Scale,
+      s"expected (786432, 1048576), got $v")
+  }
+
+  test("PCA power step keeps the codegen'd long dot in the plan") {
+    val df = graft.api.Queries.registry("emb_pca_power")
+      .fn(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_dot_long"),
+      s"matvec should use LongDotProduct:\n${p.take(1200)}")
+  }
+
   test("DSIR is a broadcast-model plan: bucket table broadcasts, no cartesian") {
     val df = graft.api.Queries.registry("pipeline_dsir_sample")
       .fn(spark, "/root/testdata/sf0.001")
