@@ -492,4 +492,65 @@ object EventStream {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  // ---- Stateful hourly EWMA maintenance (the streaming twin of
+  //      events_ewma) ----
+
+  final case class HourEvent(event_type: String, ts_us: Long)
+  final case class HourWindow(counts: Map[Long, Long])
+  final case class EwmaRow(event_type: String, hr_us: Long, ewma_wsum: Long)
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Trailing hours of counts the state retains per type: enough to
+    * rescore all 10 emitted target hours (each needs its 10-lag window).
+    */
+  val EwmaRetainHours = 19
+
+  /** Per-type hourly EWMA with explicit keyed state — the streaming
+    * twin of `events_ewma` (α = 1/2 truncated at 10 lags, integer
+    * weights 2^(9−lag)). State holds the trailing [[EwmaRetainHours]]
+    * hour-counts per type (bounded: ≤ 19 entries per key, forever);
+    * each batch merges its hour counts ADDITIVELY and re-emits the
+    * last 10 target hours as upserts (downstream takes the last emit
+    * per (type, hour)). The additive merge makes disorder WITHIN the
+    * retained window heal exactly — counts commute, so a late event
+    * for a still-retained hour just lands in its bucket and the
+    * affected hours re-emit; only events older than maxHour − 18 h are
+    * dropped (the quantified bound — the [[latestStates]] discipline
+    * of stating exactly what disorder survives).
+    */
+  def hourlyEwma(events: org.apache.spark.sql.Dataset[HourEvent])
+      : org.apache.spark.sql.Dataset[EwmaRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(t: String, it: Iterator[HourEvent],
+        state: GroupState[HourWindow]): Iterator[EwmaRow] = {
+      val batchCounts = it.toSeq
+        .groupBy(e => e.ts_us - java.lang.Math.floorMod(e.ts_us, HourUs))
+        .map { case (h, es) => h -> es.size.toLong }
+      val merged = state.getOption.map(_.counts).getOrElse(Map.empty)
+        .foldLeft(batchCounts) { case (acc, (h, n)) =>
+          acc.updated(h, acc.getOrElse(h, 0L) + n) }
+      if (merged.isEmpty) Iterator.empty
+      else {
+        val maxHr = merged.keys.max
+        val kept = merged.filter { case (h, _) =>
+          h >= maxHr - (EwmaRetainHours - 1) * HourUs }
+        state.update(HourWindow(kept))
+        (0 until 10).iterator.map { back =>
+          val target = maxHr - back * HourUs
+          val wsum = (0 until 10).map { lag =>
+            kept.getOrElse(target - lag * HourUs, 0L) * (1L << (9 - lag))
+          }.sum
+          EwmaRow(t, target, wsum)
+        }.filter(_.ewma_wsum > 0)
+      }
+    }
+
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -780,6 +780,88 @@ class GraphStreamSpec extends SparkSpecBase {
       assert(streamed == batch, s"streamed census $streamed != batch $batch")
     } finally q2.stop()
   }
+
+  test("stateful hourly EWMA: in-window disorder heals, converges to the batch query") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val hourSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType)))
+
+    // crafted disorder: batch 2 carries a LATE event for hour 0 (still
+    // inside the 19-hour retention) — the additive merge must fold it
+    // in and the re-emitted hours must equal a from-scratch recompute
+    val stage = java.nio.file.Files.createTempDirectory("graft-ewma")
+    val b1 = Seq(("view", 0L), ("view", 10L), ("view", hourUs + 5L))
+    val b2 = Seq(("view", 20L), ("view", 2 * hourUs + 7L))
+    b1.toDF("event_type", "ts_us").coalesce(1)
+      .write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100)
+    b2.toDF("event_type", "ts_us").coalesce(1)
+      .write.parquet(stage.resolve("b2").toString)
+    val in = spark.readStream.schema(hourSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+      .as[EventStream.HourEvent]
+    val q = EventStream.hourlyEwma(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_ewma").start()
+    try {
+      q.processAllAvailable()
+      val fin = spark.table("stream_ewma").as[EventStream.EwmaRow].collect()
+        .groupBy(r => (r.event_type, r.hr_us))
+        .map { case (k, rows) => k -> rows.map(_.ewma_wsum).max }
+      // from-scratch: hour counts 3/1/1 → target hour 2 sees
+      // 1·512 + 1·256 + 3·128 = 1152 WITH the late event folded in
+      assert(fin(("view", 2 * hourUs)) == 1152L,
+        s"late hour-0 event not healed: $fin")
+      assert(fin(("view", hourUs)) == 1L * 512 + 3L * 256)
+      assert(fin(("view", 0L)) == 3L * 512)
+    } finally q.stop()
+
+    // corpus convergence: the events table split at its time median
+    // (time-ordered staging — the file source orders batches by mtime);
+    // the last emit per (type, hour) must equal the batch events_ewma
+    // rows for every hour the twin emits
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val med = ev.stat.approxQuantile("ts_us", Array(0.5), 0.001).head.toLong
+    val stage2 = java.nio.file.Files.createTempDirectory("graft-ewma2")
+    ev.filter(col("ts_us") <= med).coalesce(1)
+      .write.parquet(stage2.resolve("b1").toString)
+    Thread.sleep(1100)
+    ev.filter(col("ts_us") > med).coalesce(1)
+      .write.parquet(stage2.resolve("b2").toString)
+    val in2 = spark.readStream.schema(hourSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stage2.toString + "/*/")
+      .as[EventStream.HourEvent]
+    val q2 = EventStream.hourlyEwma(in2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_ewma2").start()
+    try {
+      q2.processAllAvailable()
+      // per-hour wsum is MONOTONE across batches (counts only
+      // accumulate while the hour stays retained), so the final upsert
+      // is the max — no reliance on sink row order
+      val streamed = spark.table("stream_ewma2").as[EventStream.EwmaRow].collect()
+        .groupBy(r => (r.event_type, r.hr_us))
+        .map { case (k, rows) => k -> rows.map(_.ewma_wsum).max }
+      val batch = api.Queries.registry("events_ewma").fn(spark, dir).collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[java.sql.Timestamp]("t").getTime * 1000L) -> r.getAs[Long]("ewma_wsum"))
+        .toMap
+      // the twin emits the trailing 10 target hours per type; each must
+      // match the batch query's row for that hour exactly
+      val finalHours = streamed.keys.groupBy(_._1)
+        .flatMap { case (_, ks) =>
+          val mx = ks.map(_._2).max
+          ks.filter(_._2 > mx - 10 * hourUs) }
+      assert(finalHours.nonEmpty)
+      finalHours.foreach { k =>
+        assert(batch.contains(k) && batch(k) == streamed(k),
+          s"$k: streamed ${streamed(k)} != batch ${batch.get(k)}")
+      }
+    } finally q2.stop()
+  }
 }
 
 /** Local filesystem whose rename REFUSES any destination named like this
