@@ -3205,6 +3205,90 @@ object Queries {
           |  (SELECT count(*) FROM w WHERE EXISTS
           |     (SELECT 1 FROM e WHERE e.pa = w.a AND e.pb = w.c)) AS n_triangles""".stripMargin)),
 
+    // k-core of the support-pruned co-order graph: 5 fixed peeling
+    // passes (degree-<3 nodes drop, induced edges re-derived — one
+    // degree agg + two semi-joins per round on the SHRINKING edge
+    // set). Fixed rounds keep the oracle a mechanical unroll; the spec
+    // asserts the corpus fixpoint is reached within them.
+    "graph_kcore" -> Q(
+      (s, d) => graft.ops.Basket.kCore(Tables.lineitem(s, d), k = 3, rounds = 5),
+      Some {
+        // every e$i is referenced ~3× by round i+1 — MATERIALIZED stops
+        // DuckDB's default CTE inlining from re-evaluating each round
+        // combinatorially (the SQL mirror of the lineage truncation the
+        // Spark side does with localCheckpoint)
+        val base =
+          """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            |e0 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+            |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+            |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+        val rounds = (1 to 5).map { i =>
+          s"""d$i AS (SELECT node, count(*) AS deg FROM (
+             |  SELECT pa AS node FROM e${i - 1} UNION ALL SELECT pb FROM e${i - 1})
+             |  GROUP BY 1),
+             |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= 3),
+             |e$i AS MATERIALIZED (SELECT e.pa, e.pb FROM e${i - 1} e
+             |  JOIN k$i ka ON ka.node = e.pa
+             |  JOIN k$i kb ON kb.node = e.pb)""".stripMargin
+        }.mkString(",\n")
+        s"""$base,
+           |$rounds
+           |SELECT (SELECT count(*) FROM
+           |    (SELECT pa AS n FROM e5 UNION SELECT pb FROM e5)) AS n_core_nodes,
+           |  (SELECT count(*) FROM e5) AS n_core_edges""".stripMargin
+      }),
+
+    // Chi-square independence test between market segment and order
+    // priority (the feature-dependence screen a curation pipeline runs
+    // before trusting a stratification): per-cell (O·T − R·C)²·1e6 /
+    // (R·C·T) floored in DECIMAL(38,0), summed — exact integer
+    // arithmetic, so the statistic hash-matches across engines. One
+    // fact-dim broadcast join + four aggregations of the pair frame.
+    "stats_chi2_segments" -> Q(
+      (s, d) => {
+        val j = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment").as("seg"))),
+            "o_custkey")
+          .select(col("seg"), col("o_orderpriority").as("prio"))
+        val obs = j.groupBy("seg", "prio").agg(count(lit(1)).as("obs"))
+        val rn = j.groupBy("seg").agg(count(lit(1)).as("rn"))
+        val cn = j.groupBy("prio").agg(count(lit(1)).as("cn"))
+        val tn = j.agg(count(lit(1)).as("tn"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val cells = obs.join(rn, "seg").join(cn, "prio")
+          .crossJoin(broadcast(tn))
+          .withColumn("term_x1e6", graft.functions.GraftFunctions.longDiv(
+            (dec(col("obs")) * dec(col("tn")) - dec(col("rn")) * dec(col("cn")))
+              * (dec(col("obs")) * dec(col("tn")) - dec(col("rn")) * dec(col("cn")))
+              * dec(lit(1000000L)),
+            dec(col("rn")) * dec(col("cn")) * dec(col("tn"))).cast("long"))
+        cells.agg(count(lit(1)).as("n_cells"),
+            countDistinct(col("seg")).as("n_seg"),
+            countDistinct(col("prio")).as("n_prio"),
+            sum("term_x1e6").cast("long").as("chi2_x1e6"))
+          .select(col("n_cells"),
+            ((col("n_seg") - 1) * (col("n_prio") - 1)).cast("long").as("dof"),
+            col("chi2_x1e6"))
+      },
+      Some(
+        """WITH j AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+          |           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+          |obs AS (SELECT seg, prio, count(*) AS obs FROM j GROUP BY 1, 2),
+          |r AS (SELECT seg, count(*) AS rn FROM j GROUP BY 1),
+          |c AS (SELECT prio, count(*) AS cn FROM j GROUP BY 1),
+          |t AS (SELECT count(*) AS tn FROM j),
+          |cells AS (SELECT obs.seg, obs.prio,
+          |    CAST((CAST(obs AS HUGEINT) * tn - CAST(rn AS HUGEINT) * cn)
+          |         * (CAST(obs AS HUGEINT) * tn - CAST(rn AS HUGEINT) * cn)
+          |         * 1000000
+          |         // (CAST(rn AS HUGEINT) * cn * tn) AS BIGINT) AS term_x1e6
+          |  FROM obs JOIN r USING (seg) JOIN c USING (prio) CROSS JOIN t)
+          |SELECT count(*) AS n_cells,
+          |  CAST((count(DISTINCT seg) - 1) * (count(DISTINCT prio) - 1) AS BIGINT) AS dof,
+          |  CAST(sum(term_x1e6) AS BIGINT) AS chi2_x1e6
+          |FROM cells""".stripMargin)),
+
     // Blocked fuzzy record linkage over customer names: collapse to
     // DISTINCT names first (exact-dup mass becomes a multiplicity and
     // the dist=0 row), then block on the name minus its last 2 chars

@@ -81,4 +81,41 @@ object Basket {
       .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
       .select("n_edges", "n_wedges", "n_triangles")
   }
+
+  /** k-core of the support-pruned co-order graph by `rounds` fixed
+    * peeling passes: drop nodes of degree < k, re-derive the induced
+    * edge set, repeat. A FIXED round count (not run-to-fixpoint) keeps
+    * the plan finite and the DuckDB oracle a mechanical unroll; the
+    * spec asserts the corpus reaches its fixpoint within the declared
+    * rounds (an extra peel changes nothing). Each round is one degree
+    * aggregation + two semi-joins on the shrinking edge set — the
+    * standard distributed peeling step, cost bounded by the CURRENT
+    * round's edges.
+    */
+  def kCore(lineitem: DataFrame, k: Int = 3, rounds: Int = 5,
+      minSupport: Int = 2): DataFrame = {
+    // each round references the previous edge set several times (degree
+    // union ×2 + two semi-joins), so an unbroken lineage would nest the
+    // previous round's plan ~5× per round — combinatorial plan growth
+    // (measured: round 5's plan string alone OOMed the test JVM).
+    // localCheckpoint truncates the lineage to the materialized RDD
+    // each round, the standard step for iterative DataFrame algorithms
+    // (on a cluster with executor churn, swap for reliable checkpoint).
+    var e = coOrderEdges(lineitem, minSupport).select("pa", "pb")
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("pa").as("node"))
+        .unionByName(e.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      e = e.join(keep.withColumnRenamed("node", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("node", "pb"), Seq("pb"), "left_semi")
+        .localCheckpoint(true)
+    }
+    val nodes = e.select(col("pa").as("node"))
+      .unionByName(e.select(col("pb").as("node"))).distinct()
+    nodes.agg(count(lit(1)).as("n_core_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_core_edges")))
+      .select("n_core_nodes", "n_core_edges")
+  }
 }

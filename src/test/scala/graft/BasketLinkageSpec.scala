@@ -56,6 +56,54 @@ class BasketLinkageSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_triangles") == 0L)
   }
 
+  test("k-core peeling cascades: tail peels over rounds, clique survives") {
+    // K4 on parts 1-4 (every pair co-ordered twice) + a pendant chain
+    // 4-5-6: chain nodes have degree < 3 and peel away (6 first, then
+    // 5 needs the SECOND round), the K4 is exactly the 3-core
+    def dup(p: Seq[(Long, Long)]) = p.flatMap { case (o, x) =>
+      Seq((o, x), (o + 100L, x)) }
+    val k4 = for {
+      o <- Seq(1L, 2L); ps = Seq(1L, 2L, 3L, 4L); p <- ps
+    } yield (o, p)
+    val chain = dup(Seq((10L, 4L), (10L, 5L), (11L, 5L), (11L, 6L)))
+    val li = (k4 ++ chain).toDF("l_orderkey", "l_partkey")
+    val r = Basket.kCore(li, k = 3, rounds = 5).collect().head
+    assert(r.getAs[Long]("n_core_nodes") == 4L, s"3-core must be the K4: $r")
+    assert(r.getAs[Long]("n_core_edges") == 6L)
+  }
+
+  test("k-core reaches its fixpoint within the declared rounds on the corpus") {
+    val li = graft.api.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val at5 = Basket.kCore(li, k = 3, rounds = 5).collect().head
+    val at6 = Basket.kCore(li, k = 3, rounds = 6).collect().head
+    assert(at5 == at6, s"one more peel changed the core: $at5 vs $at6")
+  }
+
+  test("chi-square statistic matches a hand-computed 2x2 table") {
+    // O = [[30,10],[10,30]]: R = C = [40,40], T = 80
+    // per cell: (O·T − R·C)² · 1e6 / (R·C·T) = (2400−1600)²·1e6/128000
+    //         = 640000·1e6/128000 = 5,000,000 — all four cells equal
+    val rows = Seq.fill(30)(("A", "x")) ++ Seq.fill(10)(("A", "y")) ++
+      Seq.fill(10)(("B", "x")) ++ Seq.fill(30)(("B", "y"))
+    val df = rows.zipWithIndex
+      .map { case ((s0, p0), i) => (i.toLong, s0, p0) }
+      .toDF("o_custkey", "seg", "prio")
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val obs = df.groupBy("seg", "prio").agg(count(lit(1)).as("obs"))
+    val rn = df.groupBy("seg").agg(count(lit(1)).as("rn"))
+    val cn = df.groupBy("prio").agg(count(lit(1)).as("cn"))
+    val tn = df.agg(count(lit(1)).as("tn"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val chi2 = obs.join(rn, "seg").join(cn, "prio").crossJoin(tn)
+      .withColumn("term", graft.functions.GraftFunctions.longDiv(
+        (dec(col("obs")) * dec(col("tn")) - dec(col("rn")) * dec(col("cn")))
+          * (dec(col("obs")) * dec(col("tn")) - dec(col("rn")) * dec(col("cn")))
+          * dec(lit(1000000L)),
+        dec(col("rn")) * dec(col("cn")) * dec(col("tn"))).cast("long"))
+      .agg(sum("term")).head.getLong(0)
+    assert(chi2 == 4L * 5000000L, s"chi2 = $chi2")
+  }
+
   test("blocked fuzzy matching verifies inside blocks only, on distinct names") {
     val names = Seq((1L, "AAAA01"), (2L, "AAAA02"), (3L, "AAAA11"), (4L, "BBBB01"))
       .toDF("id", "name")
