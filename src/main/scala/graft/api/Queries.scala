@@ -3728,7 +3728,208 @@ object Queries {
           |  FROM e WHERE e_full > 0)
           |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
           |  CAST(sum(CAST(kept_x1e6 AS HUGEINT)) // count(*) AS BIGINT) AS avg_kept_x1e6
-          |FROM k GROUP BY label ORDER BY label""".stripMargin))
+          |FROM k GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Heavy hitters by a mergeable Misra-Gries sketch with exact
+    // recount (functions/MisraGries.scala): the sketch pass is one
+    // map-side-combined aggregation whose shuffle payload is a
+    // ≤2·cap-entry map per partition — the token MASS never shuffles —
+    // and nominates a candidate superset (guarantee: any token with
+    // freq > n/cap survives, since the tracked undercount dec ≤
+    // n/(cap+1)). The recount then filters the stream against the
+    // broadcast candidates and thresholds on EXACT counts, so the
+    // output is the deterministic set {freq·cap > n} — sketch
+    // nondeterminism is filtered out and the oracle is a plain HAVING.
+    "agg_heavy_hitters" -> Q(
+      (s, d) => {
+        val cap = 512
+        val toks = Tables.documents(s, d)
+          .select(explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+        val sketch = toks.agg(count(lit(1)).as("n"),
+          graft.functions.MisraGries.candidates(col("w"), cap).as("cand"))
+        val cands = sketch.select(col("n"), explode(col("cand")).as("w"))
+        toks.join(broadcast(cands), "w")
+          .groupBy("w", "n").agg(count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") * cap > col("n"))
+          .select(col("w"), col("n_occ").cast("long").as("n_occ"))
+          .orderBy(desc("n_occ"), asc("w"))
+      },
+      Some(
+        """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+          |            FROM documents),
+          |t AS (SELECT w FROM tok WHERE w <> ''),
+          |n AS (SELECT count(*) AS n FROM t)
+          |SELECT w, count(*) AS n_occ
+          |FROM t CROSS JOIN n GROUP BY w, n.n HAVING count(*) * 512 > n.n
+          |ORDER BY n_occ DESC, w""".stripMargin)),
+
+    // Exact two-sample Kolmogorov-Smirnov statistic between the
+    // quantity distributions of returned (A) vs refused (R) lineitems:
+    // KS = max |F_A − F_R| computed as integers — per-value counts, a
+    // cumulative window over the DISTINCT-VALUE frame (the only
+    // SinglePartition window, bounded by the value domain ≤ 50 rows,
+    // not the corpus — for continuous domains the KLL-binned variant is
+    // the declared path, the winsorize_fast discipline), and the
+    // deviation cross-multiplied (|cumA·nR − cumR·nA|) in DECIMAL so no
+    // rational ever rounds before the final ×1e6 floor.
+    "stats_ks_flags" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("A", "R"))
+          .select(col("l_quantity").cast("long").as("qty"), col("l_returnflag").as("fl"))
+        val counts = li.groupBy("qty").agg(
+          sum(when(col("fl") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("fl") === "R", 1L).otherwise(0L)).as("cr"))
+        val w = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        counts
+          .withColumn("cuma", sum("ca").over(w))
+          .withColumn("cumr", sum("cr").over(w))
+          .withColumn("na", sum("ca").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("nr", sum("cr").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("dev", abs(dec(col("cuma")) * dec(col("nr"))
+            - dec(col("cumr")) * dec(col("na"))))
+          .orderBy(desc("dev"), asc("qty")).limit(1)
+          .select(col("qty").as("at_qty"),
+            col("na").cast("long").as("n_a"), col("nr").cast("long").as("n_r"),
+            graft.functions.GraftFunctions.longDiv(
+              col("dev") * dec(lit(1000000L)),
+              dec(col("na")) * dec(col("nr"))).cast("long").as("ks_x1e6"))
+      },
+      Some(
+        """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS fl
+          |            FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+          |c AS (SELECT qty,
+          |    sum(CASE WHEN fl = 'A' THEN 1 ELSE 0 END) AS ca,
+          |    sum(CASE WHEN fl = 'R' THEN 1 ELSE 0 END) AS cr
+          |  FROM li GROUP BY 1),
+          |cum AS (SELECT qty,
+          |    sum(ca) OVER (ORDER BY qty) AS cuma,
+          |    sum(cr) OVER (ORDER BY qty) AS cumr,
+          |    sum(ca) OVER () AS na, sum(cr) OVER () AS nr
+          |  FROM c),
+          |dv AS (SELECT qty, na, nr,
+          |    abs(CAST(cuma AS HUGEINT) * nr - CAST(cumr AS HUGEINT) * na) AS dev
+          |  FROM cum)
+          |SELECT qty AS at_qty, CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r,
+          |  CAST(dev * 1000000 // (CAST(na AS HUGEINT) * nr) AS BIGINT) AS ks_x1e6
+          |FROM dv ORDER BY dev DESC, qty LIMIT 1""".stripMargin)),
+
+    // Benford first-digit conformance of order totals — the
+    // sanity/fraud screen over a money column. The leading digit is
+    // taken from floor(price) as a string (identical IEEE floor + int
+    // formatting on both engines; no cents scaling needed), the
+    // expected Benford shares log10(1+1/d) enter as ×1e6 integer
+    // constants on BOTH sides, and everything after the 9-row groupBy
+    // is arithmetic. Pure codegen scan, scale-perfect.
+    "stats_benford" -> Q(
+      (s, d) => {
+        val benford = "map(1,301029, 2,176091, 3,124938, 4,96910, 5,79181," +
+          " 6,66946, 7,57991, 8,51152, 9,45757)"
+        val digits = Tables.orders(s, d)
+          .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+        val tot = digits.agg(count(lit(1)).as("total"))
+        digits.groupBy("digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .withColumn("share_x1e6", expr("n * 1000000L div total").cast("long"))
+          .withColumn("benford_x1e6", expr(s"element_at($benford, cast(digit as int))").cast("long"))
+          .select(col("digit"), col("n"), col("share_x1e6"), col("benford_x1e6"),
+            (col("share_x1e6") - col("benford_x1e6")).cast("long").as("dev_x1e6"))
+          .orderBy("digit")
+      },
+      Some(
+        """WITH dg AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          |            FROM orders),
+          |t AS (SELECT count(*) AS total FROM dg),
+          |c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+          |b AS (SELECT digit, n,
+          |    CAST(n * 1000000 // total AS BIGINT) AS share_x1e6,
+          |    CAST(CASE digit WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+          |      WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946
+          |      WHEN 7 THEN 57991 WHEN 8 THEN 51152 WHEN 9 THEN 45757 END AS BIGINT) AS benford_x1e6
+          |  FROM c CROSS JOIN t)
+          |SELECT digit, n, share_x1e6, benford_x1e6,
+          |  CAST(share_x1e6 - benford_x1e6 AS BIGINT) AS dev_x1e6
+          |FROM b ORDER BY digit""".stripMargin)),
+
+    // Gini coefficient of per-customer revenue, exact, WITHOUT a global
+    // sort: ranking uses ops/Stats.bucketedRank — range-bucket on the
+    // value, rank inside buckets with a partitioned window, shift by
+    // offsets from the tiny occupied-bucket frame (the
+    // pipeline_shard_budget two-phase prefix-sum discipline). The
+    // oracle's row_number() OVER (ORDER BY rev, cust) is exactly what
+    // the two-phase rank reproduces; the statistic is the classic
+    // 2·Σrank·x formula in DECIMAL ×1e6.
+    "stats_gini_customers" -> Q(
+      (s, d) => {
+        val rev = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(sum(expr("cast(floor(o_totalprice) as bigint)")).as("rev"))
+        val ranked = graft.ops.Stats.bucketedRank(rev, "rev", "cust",
+          bucketWidth = 1L << 22)
+        graft.ops.Stats.giniX1e6(ranked, "rev")
+      },
+      Some(
+        """WITH r AS (SELECT o_custkey AS cust,
+          |    sum(CAST(floor(o_totalprice) AS BIGINT)) AS rev
+          |  FROM orders GROUP BY 1),
+          |rk AS (SELECT rev, row_number() OVER (ORDER BY rev, cust) AS rnk FROM r)
+          |SELECT count(*) AS n_entities,
+          |  CAST(sum(rev) AS BIGINT) AS total_value,
+          |  CAST((2 * sum(CAST(rnk AS HUGEINT) * rev)
+          |        - (count(*) + 1) * sum(CAST(rev AS HUGEINT))) * 1000000
+          |       // (count(*) * sum(CAST(rev AS HUGEINT))) AS BIGINT) AS gini_x1e6
+          |FROM rk""".stripMargin)),
+
+    // SCD Type-2 dimension build from the event log: per user, collapse
+    // consecutive same-state events (state = event_type), open a
+    // validity interval at each change, close it at the next change
+    // (lead) — the slowly-changing-dimension twin of events_cdc_latest
+    // (which keeps only the last state). Census per state: interval
+    // counts, open intervals, exact integer duration stats. Both
+    // windows are partitioned by user_id — no global sort at any scale.
+    "events_scd2_intervals" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val chg = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        chg
+          .withColumn("valid_to", lead("ts", 1).over(w))
+          .withColumn("dur_s", expr(
+            "(unix_micros(valid_to) - unix_micros(ts)) div 1000000"))
+          .groupBy(col("event_type").as("state"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(when(col("valid_to").isNull, 1L).otherwise(0L)).cast("long").as("n_open"),
+            expr("sum(dur_s) div nullif(count(dur_s), 0)").cast("long").as("avg_dur_s"),
+            max("dur_s").cast("long").as("max_dur_s"))
+          .orderBy("state")
+      },
+      Some(
+        """WITH chg AS (
+          |  SELECT * FROM (
+          |    SELECT user_id, event_id, ts, event_type,
+          |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |    FROM events)
+          |  WHERE prev IS NULL OR prev <> event_type),
+          |iv AS (SELECT event_type AS state, ts,
+          |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+          |  FROM chg),
+          |dur AS (SELECT state, valid_to,
+          |    CAST(epoch_us(valid_to) - epoch_us(ts) AS BIGINT) // 1000000 AS dur_s
+          |  FROM iv)
+          |SELECT state, count(*) AS n_intervals,
+          |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+          |  CAST(sum(dur_s) // nullif(count(dur_s), 0) AS BIGINT) AS avg_dur_s,
+          |  CAST(max(dur_s) AS BIGINT) AS max_dur_s
+          |FROM dur GROUP BY state ORDER BY state""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

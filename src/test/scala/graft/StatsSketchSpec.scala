@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Misra-Gries candidates + two-phase bucketed ranking (ops/Stats). */
+class StatsSketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("MisraGries: candidates contain every item with freq > n/cap, across partitionings") {
+    // adversarial stream: 3 heavy items on top of a long distinct tail
+    // that keeps triggering COMPRESS (the worst case for the bound)
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(250)("beta") ++ Seq.fill(120)("gamma")
+    val tail = (1 to 5000).map(i => s"t$i")
+    val all = scala.util.Random.shuffle(heavy ++ tail)
+    val n = all.size.toLong
+    val cap = 32
+    for (parts <- Seq(1, 3, 8)) {
+      val df = spark.createDataset(all).repartition(parts).toDF("w")
+      val cand = df.agg(graft.functions.MisraGries.candidates(col("w"), cap))
+        .head.getSeq[String](0).toSet
+      assert(cand.size <= cap, s"parts=$parts size=${cand.size}")
+      val mustHave = Seq("alpha", "beta", "gamma").filter {
+        w => heavy.count(_ == w) * cap > n
+      }
+      mustHave.foreach(w => assert(cand.contains(w), s"parts=$parts missing $w"))
+    }
+  }
+
+  test("MisraGries: exact-recount threshold output is partitioning-invariant") {
+    val heavy = Seq.fill(900)("the") ++ Seq.fill(500)("of") ++ Seq.fill(40)("rare")
+    val tail = (1 to 2000).map(i => s"w$i")
+    val all = scala.util.Random.shuffle(heavy ++ tail)
+    val cap = 64
+    def run(parts: Int): Seq[(String, Long)] = {
+      val toks = spark.createDataset(all).repartition(parts).toDF("w")
+      val sketch = toks.agg(count(lit(1)).as("n"),
+        graft.functions.MisraGries.candidates(col("w"), cap).as("cand"))
+      val cands = sketch.select(col("n"), explode(col("cand")).as("w"))
+      toks.join(broadcast(cands), "w")
+        .groupBy("w", "n").agg(count(lit(1)).as("c"))
+        .filter(col("c") * cap > col("n"))
+        .select("w", "c").orderBy("w")
+        .as[(String, Long)].collect().toSeq
+    }
+    val a = run(1); val b = run(7)
+    assert(a == b)
+    assert(a.map(_._1).toSet == Set("the", "of")) // rare (40) < n/64 (~53)
+  }
+
+  test("bucketedRank equals a global row_number over (value, tie)") {
+    val rnd = new scala.util.Random(7)
+    // clustered values so some buckets are dense, some empty, plus ties
+    val rows = (1 to 3000).map { i =>
+      val v = if (i % 3 == 0) rnd.nextInt(100).toLong else rnd.nextInt(1000000).toLong
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v").repartition(6)
+    val got = graft.ops.Stats.bucketedRank(df, "v", "id", bucketWidth = 4096L)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    val want = rows.sortBy { case (id, v) => (v, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
+  test("giniX1e6: zero for uniform values, matches hand formula on a skewed set") {
+    val uni = (1L to 100L).map(i => (i, 500L)).toDF("id", "v")
+    val g0 = graft.ops.Stats.giniX1e6(
+      graft.ops.Stats.bucketedRank(uni, "v", "id", 64L), "v")
+      .head.getLong(2)
+    assert(g0 == 0L)
+
+    val vals = Seq(1L, 1L, 2L, 4L, 8L, 100L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val g = graft.ops.Stats.giniX1e6(
+      graft.ops.Stats.bucketedRank(df, "v", "id", 16L), "v")
+      .head.getLong(2)
+    val sorted = vals.sorted
+    val n = sorted.size
+    val num = 2L * sorted.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum -
+      (n + 1L) * sorted.sum
+    val want = num * 1000000L / (n.toLong * sorted.sum)
+    assert(g == want)
+  }
+}
