@@ -3774,50 +3774,111 @@ object Queries {
     // deviation cross-multiplied (|cumA·nR − cumR·nA|) in DECIMAL so no
     // rational ever rounds before the final ×1e6 floor.
     "stats_ks_flags" -> Q(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val li = Tables.lineitem(s, d)
-          .filter(col("l_returnflag").isin("A", "R"))
-          .select(col("l_quantity").cast("long").as("qty"), col("l_returnflag").as("fl"))
-        val counts = li.groupBy("qty").agg(
-          sum(when(col("fl") === "A", 1L).otherwise(0L)).as("ca"),
-          sum(when(col("fl") === "R", 1L).otherwise(0L)).as("cr"))
-        val w = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
-        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-        counts
-          .withColumn("cuma", sum("ca").over(w))
-          .withColumn("cumr", sum("cr").over(w))
-          .withColumn("na", sum("ca").over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-          .withColumn("nr", sum("cr").over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-          .withColumn("dev", abs(dec(col("cuma")) * dec(col("nr"))
-            - dec(col("cumr")) * dec(col("na"))))
-          .orderBy(desc("dev"), asc("qty")).limit(1)
-          .select(col("qty").as("at_qty"),
-            col("na").cast("long").as("n_a"), col("nr").cast("long").as("n_r"),
-            graft.functions.GraftFunctions.longDiv(
-              col("dev") * dec(lit(1000000L)),
-              dec(col("na")) * dec(col("nr"))).cast("long").as("ks_x1e6"))
-      },
+      (s, d) => graft.ops.Stats.ksExact(
+        Tables.lineitem(s, d)
+          .select(col("l_quantity").cast("long").as("qty"), col("l_returnflag").as("fl")),
+        "qty", "fl", "A", "R", atName = "at_qty"),
       Some(
         """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS fl
           |            FROM lineitem WHERE l_returnflag IN ('A', 'R')),
           |c AS (SELECT qty,
           |    sum(CASE WHEN fl = 'A' THEN 1 ELSE 0 END) AS ca,
-          |    sum(CASE WHEN fl = 'R' THEN 1 ELSE 0 END) AS cr
+          |    sum(CASE WHEN fl = 'R' THEN 1 ELSE 0 END) AS cb
           |  FROM li GROUP BY 1),
           |cum AS (SELECT qty,
           |    sum(ca) OVER (ORDER BY qty) AS cuma,
-          |    sum(cr) OVER (ORDER BY qty) AS cumr,
-          |    sum(ca) OVER () AS na, sum(cr) OVER () AS nr
+          |    sum(cb) OVER (ORDER BY qty) AS cumb,
+          |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
           |  FROM c),
-          |dv AS (SELECT qty, na, nr,
-          |    abs(CAST(cuma AS HUGEINT) * nr - CAST(cumr AS HUGEINT) * na) AS dev
+          |dv AS (SELECT qty, na, nb,
+          |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) AS dev
           |  FROM cum)
-          |SELECT qty AS at_qty, CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r,
-          |  CAST(dev * 1000000 // (CAST(na AS HUGEINT) * nr) AS BIGINT) AS ks_x1e6
+          |SELECT qty AS at_qty, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          |  CAST(dev * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_x1e6
           |FROM dv ORDER BY dev DESC, qty LIMIT 1""".stripMargin)),
+
+    // The same exact KS over a CONTINUOUS money metric: event values in
+    // cents between click and purchase events. The distinct-cents frame
+    // is bounded by the VALUE DOMAIN (≤ ~49k cents on this corpus, and
+    // by the metric's range in general) — at a domain where even cents
+    // stop being enumerable, stats_ks_values_fast's sketch-binned form
+    // is the declared path.
+    "stats_ks_values" -> Q(
+      (s, d) => graft.ops.Stats.ksExact(
+        Tables.events(s, d)
+          .select(floor(col("value") * 100).cast("long").as("vc"),
+            col("event_type").as("fl")),
+        "vc", "fl", "click", "purchase", atName = "at_cents"),
+      Some(
+        """WITH ev AS (SELECT CAST(floor(value * 100) AS BIGINT) AS vc, event_type AS fl
+          |            FROM events WHERE event_type IN ('click', 'purchase')),
+          |c AS (SELECT vc,
+          |    sum(CASE WHEN fl = 'click' THEN 1 ELSE 0 END) AS ca,
+          |    sum(CASE WHEN fl = 'purchase' THEN 1 ELSE 0 END) AS cb
+          |  FROM ev GROUP BY 1),
+          |cum AS (SELECT vc,
+          |    sum(ca) OVER (ORDER BY vc) AS cuma,
+          |    sum(cb) OVER (ORDER BY vc) AS cumb,
+          |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+          |  FROM c),
+          |dv AS (SELECT vc, na, nb,
+          |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) AS dev
+          |  FROM cum)
+          |SELECT vc AS at_cents, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+          |  CAST(dev * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_x1e6
+          |FROM dv ORDER BY dev DESC, vc LIMIT 1""".stripMargin)),
+
+    // Sketch-binned KS — the unbounded-domain escape hatch for the two
+    // exact KS queries above: ECDFs evaluated exactly at 64 approximate
+    // combined-quantile cut points (one percentile_approx scan), bin
+    // assignment a broadcast O(64) probe per row, cumulative window
+    // over ≤64 rows. A lower bound of the exact statistic with gap
+    // bounded by the largest inter-edge mass; accuracy vs the exact
+    // twin gated in StatsSketchSpec (no SQL oracle — the GK sketch has
+    // no DuckDB mirror; the winsorize_fast convention).
+    "stats_ks_values_fast" -> Q(
+      (s, d) => graft.ops.Stats.ksBinned(
+        Tables.events(s, d)
+          .select(floor(col("value") * 100).cast("long").as("vc"),
+            col("event_type").as("fl")),
+        "vc", "fl", "click", "purchase", nBins = 64),
+      None),
+
+    // Hybrid retrieval by reciprocal-rank fusion (Cormack et al. SIGIR
+    // 2009): the lexical BM25 top-100 and the dense cosine top-100
+    // (query vector vec_id=0 over the shared corpus id space) fused by
+    // RRF(d) = Σ_lists 1e6 div (60 + rank) — integer-exact, so the
+    // fusion is hash-gated end-to-end. Each list carries its own scale
+    // story (BM25's term-filtered tf shuffle; brute-force cosine's
+    // broadcast-bounded scoring with the LSH/IVF variants as the
+    // corpus-scale path); the fusion itself joins two ≤100-row ranked
+    // frames — driver-trivial at any corpus size.
+    "search_hybrid_rrf" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = graft.ops.TextOps.bm25TopK(
+            Tables.documents(s, d), terms = Seq("spark", "join", "vector"), k = 100)
+          .withColumn("rank_lex", row_number().over(
+            Window.orderBy(desc("bm25"), asc("doc_id"))))
+          .select("doc_id", "rank_lex")
+        val den = graft.ops.Similarity.bruteForceTopK(
+            Tables.embeddings(s, d), queryIds = Seq(0L), k = 100)
+          .select(col("vec_id").as("doc_id"), col("rank").as("rank_dense"))
+        lex.join(den, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_x1e6",
+            coalesce(expr("1000000L div (60 + rank_lex)"), lit(0L))
+              + coalesce(expr("1000000L div (60 + rank_dense)"), lit(0L)))
+          .orderBy(desc("rrf_x1e6"), asc("doc_id")).limit(20)
+          // rank 0 = "not in this list": NULL BIGINTs degrade to float64
+          // in the driver's pandas reading, so the sentinel keeps both
+          // engines integral (the compare-protocol convention)
+          .select(col("doc_id"),
+            coalesce(col("rank_lex").cast("long"), lit(0L)).as("rank_lex"),
+            coalesce(col("rank_dense").cast("long"), lit(0L)).as("rank_dense"),
+            col("rrf_x1e6").cast("long").as("rrf_x1e6"))
+      },
+      Some(TextSql.hybridRrf(Seq("spark", "join", "vector"),
+        queryVec = 0L, listK = 100, k = 20))),
 
     // Benford first-digit conformance of order totals — the
     // sanity/fraud screen over a money column. The leading digit is
@@ -3929,7 +3990,156 @@ object Queries {
           |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
           |  CAST(sum(dur_s) // nullif(count(dur_s), 0) AS BIGINT) AS avg_dur_s,
           |  CAST(max(dur_s) AS BIGINT) AS max_dur_s
-          |FROM dur GROUP BY state ORDER BY state""".stripMargin))
+          |FROM dur GROUP BY state ORDER BY state""".stripMargin)),
+
+    // Weighted single-source shortest paths (Bellman-Ford, 5 declared
+    // relaxation rounds — exact for ≤5-hop paths, fixpoint pinned by
+    // the spec) over the support-pruned co-order graph; edge cost
+    // 1e6 div support. The oracle is the mechanical round unroll with
+    // MATERIALIZED CTEs (the graph_kcore discipline).
+    "graph_sssp_weighted" -> Q(
+      (s, d) => graft.ops.Basket.ssspWeighted(Tables.lineitem(s, d),
+        rounds = 5, minSupport = 2, k = 20),
+      Some {
+        val base =
+          """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            |e0 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_both
+            |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+            |      GROUP BY 1, 2 HAVING count(*) >= 2),
+            |e AS MATERIALIZED (
+            |  SELECT pa AS src, pb AS dst, 1000000 // n_both AS w FROM e0
+            |  UNION ALL SELECT pb, pa, 1000000 // n_both FROM e0),
+            |d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM e
+            |       GROUP BY src ORDER BY count(*) DESC, src LIMIT 1)""".stripMargin
+        val rounds = (1 to 5).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+             |  SELECT node, dist FROM d${i - 1}
+             |  UNION ALL
+             |  SELECT e.dst AS node, d.dist + e.w AS dist
+             |  FROM d${i - 1} d JOIN e ON e.src = d.node)
+             |  GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""$base,
+           |$rounds
+           |SELECT node, CAST(dist AS BIGINT) AS dist FROM d5
+           |ORDER BY dist, node LIMIT 20""".stripMargin
+      }),
+
+    // Z-order (Morton) clustering readout — the Delta/Iceberg OPTIMIZE
+    // ZORDER effectiveness report: interleave the low 10 bits of
+    // customer key and order-day (10+10 keeps the interleave inside the
+    // OCCUPIED domain at every SF — a 16-bit prefix left the top curve
+    // bits constant and every row in one bucket), split the curve into
+    // 32 leading-bit buckets ("files"), and report each bucket's
+    // per-dimension min/max envelope — the zone-map ranges a reader
+    // would prune on. Both dimensions stay narrow per bucket (vs a
+    // date-sorted layout where custkey spans its full range in every
+    // file). Pure codegen bit arithmetic + a 32-row groupBy;
+    // scale-perfect.
+    "lakehouse_zorder_stats" -> Q(
+      (s, d) => {
+        val z = (0 until 10).map(i =>
+          s"(shiftleft((ck >> $i) & 1, ${2 * i}) + shiftleft((dy >> $i) & 1, ${2 * i + 1}))")
+          .mkString(" + ")
+        Tables.orders(s, d)
+          .select(pmod(col("o_custkey"), lit(1024)).cast("long").as("ck"),
+            pmod(datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")),
+              lit(1024)).cast("long").as("dy"))
+          .withColumn("z", expr(z))
+          .withColumn("zbucket", expr("z >> 15").cast("long"))
+          .groupBy("zbucket").agg(count(lit(1)).as("n"),
+            min("ck").as("ck_min"), max("ck").as("ck_max"),
+            min("dy").as("dy_min"), max("dy").as("dy_max"))
+          .orderBy("zbucket")
+      },
+      Some {
+        val z = (0 until 10).map(i =>
+          s"((((ck >> $i) & 1) << ${2 * i}) + (((dy >> $i) & 1) << ${2 * i + 1}))")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT CAST(o_custkey % 1024 AS BIGINT) AS ck,
+           |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS dy
+           |  FROM orders),
+           |z AS (SELECT ck, dy, $z AS z FROM b)
+           |SELECT CAST(z >> 15 AS BIGINT) AS zbucket, count(*) AS n,
+           |  min(ck) AS ck_min, max(ck) AS ck_max,
+           |  min(dy) AS dy_min, max(dy) AS dy_max
+           |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+      }),
+
+    // Nearest-click as-of join with a ±30-minute tolerance — the
+    // bidirectional sibling of join_asof_last_click: each purchase
+    // takes the temporally closest click within tolerance (backward
+    // wins exact ties). Backward and forward candidates come from two
+    // user-partitioned window passes (at same-ts the click sorts first,
+    // so the backward pass sees it — dt 0), so there is never a range
+    // join or per-row scan; the oracle's LATERAL probe is test-scale
+    // only.
+    "join_asof_nearest" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tolUs = 1800L * 1000000L
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        val ord = when(col("event_type") === "click", 0).otherwise(1)
+        val wb = Window.partitionBy("user_id").orderBy(col("ts"), ord)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wf = Window.partitionBy("user_id").orderBy(col("ts"), ord)
+          .rowsBetween(0, Window.unboundedFollowing)
+        val clickTs = when(col("event_type") === "click", col("ts"))
+        ev.withColumn("back", last(clickTs, ignoreNulls = true).over(wb))
+          .withColumn("fwd", first(clickTs, ignoreNulls = true).over(wf))
+          .filter(col("event_type") === "purchase")
+          .withColumn("db", unix_micros(col("ts")) - unix_micros(col("back")))
+          .withColumn("df", unix_micros(col("fwd")) - unix_micros(col("ts")))
+          .withColumn("click_ts",
+            when(col("back").isNotNull && col("db") <= tolUs
+                && (col("fwd").isNull || col("df") > tolUs || col("db") <= col("df")),
+              col("back"))
+            .when(col("fwd").isNotNull && col("df") <= tolUs, col("fwd")))
+          .select("user_id", "event_id", "ts", "click_ts")
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+          |SELECT p.user_id, p.event_id, p.ts, n.ts AS click_ts
+          |FROM p LEFT JOIN LATERAL (
+          |  SELECT c.ts FROM clicks c
+          |  WHERE c.user_id = p.user_id
+          |    AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 1800000000
+          |  ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts LIMIT 1
+          |) n ON TRUE
+          |ORDER BY p.event_id""".stripMargin)),
+
+    // Exact join-cardinality forecast — the planner diagnostic that
+    // prices a fact-fact shuffle BEFORE running it: per-key counts on
+    // each side, matched-key fanout products, and their sum (= the
+    // exact inner-join row count), max, and mean. Complements
+    // stats_key_skew (which prices the shuffle buckets); two
+    // partial-agg'd counts + one keyed join of count frames, no window.
+    "stats_join_fanout" -> Q(
+      (s, d) => {
+        val a = Tables.orders(s, d)
+          .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+        val b = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+        a.join(b, "k")
+          .select((col("ca") * col("cb")).as("prod"))
+          .agg(count(lit(1)).as("n_matched_keys"),
+            sum("prod").cast("long").as("join_rows"),
+            max("prod").cast("long").as("max_key_product"),
+            expr("sum(prod) * 1000000L div count(1)").cast("long").as("mean_product_x1e6"))
+      },
+      Some(
+        """WITH a AS (SELECT o_orderkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+          |b AS (SELECT l_orderkey AS k, count(*) AS cb FROM lineitem GROUP BY 1),
+          |j AS (SELECT ca * cb AS prod FROM a JOIN b USING (k))
+          |SELECT count(*) AS n_matched_keys,
+          |  CAST(sum(prod) AS BIGINT) AS join_rows,
+          |  CAST(max(prod) AS BIGINT) AS max_key_product,
+          |  CAST(sum(prod) * 1000000 // count(*) AS BIGINT) AS mean_product_x1e6
+          |FROM j""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -1348,6 +1348,59 @@ object TextSql {
        |FROM p ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Reciprocal-rank-fusion mirror of `search_hybrid_rrf`: the bm25Topk
+    * CTE chain (same op order) ranked, the sim_cosine_topk scoring for
+    * ONE query vector ranked, fused with integer 1e6 // (60 + rank).
+    */
+  def hybridRrf(terms: Seq[String], queryVec: Long, listK: Int, k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN w = '$t' THEN s END) AS s$i"
+    }.mkString(",\n        ")
+    val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    s"""WITH $docTokensCte,
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ($inList) GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT t.doc_id, t.w,
+       |    ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |      * (t.tf * (1.2 + 1.0))
+       |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (CAST(c.tok_total AS DOUBLE) / c.n_docs))) AS s
+       |  FROM tf t
+       |  JOIN df d ON d.w = t.w
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN corpus c),
+       |p AS (SELECT doc_id,
+       |        $pivots
+       |      FROM scored GROUP BY doc_id),
+       |lex AS (SELECT doc_id, round($total, 6) AS bm25
+       |        FROM p ORDER BY bm25 DESC, doc_id LIMIT $listK),
+       |lexr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex FROM lex),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = $queryVec),
+       |den0 AS (
+       |  SELECT vec_id AS doc_id,
+       |    round(list_dot_product(e, qe)
+       |      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
+       |  FROM v CROSS JOIN q WHERE vec_id <> $queryVec),
+       |den AS (SELECT doc_id, cos FROM den0 ORDER BY cos DESC, doc_id LIMIT $listK),
+       |denr AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_dense FROM den),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+       |    CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+       |    CAST(coalesce(d.rank_dense, 0) AS BIGINT) AS rank_dense,
+       |    CAST(coalesce(1000000 // (60 + l.rank_lex), 0)
+       |       + coalesce(1000000 // (60 + d.rank_dense), 0) AS BIGINT) AS rrf_x1e6
+       |  FROM lexr l FULL OUTER JOIN denr d ON d.doc_id = l.doc_id)
+       |SELECT doc_id, rank_lex, rank_dense, rrf_x1e6 FROM fused
+       |ORDER BY rrf_x1e6 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** TF-IDF top-terms mirror of TextOps.tfidfTopTerms: df over the FULL
     * corpus, rank within the target doc slice.
     */

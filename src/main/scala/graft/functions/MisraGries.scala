@@ -40,33 +40,46 @@ object MisraGries {
     */
   type Buf = (Map[String, Long], Long)
 
+  val empty: Buf = (Map.empty, 0L)
+
+  /** Stream one item into the buffer (the pure core — shared by the
+    * batch Aggregator and the streaming twin so the two are
+    * bit-identical in semantics).
+    */
+  def add(buf: Buf, w: String, cap: Int): Buf = {
+    val (m, dec) = buf
+    val m2 = m.updated(w, m.getOrElse(w, 0L) + 1L)
+    if (m2.size <= 2 * cap) (m2, dec) else compress(m2, dec, cap)
+  }
+
+  /** Merge two buffers (Agarwal et al.: sum counters, COMPRESS back to
+    * ≤ cap — the guarantee survives any merge tree).
+    */
+  def mergeBufs(a: Buf, b: Buf, cap: Int): Buf = {
+    val (ma, da) = a; val (mb, db) = b
+    val m = mb.foldLeft(ma) { case (acc, (w, c)) =>
+      acc.updated(w, acc.getOrElse(w, 0L) + c)
+    }
+    if (m.size <= cap) (m, da + db) else compress(m, da + db, cap)
+  }
+
+  /** Subtract the (cap+1)-th largest count from all counters, keep the
+    * positive ones: ≤ cap survive, and the subtracted mass is ≥
+    * v·(cap+1), charging dec at most total_mass/(cap+1).
+    */
+  private def compress(m: Map[String, Long], dec: Long, cap: Int): Buf = {
+    val counts = m.valuesIterator.toArray
+    java.util.Arrays.sort(counts)
+    val v = counts(counts.length - (cap + 1))
+    (m.collect { case (w, c) if c > v => (w, c - v) }, dec + v)
+  }
+
   private final class MgAgg(cap: Int) extends Aggregator[String, Buf, Seq[String]] {
-    override def zero: Buf = (Map.empty, 0L)
+    override def zero: Buf = empty
 
-    override def reduce(buf: Buf, w: String): Buf = {
-      val (m, dec) = buf
-      val m2 = m.updated(w, m.getOrElse(w, 0L) + 1L)
-      if (m2.size <= 2 * cap) (m2, dec) else compress(m2, dec)
-    }
+    override def reduce(buf: Buf, w: String): Buf = add(buf, w, cap)
 
-    override def merge(a: Buf, b: Buf): Buf = {
-      val (ma, da) = a; val (mb, db) = b
-      val m = mb.foldLeft(ma) { case (acc, (w, c)) =>
-        acc.updated(w, acc.getOrElse(w, 0L) + c)
-      }
-      if (m.size <= cap) (m, da + db) else compress(m, da + db)
-    }
-
-    /** Subtract the (cap+1)-th largest count from all counters, keep the
-      * positive ones: ≤ cap survive, and the subtracted mass is ≥
-      * v·(cap+1), charging dec at most total_mass/(cap+1).
-      */
-    private def compress(m: Map[String, Long], dec: Long): Buf = {
-      val counts = m.valuesIterator.toArray
-      java.util.Arrays.sort(counts)
-      val v = counts(counts.length - (cap + 1))
-      (m.collect { case (w, c) if c > v => (w, c - v) }, dec + v)
-    }
+    override def merge(a: Buf, b: Buf): Buf = mergeBufs(a, b, cap)
 
     override def finish(buf: Buf): Seq[String] = buf._1.keys.toSeq.sorted
 

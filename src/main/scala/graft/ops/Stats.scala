@@ -48,6 +48,82 @@ object Stats {
       .drop("_bkt", "_rn", "_off")
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov statistic between the `aVal`
+    * and `bVal` slices of `flagCol`, over an integer-valued `valueCol`:
+    * KS = max |F_a − F_b|, computed as the cross-multiplied integer
+    * deviation |cumA·nB − cumB·nA| so no rational rounds before the
+    * final ×1e6 floor. The cumulative window runs over the
+    * DISTINCT-VALUE frame — SinglePartition, but bounded by the value
+    * DOMAIN, not the corpus (quantities, cents of a bounded metric);
+    * for genuinely unbounded domains the sketch-binned variant
+    * (`stats_ks_values_fast`) is the declared path.
+    *
+    * Output: (atName = argmax value, n_a, n_b, ks_x1e6) — one row.
+    */
+  def ksExact(df: DataFrame, valueCol: String, flagCol: String,
+      aVal: String, bVal: String, atName: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val counts = df
+      .filter(col(flagCol).isin(aVal, bVal))
+      .groupBy(col(valueCol).as("v")).agg(
+        sum(when(col(flagCol) === aVal, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(flagCol) === bVal, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    counts
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("nb", sum("cb").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("dev", abs(dec(col("cuma")) * dec(col("nb"))
+        - dec(col("cumb")) * dec(col("na"))))
+      .orderBy(desc("dev"), asc("v")).limit(1)
+      .select(col("v").as(atName),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        longDiv(col("dev") * dec(lit(1000000L)),
+          dec(col("na")) * dec(col("nb"))).cast("long").as("ks_x1e6"))
+  }
+
+  /** Sketch-binned KS for unbounded value domains: evaluate both ECDFs
+    * EXACTLY at `nBins` approximate combined-quantile cut points (one
+    * `percentile_approx` scan), so the statistic is a lower bound of
+    * the exact KS whose gap is bounded by the largest inter-edge
+    * probability mass (~2/nBins for well-mixed groups). The per-row
+    * work is an O(nBins) broadcast-edge bin assignment; the cumulative
+    * window runs over ≤ nBins rows. Accuracy vs [[ksExact]] is gated in
+    * StatsSketchSpec (the winsorize_fast discipline).
+    */
+  def ksBinned(df: DataFrame, valueCol: String, flagCol: String,
+      aVal: String, bVal: String, nBins: Int): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val both = df.filter(col(flagCol).isin(aVal, bVal))
+      .select(col(valueCol).as("v"), col(flagCol).as("fl"))
+    val probs = (1 until nBins).map(i => i.toDouble / nBins)
+    val edges = both.agg(percentile_approx(col("v"),
+      array(probs.map(lit): _*), lit(10000)).as("edges"))
+    val binned = both.crossJoin(broadcast(edges))
+      .withColumn("bin", expr("cardinality(filter(edges, e -> e < v))"))
+      .groupBy("bin").agg(
+        sum(when(col("fl") === aVal, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("fl") === bVal, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    binned
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("nb", sum("cb").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("dev", abs(dec(col("cuma")) * dec(col("nb"))
+        - dec(col("cumb")) * dec(col("na"))))
+      .orderBy(desc("dev"), asc("bin")).limit(1)
+      .select(col("bin").cast("long").as("at_bin"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        longDiv(col("dev") * dec(lit(1000000L)),
+          dec(col("na")) * dec(col("nb"))).cast("long").as("ks_x1e6"))
+  }
+
   /** Gini coefficient of a non-negative integer measure, exact in fixed
     * point: G·10⁶ = floor((2·Σ rank·x − (n+1)·Σx) · 10⁶ / (n·Σx)) under
     * the deterministic ranking above. All arithmetic in DECIMAL(38,0) —

@@ -553,4 +553,51 @@ object EventStream {
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  // ---- Stateful heavy-hitter sketch (the streaming twin of
+  //      agg_heavy_hitters) ----
+
+  final case class Tok(w: String)
+  final case class MgBucketState(counters: Map[String, Long], dec: Long, n: Long)
+  final case class MgEmit(bucket: Int, n: Long, dec: Long,
+      candidates: Map[String, Long])
+
+  /** Streaming Misra-Gries heavy hitters with explicit keyed state —
+    * the streaming twin of `agg_heavy_hitters`, sharing the EXACT same
+    * pure buffer ops (graft.functions.MisraGries.add — one code path,
+    * so batch and stream can't drift). Tokens are keyed into `buckets`
+    * hash groups; each group folds its batch into a ≤2·cap-counter MG
+    * buffer (state bounded forever — the [[hourlyEwma]] property) and
+    * re-emits its candidate summary as an upsert (downstream keeps the
+    * last emit per bucket).
+    *
+    * Because counts COMMUTE, this twin is fully disorder-immune — no
+    * monotone-batch assumption, no watermark: any arrival order folds
+    * to a buffer satisfying the same guarantee. Since a token always
+    * hashes to the same bucket, its full mass is inside one bucket, so
+    * per-bucket dec ≤ n_bucket/(cap+1) ≤ n/(cap+1) gives the GLOBAL
+    * guarantee: after any prefix, the union of last-emitted candidate
+    * sets contains every token with total frequency > n/cap — the
+    * exact-recount threshold census then matches the batch query
+    * (GraphStreamSpec pins both against agg_heavy_hitters' plan).
+    */
+  def heavyHitterSketch(toks: org.apache.spark.sql.Dataset[Tok],
+      cap: Int, buckets: Int): org.apache.spark.sql.Dataset[MgEmit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = toks.sparkSession
+    import spark.implicits._
+
+    def fn(bucket: Int, it: Iterator[Tok],
+        state: GroupState[MgBucketState]): Iterator[MgEmit] = {
+      val st = state.getOption.getOrElse(MgBucketState(Map.empty, 0L, 0L))
+      var buf: graft.functions.MisraGries.Buf = (st.counters, st.dec)
+      var n = st.n
+      it.foreach { t => buf = graft.functions.MisraGries.add(buf, t.w, cap); n += 1 }
+      state.update(MgBucketState(buf._1, buf._2, n))
+      Iterator.single(MgEmit(bucket, n, buf._2, buf._1))
+    }
+
+    toks.groupByKey(t => java.lang.Math.floorMod(t.w.hashCode, buckets))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -79,6 +79,29 @@ class BasketLinkageSpec extends SparkSpecBase {
     assert(at5 == at6, s"one more peel changed the core: $at5 vs $at6")
   }
 
+  test("weighted SSSP: hand-built path graph relaxes to true distances; corpus fixpoint within declared rounds") {
+    // edges: 1-2 (support 2, w=500000), 2-3 (support 2, w=500000),
+    // 1-3 (support 1, w=1000000), 3-4 (support 1, w=1000000) at
+    // minSupport=1. Seed = max-degree node = 3 (deg 3). From 3: the
+    // 2-hop path to 1 through 2 (cost 1000000) ties the direct edge
+    // and min() keeps it; 4 hangs one heavy hop off the seed.
+    val li = Seq(
+      // orders {1,2} x2 -> support 2; {2,3} x2; {1,3} x1; {3,4} x1
+      (101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L),
+      (103L, 2L), (103L, 3L), (104L, 2L), (104L, 3L),
+      (105L, 1L), (105L, 3L),
+      (106L, 3L), (106L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val d = Basket.ssspWeighted(li, rounds = 5, minSupport = 1, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(3L -> 0L, 2L -> 500000L, 1L -> 1000000L, 4L -> 1000000L), s"$d")
+
+    val corpus = graft.api.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val at5 = Basket.ssspWeighted(corpus, rounds = 5).collect().toSeq
+    val at6 = Basket.ssspWeighted(corpus, rounds = 6).collect().toSeq
+    assert(at5 == at6, "one more relaxation changed the top-20 distances")
+  }
+
   test("chi-square statistic matches a hand-computed 2x2 table") {
     // O = [[30,10],[10,30]]: R = C = [40,40], T = 80
     // per cell: (O·T − R·C)² · 1e6 / (R·C·T) = (2400−1600)²·1e6/128000

@@ -862,6 +862,61 @@ class GraphStreamSpec extends SparkSpecBase {
       }
     } finally q2.stop()
   }
+
+  test("streaming MG heavy hitters: bucket-union candidates cover the exact heavy set; recount census == agg_heavy_hitters; disorder-immune") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val cap = 64; val buckets = 8
+    // the SAME tokenization as agg_heavy_hitters, staged in two batches
+    // split by doc parity — and batch 2 "arrives late" relative to doc
+    // order, which must not matter: counts commute (no watermark, no
+    // monotone-batch assumption, unlike sessionize)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val stage = java.nio.file.Files.createTempDirectory("graft-mg")
+    toks.filter(col("doc_id") % 2 === 1).select("w")
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100)
+    toks.filter(col("doc_id") % 2 === 0).select("w")
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.StringType)))
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+      .as[EventStream.Tok]
+    val q = EventStream.heavyHitterSketch(in, cap = cap, buckets = buckets)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_mg").start()
+    try {
+      q.processAllAvailable()
+      val emits = spark.table("stream_mg").collect()
+        .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n"), r.getAs[Long]("dec"),
+          r.getAs[Map[String, Long]]("candidates")))
+      // upsert semantics: keep the LAST emit per bucket (emits arrive
+      // in batch order; within a batch each bucket emits once)
+      val last = emits.zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1).values.toSeq
+      val n = last.map(_._2).sum
+      val candidates = last.flatMap(_._4.keys).toSet
+      // state boundedness + the per-bucket undercount bound
+      last.foreach { case (b, nb, dec, cnt) =>
+        assert(cnt.size <= 2 * cap, s"bucket $b buffer ${cnt.size} > ${2 * cap}")
+        assert(dec <= nb / (cap + 1), s"bucket $b dec=$dec n_b=$nb")
+      }
+      // coverage: every token with global freq*cap > n is a candidate
+      val exact = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .filter(col("c") * cap > lit(n)).as[(String, Long)].collect().toMap
+      assert(exact.nonEmpty)
+      exact.keys.foreach(w => assert(candidates.contains(w), s"missing heavy token $w"))
+      // exact-recount census over the streamed candidates == the batch
+      // heavy-hitter set (same threshold discipline as agg_heavy_hitters)
+      val census = toks.filter(col("w").isin(candidates.toSeq: _*))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .filter(col("c") * cap > lit(n)).as[(String, Long)].collect().toMap
+      assert(census == exact)
+    } finally q.stop()
+  }
 }
 
 /** Local filesystem whose rename REFUSES any destination named like this

@@ -62,6 +62,23 @@ class StatsSketchSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("ksBinned tracks ksExact within the inter-edge mass bound (events corpus)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(floor(col("value") * 100).cast("long").as("vc"),
+        col("event_type").as("fl"))
+    val exact = graft.ops.Stats.ksExact(ev, "vc", "fl", "click", "purchase", "at")
+      .head.getLong(3)
+    val binned = graft.ops.Stats.ksBinned(ev, "vc", "fl", "click", "purchase", 64)
+      .head.getLong(3)
+    // binned evaluates the same ECDFs at 63 cut points: a lower bound,
+    // within the largest inter-edge probability mass (~2/64 combined
+    // plus sketch error; 4/64 = 62500 ppm is the generous gate)
+    assert(binned <= exact + 1,
+      s"binned KS must not exceed exact (binned=$binned exact=$exact)")
+    assert(exact - binned <= 62500,
+      s"binned KS too loose: exact=$exact binned=$binned")
+  }
+
   test("giniX1e6: zero for uniform values, matches hand formula on a skewed set") {
     val uni = (1L to 100L).map(i => (i, 500L)).toDF("id", "v")
     val g0 = graft.ops.Stats.giniX1e6(
