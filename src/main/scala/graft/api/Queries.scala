@@ -4139,7 +4139,181 @@ object Queries {
           |  CAST(sum(prod) AS BIGINT) AS join_rows,
           |  CAST(max(prod) AS BIGINT) AS max_key_product,
           |  CAST(sum(prod) * 1000000 // count(*) AS BIGINT) AS mean_product_x1e6
-          |FROM j""".stripMargin))
+          |FROM j""".stripMargin)),
+
+    // Embedding-space decontamination — the semantic member of the
+    // exact/fuzzy/semantic trio (pipeline_decontaminate catches verbatim
+    // n-gram overlap, _fuzzy catches paraphrase via MinHash bands, this
+    // catches re-encodings that share no surface form): corpus vectors
+    // scoring cos ≥ 0.95 against ANY benchmark vector (vec_id < 50) are
+    // flagged with their best match. Fixture: vec_id < 20 re-appended
+    // under 800000+id scaled ×0.97 (cos 1.0 — same direction; scaling
+    // in DOUBLE so both engines replay it bit-for-bit, the
+    // dedup_pq_codes discipline); the real cross-slice max on this
+    // corpus is 0.49, so the flags are exactly the plants. The
+    // benchmark side BROADCASTS (real benchmarks are small); past that
+    // ceiling the sign-LSH bucket join (dedup_embedding's chain) is the
+    // declared escalation.
+    "pipeline_decontaminate_semantic" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val planted = base.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 800000L).as("vec_id"),
+            transform(col("e"), x => x * lit(0.97)).as("e"))
+        val bench = base.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("bench_id"), col("e").as("be"))
+        val corpus = base.filter(col("vec_id") >= 50).unionByName(planted)
+        val dot = graft.ops.Similarity.dot _
+        val scored = corpus.crossJoin(broadcast(bench))
+          .withColumn("cos", round(dot(col("e"), col("be"))
+            / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("be"), col("be")))), 6))
+          .filter(col("cos") >= 0.95)
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(desc("cos"), asc("bench_id"))))
+          .filter(col("rn") === 1)
+          .select("vec_id", "bench_id", "cos")
+          .orderBy("vec_id")
+      },
+      Some(
+        """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |planted AS (SELECT vec_id + 800000 AS vec_id,
+          |    list_transform(e, x -> x * 0.97) AS e
+          |  FROM base WHERE vec_id < 20),
+          |bench AS (SELECT vec_id AS bench_id, e AS be FROM base WHERE vec_id < 50),
+          |corpus AS (SELECT vec_id, e FROM base WHERE vec_id >= 50
+          |  UNION ALL SELECT vec_id, e FROM planted),
+          |scored AS (
+          |  SELECT c.vec_id, b.bench_id,
+          |    round(list_dot_product(e, be)
+          |      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(be, be))), 6) AS cos
+          |  FROM corpus c CROSS JOIN bench b),
+          |fl AS (SELECT vec_id, bench_id, cos,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+          |  FROM scored WHERE cos >= 0.95)
+          |SELECT vec_id, bench_id, cos FROM fl WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // Corpus drift detection: terms rising between the early and late
+    // document halves (split at the midpoint of the id range — the
+    // stand-in for ingestion time), add-one-smoothed ratio ×1e6 in
+    // exact integer arithmetic, minimum late support 20. The trending
+    // readout a continuously-ingesting pipeline alerts on. One token
+    // scan with conditional sums — no second pass, no window.
+    "text_trending_terms" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mx = docs.agg(max("doc_id").as("mx"))
+        docs.crossJoin(broadcast(mx))
+          .select(col("doc_id"), col("mx"),
+            explode(graft.ops.TextOps.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(
+            sum(when(col("doc_id") * 2 <= col("mx"), 1L).otherwise(0L)).as("c_early"),
+            sum(when(col("doc_id") * 2 > col("mx"), 1L).otherwise(0L)).as("c_late"))
+          .filter(col("c_late") >= 20)
+          .withColumn("rise_x1e6", expr("(c_late + 1) * 1000000L div (c_early + 1)"))
+          .select(col("w"), col("c_early").cast("long").as("c_early"),
+            col("c_late").cast("long").as("c_late"),
+            col("rise_x1e6").cast("long").as("rise_x1e6"))
+          .orderBy(desc("rise_x1e6"), asc("w")).limit(20)
+      },
+      Some(
+        """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+          |tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+          |        FROM documents),
+          |c AS (SELECT w,
+          |    sum(CASE WHEN doc_id * 2 <= mx THEN 1 ELSE 0 END) AS c_early,
+          |    sum(CASE WHEN doc_id * 2 > mx THEN 1 ELSE 0 END) AS c_late
+          |  FROM tok CROSS JOIN mx WHERE w <> '' GROUP BY w)
+          |SELECT w, CAST(c_early AS BIGINT) AS c_early, CAST(c_late AS BIGINT) AS c_late,
+          |  CAST((c_late + 1) * 1000000 // (c_early + 1) AS BIGINT) AS rise_x1e6
+          |FROM c WHERE c_late >= 20
+          |ORDER BY rise_x1e6 DESC, w LIMIT 20""".stripMargin)),
+
+    // Per-type volume trend: least-squares slope of hourly event counts
+    // over the hour index (hours since the global min hour). All four
+    // sums are exact integers (DECIMAL, < 2^53 at any plausible scale),
+    // so the final slope division is the only float op — identical
+    // IEEE double division + round on both engines (the bm25
+    // discipline). Hourly pre-agg collapses the corpus; the per-type
+    // regression runs on (type, hour) rows.
+    "events_trend_slope" -> Q(
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val minh = hourly.agg(min("hr").as("mnh"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        hourly.crossJoin(broadcast(minh))
+          .withColumn("t", expr("(unix_micros(hr) - unix_micros(mnh)) div 3600000000"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("k"),
+            sum(dec(col("t"))).as("st"),
+            sum(dec(col("n"))).as("sn"),
+            sum(dec(col("t")) * dec(col("n"))).as("stn"),
+            sum(dec(col("t")) * dec(col("t"))).as("stt"))
+          .select(col("event_type"), col("k").cast("long").as("n_hours"),
+            round((dec(col("k")) * col("stn") - col("st") * col("sn")).cast("double")
+              / (dec(col("k")) * col("stt") - col("st") * col("st")).cast("double"),
+              6).as("slope_per_hour"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+          |               FROM events GROUP BY 1, 2),
+          |mn AS (SELECT min(hr) AS mnh FROM hourly),
+          |t AS (SELECT event_type,
+          |    (epoch_us(hr) - epoch_us(mnh)) // 3600000000 AS t, n
+          |  FROM hourly CROSS JOIN mn),
+          |s AS (SELECT event_type, count(*) AS k,
+          |    sum(CAST(t AS HUGEINT)) AS st, sum(CAST(n AS HUGEINT)) AS sn,
+          |    sum(CAST(t AS HUGEINT) * n) AS stn, sum(CAST(t AS HUGEINT) * t) AS stt
+          |  FROM t GROUP BY 1)
+          |SELECT event_type, CAST(k AS BIGINT) AS n_hours,
+          |  round(CAST(k * stn - st * sn AS DOUBLE)
+          |        / CAST(k * stt - st * st AS DOUBLE), 6) AS slope_per_hour
+          |FROM s ORDER BY event_type""".stripMargin)),
+
+    // Neyman-optimal stratified sampling allocation: a 10k-doc budget
+    // split across sources ∝ N_i·σ_i of the char-length metric. The
+    // identity N·σ = sqrt(N·Σx² − (Σx)²) keeps everything under the
+    // sqrt an EXACT integer (no mean, no float variance), the sqrt and
+    // the ×1e3 floor quantization are the pipeline_temperature_mix
+    // discipline, and the final allocation is integer floor division —
+    // the whole plan is one groupBy over the corpus plus arithmetic on
+    // the |sources|-row frame.
+    "sample_neyman_alloc" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(dec(col("n_chars"))).as("sx"),
+            sum(dec(col("n_chars")) * dec(col("n_chars"))).as("sxx"))
+          .withColumn("w", floor(sqrt(
+            (dec(col("n_docs")) * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * 1e3).cast("long"))
+          .withColumn("tw", sum("w").over(Window.partitionBy()))
+          .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+            col("w").as("nsigma_x1e3"),
+            expr("CAST((CAST(w AS DECIMAL(38,0)) * 10000) div CAST(tw AS DECIMAL(38,0)) AS BIGINT)")
+              .as("alloc"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH s AS (SELECT source, count(*) AS n_docs,
+          |    sum(CAST(n_chars AS HUGEINT)) AS sx,
+          |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+          |  FROM documents GROUP BY 1),
+          |w AS (SELECT source, n_docs,
+          |    CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) * 1e3) AS BIGINT) AS w
+          |  FROM s),
+          |t AS (SELECT sum(w) AS tw FROM w)
+          |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w AS nsigma_x1e3,
+          |  CAST(CAST(w AS HUGEINT) * 10000 // tw AS BIGINT) AS alloc
+          |FROM w CROSS JOIN t ORDER BY source""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
