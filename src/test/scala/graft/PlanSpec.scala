@@ -386,4 +386,64 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"unkeyed join in winsorize plan:\n${p.take(2000)}")
   }
+
+  test("heavy hitters: MG sketch partial-aggregates map-side; recount join broadcasts candidates") {
+    // the sketch must combine per-partition buffers BEFORE the single
+    // final merge (one ObjectHashAggregate pair — the token mass never
+    // shuffles), and the exact recount must probe the stream against
+    // the broadcast candidate list, never shuffle-join the token stream
+    val p = plan("agg_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no typed-aggregator node:\n${p.take(2000)}")
+    assert(p.contains("partial_"), s"no map-side partial for the sketch:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate recount not a broadcast probe:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in sketch plan:\n${p.take(2000)}")
+  }
+
+  test("two-phase gini rank: the only unpartitioned window runs on the bucket-offsets frame") {
+    // bucketedRank's contract: in-bucket ranking is a PARTITIONED
+    // window; the single SinglePartition window is the prefix sum over
+    // the occupied-bucket frame (KB-sized). Count the unpartitioned
+    // window specs in the executed plan.
+    val df = Queries.registry("stats_gini_customers").fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    // the row_number (in-bucket rank over the ENTITY frame) must carry
+    // a partition spec — it prints `Window [row_number() ...], [_bkt#N]`
+    assert(windows.exists(l => l.contains("row_number()") && l.contains("], [_bkt#")),
+      s"rank window not bucket-partitioned:\n${windows.mkString("\n").take(1500)}")
+    // the ONLY unpartitioned window is the offsets prefix sum over the
+    // bucket-COUNT frame (sum of _bn — one row per occupied bucket)
+    val unpartitioned = windows.filterNot(l => l.contains("], [_bkt#"))
+    assert(unpartitioned.forall(_.contains("sum(_bn")),
+      s"unexpected unpartitioned window over a non-bucket frame:\n${unpartitioned.mkString("\n")}")
+  }
+
+  test("semantic decontamination: the benchmark side broadcasts; corpus never self-joins") {
+    val p = plan("pipeline_decontaminate_semantic")
+    assert(p.contains("BroadcastExchange"),
+      s"benchmark frame not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian in decontamination plan:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join in decontamination plan:\n${p.take(2000)}")
+  }
+
+  test("hybrid RRF: the fusion join of the two top-k lists is broadcast, never shuffled") {
+    val p = plan("search_hybrid_rrf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"fused lists not broadcast-joined:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in RRF plan:\n${p.take(2500)}")
+  }
+
+  test("KS exact: per-value counts partial-aggregate before the domain-frame window") {
+    // the corpus-side groupBy must map-side combine (partial_sum) so
+    // the shuffle carries one row per distinct value, and the only
+    // window input is that domain-bounded frame
+    val p = plan("stats_ks_flags")
+    assert(p.contains("partial_"), s"no map-side combine:\n${p.take(2000)}")
+    assert(p.contains("Window"), s"no window:\n${p.take(1000)}")
+  }
 }
