@@ -4313,7 +4313,33 @@ object Queries {
           |t AS (SELECT sum(w) AS tw FROM w)
           |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w AS nsigma_x1e3,
           |  CAST(CAST(w AS HUGEINT) * 10000 // tw AS BIGINT) AS alloc
-          |FROM w CROSS JOIN t ORDER BY source""".stripMargin))
+          |FROM w CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    // Link prediction on the co-order graph: non-adjacent part pairs
+    // ranked by common-neighbor Jaccard ("bought with the same things,
+    // never together" — the recommendation candidate generator).
+    // Candidates only from wedges (keyed neighbor-list self-join, Σdeg²
+    // bounded by the support prune), existing edges anti-joined away,
+    // exact integer Jaccard.
+    "graph_link_prediction" -> Q(
+      (s, d) => graft.ops.Basket.linkPrediction(Tables.lineitem(s, d),
+        minSupport = 2, k = 20),
+      Some(
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+          |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |n AS (SELECT pa AS b, pb AS x FROM e UNION ALL SELECT pb, pa FROM e),
+          |deg AS (SELECT x, count(*) AS deg FROM n GROUP BY 1),
+          |cm AS (SELECT n1.x AS a, n2.x AS c, count(*) AS common
+          |       FROM n n1 JOIN n n2 ON n2.b = n1.b AND n1.x < n2.x
+          |       GROUP BY 1, 2),
+          |ne AS (SELECT cm.* FROM cm
+          |       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = cm.a AND e.pb = cm.c))
+          |SELECT ne.a, ne.c, CAST(common AS BIGINT) AS common,
+          |  CAST(common * 1000000 // (da.deg + dc.deg - common) AS BIGINT) AS jaccard_x1e6
+          |FROM ne JOIN deg da ON da.x = ne.a JOIN deg dc ON dc.x = ne.c
+          |ORDER BY jaccard_x1e6 DESC, common DESC, a, c LIMIT 20""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

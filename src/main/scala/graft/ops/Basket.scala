@@ -82,6 +82,42 @@ object Basket {
       .select("n_edges", "n_wedges", "n_triangles")
   }
 
+  /** Link prediction on the support-pruned co-order graph: score
+    * NON-adjacent part pairs by common-neighbor Jaccard
+    * |N(a)∩N(c)| / |N(a)∪N(c)| ×1e6 (exact integers via
+    * deg_a + deg_c − common). Candidates come only from wedges (pairs
+    * sharing ≥1 neighbor — a keyed self-join of the undirected
+    * neighbor list, Σdeg² bounded by the support prune exactly like
+    * [[triangleStats]]); existing edges are removed with one anti-join.
+    * The recommendation shape: "parts bought with the same things but
+    * never together".
+    */
+  def linkPrediction(lineitem: DataFrame, minSupport: Int = 2,
+      k: Int = 20): DataFrame = {
+    // the edge frame feeds FOUR subtrees (both wedge sides, the degree
+    // agg, the anti-join) — materialize the expensive co-order
+    // derivation once instead of re-running its self-join per consumer
+    val e = coOrderEdges(lineitem, minSupport).select("pa", "pb")
+      .localCheckpoint(true)
+    val n = e.select(col("pa").as("b"), col("pb").as("x"))
+      .unionByName(e.select(col("pb").as("b"), col("pa").as("x")))
+    val deg = n.groupBy("x").agg(count(lit(1)).as("deg"))
+    val common = n.select(col("b"), col("x").as("a"))
+      .join(n.select(col("b"), col("x").as("c")), "b")
+      .filter(col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("common"))
+    common
+      .join(e.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"), "left_anti")
+      .join(deg.select(col("x").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("x").as("c"), col("deg").as("deg_c")), "c")
+      .withColumn("jaccard_x1e6", expr(
+        "common * 1000000L div (deg_a + deg_c - common)"))
+      .select(col("a"), col("c"), col("common").cast("long").as("common"),
+        col("jaccard_x1e6").cast("long").as("jaccard_x1e6"))
+      .orderBy(desc("jaccard_x1e6"), desc("common"), asc("a"), asc("c"))
+      .limit(k)
+  }
+
   /** k-core of the support-pruned co-order graph by `rounds` fixed
     * peeling passes: drop nodes of degree < k, re-derive the induced
     * edge set, repeat. A FIXED round count (not run-to-fixpoint) keeps

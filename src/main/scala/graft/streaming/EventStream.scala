@@ -554,6 +554,57 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  // ---- Stateful SCD2 interval maintenance (the streaming twin of
+  //      events_scd2_intervals) ----
+
+  final case class RunState(state_type: String, start_us: Long,
+      last_us: Long, last_id: Long)
+  final case class ClosedInterval(user_id: Long, state: String,
+      start_us: Long, end_us: Long)
+
+  /** Streaming SCD Type-2 builder with explicit keyed state — the twin
+    * of `events_scd2_intervals`: state holds each user's OPEN run
+    * (state type + its entry timestamp); a batch event with a different
+    * type closes the run (emitting the finished validity interval,
+    * end = the new event's ts — exactly the batch query's lead())
+    * and opens the next. Same-type events only advance the run's tail.
+    * One open-run row per user forever; closed intervals stream out
+    * append-only and never revise. Same in-batch sort + monotone-batch
+    * assumption as [[sessionize]]/[[transitions]] (a cross-batch late
+    * event can split a run the batch query would merge — the
+    * documented disorder bound); the emitted closed intervals converge
+    * to the batch query's closed set (GraphStreamSpec, corpus fixture).
+    */
+  def scd2Intervals(events: org.apache.spark.sql.Dataset[TypedEvent])
+      : org.apache.spark.sql.Dataset[ClosedInterval] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(user: Long, it: Iterator[TypedEvent],
+        state: GroupState[RunState]): Iterator[ClosedInterval] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var cur = state.getOption
+      val out = Seq.newBuilder[ClosedInterval]
+      sorted.foreach { e =>
+        cur match {
+          case Some(r) if r.state_type == e.event_type =>
+            cur = Some(r.copy(last_us = e.ts_us, last_id = e.event_id))
+          case Some(r) =>
+            out += ClosedInterval(user, r.state_type, r.start_us, e.ts_us)
+            cur = Some(RunState(e.event_type, e.ts_us, e.ts_us, e.event_id))
+          case None =>
+            cur = Some(RunState(e.event_type, e.ts_us, e.ts_us, e.event_id))
+        }
+      }
+      cur.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   // ---- Stateful heavy-hitter sketch (the streaming twin of
   //      agg_heavy_hitters) ----
 

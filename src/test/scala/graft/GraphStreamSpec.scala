@@ -863,6 +863,56 @@ class GraphStreamSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("streaming SCD2 intervals converge to the batch query's closed set (corpus, time-ordered batches)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"), col("event_type"))
+    // stage in two batches split at the time median, written in time
+    // order (the monotone-batch assumption this twin documents)
+    val cut = ev.selectExpr("percentile_approx(ts_us, 0.5)").head.getLong(0)
+    val stage = java.nio.file.Files.createTempDirectory("graft-scd2")
+    ev.filter(col("ts_us") <= cut).coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100)
+    ev.filter(col("ts_us") > cut).coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+      .as[EventStream.TypedEvent]
+    val q = EventStream.scd2Intervals(in)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_scd2").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_scd2").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("state"),
+          r.getAs[Long]("start_us"), r.getAs[Long]("end_us"))).toSet
+      // batch truth: collapse consecutive same-state events per user,
+      // close each run at the next run's start (the events_scd2_intervals
+      // construction, kept as raw intervals instead of the census)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val batch = ev
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("end_us", lead("ts_us", 1).over(w))
+        .filter(col("end_us").isNotNull)
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts_us").as("start_us"), col("end_us"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} closed intervals != batch ${batch.size}; " +
+          s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming MG heavy hitters: bucket-union candidates cover the exact heavy set; recount census == agg_heavy_hitters; disorder-immune") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
