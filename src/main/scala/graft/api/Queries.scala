@@ -4339,7 +4339,374 @@ object Queries {
           |SELECT ne.a, ne.c, CAST(common AS BIGINT) AS common,
           |  CAST(common * 1000000 // (da.deg + dc.deg - common) AS BIGINT) AS jaccard_x1e6
           |FROM ne JOIN deg da ON da.x = ne.a JOIN deg dc ON dc.x = ne.c
-          |ORDER BY jaccard_x1e6 DESC, common DESC, a, c LIMIT 20""".stripMargin))
+          |ORDER BY jaccard_x1e6 DESC, common DESC, a, c LIMIT 20""".stripMargin)),
+
+    // CUSUM changepoint detection over the hourly volume series per
+    // event type — the classic mean-shift monitor a pipeline runs over
+    // ingest telemetry. S_i = Σ_{j≤i}(x_j − μ) is kept EXACT by scaling
+    // ×n: s_xn_i = n·prefix_i − i·total (BIGINT; hours ≤ 1e4 × corpus
+    // counts ≤ 1e12 stays far under 2^63). The hourly pre-agg collapses
+    // the corpus; the windows run per-type over span-bounded partitions
+    // (≤ #hours rows). Reported changepoint = argmax |S|, earliest hour
+    // on ties.
+    "events_changepoint_cusum" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+        val pre = hourly
+          .withColumn("i", row_number().over(w).cast("long"))
+          .withColumn("pfx", sum("x").over(w))
+        val tot = hourly.groupBy("event_type")
+          .agg(sum("x").as("total"), count(lit(1)).as("n_hours"))
+        val sn = pre.join(broadcast(tot), "event_type")
+          .withColumn("abs_s",
+            abs(col("n_hours") * col("pfx") - col("i") * col("total")))
+        val pick = Window.partitionBy("event_type")
+          .orderBy(col("abs_s").desc, col("hr"))
+        sn.withColumn("rk", row_number().over(pick)).filter(col("rk") === 1)
+          .select(col("event_type"),
+            col("n_hours").cast("long").as("n_hours"),
+            col("total").cast("long").as("total"),
+            date_format(col("hr"), "yyyy-MM-dd HH:00:00").as("cp_hour"),
+            col("abs_s").cast("long").as("s_abs_max_xn"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+          |               FROM events GROUP BY 1, 2),
+          |tot AS (SELECT event_type, sum(x) AS total, count(*) AS n_hours
+          |        FROM hourly GROUP BY 1),
+          |pre AS (SELECT event_type, hr,
+          |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr) AS BIGINT) AS i,
+          |    sum(x) OVER (PARTITION BY event_type ORDER BY hr) AS pfx
+          |  FROM hourly),
+          |s AS (SELECT p.event_type, p.hr, t.n_hours, t.total,
+          |    abs(t.n_hours * p.pfx - p.i * t.total) AS abs_s
+          |  FROM pre p JOIN tot t USING (event_type))
+          |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+          |  CAST(total AS BIGINT) AS total,
+          |  strftime(hr, '%Y-%m-%d %H:00:00') AS cp_hour,
+          |  CAST(abs_s AS BIGINT) AS s_abs_max_xn
+          |FROM s
+          |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY abs_s DESC, hr) = 1
+          |ORDER BY event_type""".stripMargin)),
+
+    // Theil–Sen robust trend slope per event type — the median of all
+    // pairwise hourly slopes, the outlier-proof twin of
+    // events_trend_slope's OLS. The hourly pre-agg collapses the corpus
+    // first, so the pair self-join is O(span_hours²) per type —
+    // CORPUS-INDEPENDENT (the 30-day span is ~720 hours at every SF;
+    // for year-long spans, pre-bucket hours to days first). Each slope
+    // is ONE IEEE double division (exactly rounded, engine-invariant),
+    // the median is the deterministic lower median by (slope, t1, t2)
+    // order.
+    "events_theilsen_slope" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val minh = hourly.agg(min("hr").as("mnh"))
+        val t = hourly.crossJoin(broadcast(minh))
+          .withColumn("t", expr("(unix_micros(hr) - unix_micros(mnh)) div 3600000000"))
+          .select("event_type", "t", "n")
+        val pairs = t.select(col("event_type"), col("t").as("t1"), col("n").as("n1"))
+          .join(t.select(col("event_type"), col("t").as("t2"), col("n").as("n2")),
+            "event_type")
+          .filter(col("t1") < col("t2"))
+          .withColumn("slope",
+            (col("n2") - col("n1")).cast("double") / (col("t2") - col("t1")).cast("double"))
+        val w = Window.partitionBy("event_type").orderBy("slope", "t1", "t2")
+        pairs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("event_type"), col("cnt").cast("long").as("n_pairs"),
+            round(col("slope"), 6).as("theilsen_slope"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+          |               FROM events GROUP BY 1, 2),
+          |mn AS (SELECT min(hr) AS mnh FROM hourly),
+          |t AS (SELECT event_type,
+          |    (epoch_us(hr) - epoch_us(mnh)) // 3600000000 AS t, n
+          |  FROM hourly CROSS JOIN mn),
+          |p AS (SELECT a.event_type, a.t AS t1, b.t AS t2,
+          |    CAST(b.n - a.n AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+          |  FROM t a JOIN t b ON b.event_type = a.event_type AND a.t < b.t),
+          |r AS (SELECT event_type, slope,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY slope, t1, t2) AS rn,
+          |    count(*) OVER (PARTITION BY event_type) AS cnt
+          |  FROM p)
+          |SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+          |  round(slope, 6) AS theilsen_slope
+          |FROM r WHERE rn = (cnt + 1) // 2
+          |ORDER BY event_type""".stripMargin)),
+
+    // Skyline (Pareto frontier) of parts under (minimize price,
+    // maximize size). The 2-D dominance test collapses to per-size
+    // minima: a part survives iff it has the min price at its size AND
+    // every strictly larger size is strictly more expensive — so the
+    // whole operator is one groupBy to the ≤50-row size frame, a
+    // suffix-min over that DOMAIN-BOUNDED frame, and a broadcast join
+    // back (O(n) scan vs the oracle's O(n²) NOT EXISTS, which is
+    // test-scale only). Prices in exact cents.
+    "skyline_parts" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val parts = Tables.part(s, d).select(col("p_partkey"),
+          col("p_size").cast("long").as("size"),
+          expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("price_c"))
+        val bySize = parts.groupBy("size").agg(min("price_c").as("mp"))
+        val w = Window.orderBy(col("size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val sizes = bySize.withColumn("ms", min("mp").over(w))
+        parts.join(broadcast(sizes), "size")
+          .filter(col("price_c") === col("mp") &&
+            (col("ms").isNull || col("ms") > col("price_c")))
+          .select(col("p_partkey"), col("size"), col("price_c"))
+          .orderBy("size", "p_partkey")
+      },
+      Some(
+        """SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+          |  CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+          |FROM part p
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM part q
+          |  WHERE CAST(floor(q.p_retailprice * 100 + 0.5) AS BIGINT)
+          |          <= CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+          |    AND q.p_size >= p.p_size
+          |    AND (CAST(floor(q.p_retailprice * 100 + 0.5) AS BIGINT)
+          |           < CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+          |         OR q.p_size > p.p_size))
+          |ORDER BY size, p_partkey""".stripMargin)),
+
+    // k-anonymity / l-diversity audit over the customer table:
+    // equivalence classes on the quasi-identifiers (nation, segment),
+    // sensitive attribute = account-balance band. A class is at risk if
+    // it has fewer than k=5 members (re-identifiable) or fewer than 2
+    // distinct sensitive values (attribute disclosure). One groupBy to
+    // the |nations|×|segments| frame — scale-perfect.
+    "privacy_k_anonymity" -> Q(
+      (s, d) => {
+        val band = when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 4500, "mid").otherwise("high")
+        Tables.customer(s, d)
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(band).as("l_div"))
+          .withColumn("at_risk",
+            when(col("n") < 5 || col("l_div") < 2, 1L).otherwise(0L))
+          .select(col("nation"), col("segment"), col("n"),
+            col("l_div").cast("long").as("l_div"), col("at_risk"))
+          .orderBy("nation", "segment")
+      },
+      Some(
+        """SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+          |  count(*) AS n,
+          |  CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+          |    WHEN c_acctbal < 4500 THEN 'mid' ELSE 'high' END) AS BIGINT) AS l_div,
+          |  CASE WHEN count(*) < 5 OR count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+          |    WHEN c_acctbal < 4500 THEN 'mid' ELSE 'high' END) < 2
+          |    THEN 1 ELSE 0 END AS at_risk
+          |FROM customer GROUP BY 1, 2
+          |ORDER BY nation, segment""".stripMargin)),
+
+    // Interval-overlap join: SCD2 state-validity intervals (per-user
+    // consecutive same-type collapse, open intervals capped at corpus
+    // max ts) ⋈ the top-24 global peak hours by volume (deterministic
+    // rank, ties by hour — non-vacuous at every SF, unlike a
+    // mean-multiple threshold that empties out as the hourly series
+    // flattens). The join is the scale-correct BIN-KEYED form:
+    // intervals explode to covered DAYS (bounded by span), peak hours
+    // key by their day — an equi-join, no range/theta join anywhere;
+    // per-pair overlap is exact integer microseconds. The oracle's
+    // range join is test-scale only.
+    "join_interval_overlap" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val mx = ev.agg(max("ts").as("mxts"))
+        val iv = ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("te0", lead("ts", 1).over(w))
+          .crossJoin(broadcast(mx))
+          .select(col("event_type").as("state"), col("ts").as("tb"),
+            coalesce(col("te0"), col("mxts")).as("te"))
+        val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val pk = Window.orderBy(col("n").desc, col("h"))
+        val peak = hourly.withColumn("rk", row_number().over(pk))
+          .filter(col("rk") <= 24)
+          .select(col("h"), to_date(col("h")).as("day"))
+        val expanded = iv.withColumn("day",
+          explode(expr("sequence(to_date(tb), to_date(te), interval 1 day)")))
+        expanded.join(peak, "day")
+          .withColumn("ov_us",
+            greatest(lit(0L),
+              least(unix_micros(col("te")), unix_micros(col("h") + expr("interval 1 hour")))
+                - greatest(unix_micros(col("tb")), unix_micros(col("h")))))
+          .filter(col("ov_us") > 0)
+          .groupBy("state")
+          .agg(count(lit(1)).as("n_pairs"), sum("ov_us").cast("long").as("overlap_us"))
+          .orderBy("state")
+      },
+      Some(
+        """WITH mx AS (SELECT max(ts) AS mxts FROM events),
+          |chg AS (
+          |  SELECT * FROM (
+          |    SELECT user_id, event_id, ts, event_type,
+          |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |    FROM events)
+          |  WHERE prev IS NULL OR prev <> event_type),
+          |iv AS (SELECT event_type AS state, ts AS tb,
+          |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), mxts) AS te
+          |  FROM chg CROSS JOIN mx),
+          |hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+          |           FROM events GROUP BY 1),
+          |peak AS (SELECT h FROM hourly
+          |         QUALIFY row_number() OVER (ORDER BY n DESC, h) <= 24),
+          |ov AS (SELECT state,
+          |    greatest(0, epoch_us(least(te, h + INTERVAL 1 HOUR))
+          |               - epoch_us(greatest(tb, h))) AS ov_us
+          |  FROM iv JOIN peak ON peak.h < iv.te AND iv.tb < peak.h + INTERVAL 1 HOUR)
+          |SELECT state, count(*) AS n_pairs, CAST(sum(ov_us) AS BIGINT) AS overlap_us
+          |FROM ov WHERE ov_us > 0 GROUP BY 1 ORDER BY state""".stripMargin)),
+
+    // Order-invariant table fingerprint — the Merkle-style integrity
+    // check for verifying a 100 TB copy without moving or sorting data:
+    // per-row 60-bit portable hash (md5 of the canonical '|'-joined
+    // row string, money in exact cents), summed per 32-way hash bucket
+    // mod the Mersenne prime 2^61−1 (DECIMAL(38,0) partial sums —
+    // commutative/associative, so the whole check is one map-side
+    // combinable agg; ROLLUP adds the whole-table row). Two tables
+    // differing in any row disagree in exactly the buckets that cover
+    // the difference — drill down by re-bucketing only those.
+    "lakehouse_table_fingerprint" -> Q(
+      (s, d) => {
+        val rowStr = concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          col("o_orderpriority"))
+        Tables.orders(s, d)
+          .withColumn("rs", rowStr)
+          .withColumn("h", expr(
+            "CAST(conv(substring(md5(rs), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("bucket", pmod(col("h"), lit(32)).cast("long"))
+          .rollup("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+              .as("fingerprint"))
+          // whole-table row keyed -1, not NULL: a NULL group key turns
+          // the column float64 under the driver's pandas reading
+          .select(coalesce(col("bucket"), lit(-1L)).as("bucket"),
+            col("n_rows"), col("fingerprint"))
+          .orderBy("bucket")
+      },
+      Some {
+        val h = GraphSql.md5Hash60(
+          """o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+            |CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) || '|' ||
+            |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' || o_orderpriority""".stripMargin)
+        s"""WITH r AS (SELECT $h AS h FROM orders),
+           |b AS (SELECT h % 32 AS bucket, h FROM r)
+           |SELECT CAST(coalesce(bucket, -1) AS BIGINT) AS bucket, count(*) AS n_rows,
+           |  CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS fingerprint
+           |FROM b GROUP BY ROLLUP(bucket)
+           |ORDER BY bucket""".stripMargin
+      }),
+
+    // Local clustering-coefficient histogram on the support-pruned
+    // co-order graph (see Basket.clusteringCoeff): per-node triangle
+    // participation from undirected wedges, cc = 2·tri/(deg·(deg−1))
+    // ×1e6 exact, 11 fixed buckets. The node-level frame never leaves
+    // the cluster — the histogram is the O(1) readout.
+    "graph_clustering_coeff" -> Q(
+      (s, d) => graft.ops.Basket.clusteringCoeff(Tables.lineitem(s, d), minSupport = 2),
+      Some(
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+          |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |n AS (SELECT pa AS b, pb AS x FROM e UNION ALL SELECT pb, pa FROM e),
+          |deg AS (SELECT b AS node, count(*) AS deg FROM n GROUP BY 1),
+          |wed AS (SELECT n1.x AS a, n1.b AS b, n2.x AS c
+          |        FROM n n1 JOIN n n2 ON n2.b = n1.b AND n1.x < n2.x),
+          |tri AS (SELECT b AS node, count(*) AS tri FROM wed
+          |        WHERE EXISTS (SELECT 1 FROM e WHERE e.pa = wed.a AND e.pb = wed.c)
+          |        GROUP BY 1),
+          |cc AS (SELECT d.node, coalesce(t.tri, 0) AS tri, d.deg,
+          |    CAST(coalesce(t.tri, 0) AS HUGEINT) * 2000000
+          |      // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS cc_x1e6
+          |  FROM deg d LEFT JOIN tri t ON t.node = d.node
+          |  WHERE d.deg >= 2)
+          |SELECT CAST(cc_x1e6 // 100000 AS BIGINT) AS cc_bucket,
+          |  count(*) AS n_nodes,
+          |  CAST(sum(cc_x1e6) AS BIGINT) AS sum_cc_x1e6
+          |FROM cc GROUP BY 1 ORDER BY cc_bucket""".stripMargin)),
+
+    // Population-stability-index drift of the doc-length distribution,
+    // per source vs the whole corpus — the standard feature-drift
+    // monitor. Fixed 20 buckets (n_chars div 256, capped), add-one
+    // smoothing over the source × occupied-bucket GRID (two tiny
+    // broadcast frames crossed, so zero-count cells participate). Each
+    // PSI term is floored ×1e9 BEFORE the sum (per-term doubles are
+    // engine-invariant IEEE; the integer sum is order-free), and the
+    // exact-rational total-variation distance ×1e6 rides along as the
+    // ln-free twin. One corpus groupBy + arithmetic on |sources|×20.
+    "stats_psi_sources" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val docs = Tables.documents(s, d)
+          .withColumn("b", least(expr("n_chars div 256"), lit(19L)))
+        val cell = docs.groupBy("source", "b").agg(count(lit(1)).as("c"))
+        val bySrc = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+        val byB = docs.groupBy("b").agg(count(lit(1)).as("qc"))
+        val n = docs.agg(count(lit(1)).as("nn"))
+        val grid = bySrc.crossJoin(broadcast(byB)).crossJoin(broadcast(n))
+          .join(cell, Seq("source", "b"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .withColumn("p", (col("c") + 1).cast("double") / (col("ns") + 20).cast("double"))
+          .withColumn("q", (col("qc") + 1).cast("double") / (col("nn") + 20).cast("double"))
+          .withColumn("term_x1e9",
+            floor((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e9)).cast("long"))
+          .withColumn("tvd_num",
+            abs(dec((col("c") + 1)) * dec(col("nn") + 20) - dec(col("qc") + 1) * dec(col("ns") + 20)))
+        grid.groupBy("source")
+          .agg(max("ns").cast("long").as("n_docs"),
+            sum("term_x1e9").cast("long").as("psi_x1e9"),
+            expr("CAST((sum(tvd_num) * 1000000) div (CAST(max(ns) + 20 AS DECIMAL(38,0)) * (max(nn) + 20) * 2) AS BIGINT)")
+              .as("tvd_x1e6"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH docs AS (SELECT source, least(n_chars // 256, 19) AS b FROM documents),
+          |cell AS (SELECT source, b, count(*) AS c FROM docs GROUP BY 1, 2),
+          |bysrc AS (SELECT source, count(*) AS ns FROM docs GROUP BY 1),
+          |byb AS (SELECT b, count(*) AS qc FROM docs GROUP BY 1),
+          |n AS (SELECT count(*) AS nn FROM docs),
+          |grid AS (SELECT s.source, s.ns, bb.b, bb.qc, n.nn, coalesce(c.c, 0) AS c,
+          |    CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / CAST(s.ns + 20 AS DOUBLE) AS p,
+          |    CAST(bb.qc + 1 AS DOUBLE) / CAST(n.nn + 20 AS DOUBLE) AS q
+          |  FROM bysrc s CROSS JOIN byb bb CROSS JOIN n
+          |  LEFT JOIN cell c ON c.source = s.source AND c.b = bb.b),
+          |t AS (SELECT source, ns, nn,
+          |    CAST(floor((p - q) * ln(p / q) * 1e9) AS BIGINT) AS term_x1e9,
+          |    abs(CAST(c + 1 AS HUGEINT) * (nn + 20) - CAST(qc + 1 AS HUGEINT) * (ns + 20)) AS tvd_num
+          |  FROM grid)
+          |SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+          |  CAST(sum(term_x1e9) AS BIGINT) AS psi_x1e9,
+          |  CAST((sum(tvd_num) * 1000000)
+          |       // (CAST(max(ns) + 20 AS HUGEINT) * (max(nn) + 20) * 2) AS BIGINT) AS tvd_x1e6
+          |FROM t GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

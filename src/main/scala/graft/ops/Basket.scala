@@ -82,6 +82,41 @@ object Basket {
       .select("n_edges", "n_wedges", "n_triangles")
   }
 
+  /** Local clustering coefficient histogram over the support-pruned
+    * co-order graph. Per-node triangle counts come from UNDIRECTED
+    * wedges (neighbor-list self-join keyed on the center, endpoints
+    * ordered a < c so the closing edge is probed once) — each triangle
+    * closes exactly one wedge per center, so the closed-wedge count
+    * grouped by center IS tri(v). cc(v) = 2·tri / (deg·(deg−1)) ×1e6 in
+    * exact integer arithmetic, bucketed into 11 bins (0.0 … 1.0). Same
+    * Σdeg² node-iterator bound as [[triangleStats]]; the histogram keeps
+    * the result frame O(1) regardless of corpus.
+    */
+  def clusteringCoeff(lineitem: DataFrame, minSupport: Int = 2,
+      bucketWidthX1e6: Long = 100000L): DataFrame = {
+    val e = coOrderEdges(lineitem, minSupport).select("pa", "pb").cache()
+    val nbrs = e.select(col("pa").as("b"), col("pb").as("x"))
+      .unionAll(e.select(col("pb").as("b"), col("pa").as("x")))
+    val deg = nbrs.groupBy(col("b").as("node")).agg(count(lit(1)).as("deg"))
+    val wed = nbrs.select(col("b"), col("x").as("a"))
+      .join(nbrs.select(col("b"), col("x").as("c")), "b")
+      .filter(col("a") < col("c"))
+    val closed = wed
+      .join(e.select(col("pa").as("a"), col("pb").as("c")), Seq("a", "c"), "left_semi")
+    val triPerNode = closed.groupBy(col("b").as("node")).agg(count(lit(1)).as("tri"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    deg.filter(col("deg") >= 2)
+      .join(triPerNode, Seq("node"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("cc_x1e6", graft.functions.GraftFunctions.longDiv(
+        dec(col("tri")) * dec(lit(2000000L)),
+        dec(col("deg")) * dec(col("deg") - 1)).cast("long"))
+      .groupBy(expr(s"cc_x1e6 div $bucketWidthX1e6").cast("long").as("cc_bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("cc_x1e6")).cast("long").as("sum_cc_x1e6"))
+      .orderBy("cc_bucket")
+  }
+
   /** Link prediction on the support-pruned co-order graph: score
     * NON-adjacent part pairs by common-neighbor Jaccard
     * |N(a)∩N(c)| / |N(a)∪N(c)| ×1e6 (exact integers via
