@@ -446,4 +446,86 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), s"no map-side combine:\n${p.take(2000)}")
     assert(p.contains("Window"), s"no window:\n${p.take(1000)}")
   }
+
+  /** AQE plan strings repeat every operator in the "Initial Plan"
+    * section — count nested-loop joins in the FINAL plan only.
+    */
+  private def bnljCount(p: String): Int =
+    "BroadcastNestedLoopJoin".r.findAllIn(p.split("== Initial Plan ==")(0)).size
+
+  test("CUSUM changepoint: hourly pre-agg combines map-side; totals broadcast back") {
+    // the corpus collapses to (type, hour) BEFORE any window — the
+    // shuffle carries one row per cell — and the per-type totals frame
+    // re-joins as a broadcast
+    val p = plan("events_changepoint_cusum")
+    assert(p.contains("partial_"), s"no map-side combine:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), s"totals join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in CUSUM plan:\n${p.take(2000)}")
+  }
+
+  test("Theil-Sen: the pair self-join is keyed on the type, pre-agg first") {
+    // O(span²) pairs come from a join KEYED on event_type over the
+    // hourly pre-agg — never a cartesian of the corpus; the only BNLJs
+    // are the 1-row min-hour scalar, which the self-join duplicates
+    // onto both branches (hence ≤2)
+    val p = plan("events_theilsen_slope")
+    assert(p.contains("partial_"), s"no map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n${p.take(2000)}")
+    assert(bnljCount(p) <= 2, s"non-scalar BNLJ:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"), s"pair join not keyed:\n${p.take(2000)}")
+  }
+
+  test("skyline: the size-frontier frame joins back as a broadcast") {
+    // per-size minima (≤50 rows) + suffix-min, broadcast back onto the
+    // parts scan — the oracle's O(n²) NOT EXISTS never appears
+    val p = plan("skyline_parts")
+    assert(p.contains("BroadcastHashJoin"), s"frontier join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in skyline plan:\n${p.take(2000)}")
+  }
+
+  test("interval overlap: bin-keyed equi-join, never a range/theta join") {
+    // intervals explode to day bins and join peak hours BY KEY; the
+    // only BNLJ is the 1-row corpus-max-ts scalar. A range join would
+    // surface as a second BNLJ or a cartesian.
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("CartesianProduct"), s"cartesian in overlap plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 1, s"range join fell back to nested loop:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no keyed join on the bin:\n${p.take(2000)}")
+  }
+
+  test("table fingerprint: rollup partial-aggregates map-side, no join anywhere") {
+    // the whole check must be one map-side-combinable agg over the scan
+    // (Expand for the ROLLUP) — any join would mean the hash stopped
+    // being a pure row function
+    val p = plan("lakehouse_table_fingerprint")
+    assert(p.contains("Expand"), s"no rollup expand:\n${p.take(2000)}")
+    assert(p.contains("partial_"), s"no map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"unexpected join in fingerprint plan:\n${p.take(2000)}")
+  }
+
+  test("k-anonymity audit is a single aggregation — no join anywhere") {
+    val p = plan("privacy_k_anonymity")
+    assert(p.contains("partial_"), s"no map-side combine:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"unexpected join in k-anonymity plan:\n${p.take(2000)}")
+  }
+
+  test("clustering coefficient: wedge and closure joins stay keyed") {
+    val p = plan("graph_clustering_coeff")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in clustering-coeff plan:\n${p.take(2500)}")
+  }
+
+  test("PSI drift: the smoothing grid crosses only tiny broadcast frames") {
+    // the source × bucket grid comes from crossing the |sources| and
+    // ≤20-bucket frames (≤2 broadcast nested loops over tiny inputs);
+    // the cell-count join back is KEYED on (source, bucket)
+    val p = plan("stats_psi_sources")
+    assert(!p.contains("CartesianProduct"), s"cartesian in PSI plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 2, s"grid cross not tiny-frame-only:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"cell join not keyed:\n${p.take(2000)}")
+  }
 }
