@@ -4706,7 +4706,156 @@ object Queries {
           |  CAST(sum(term_x1e9) AS BIGINT) AS psi_x1e9,
           |  CAST((sum(tvd_num) * 1000000)
           |       // (CAST(max(ns) + 20 AS HUGEINT) * (max(nn) + 20) * 2) AS BIGINT) AS tvd_x1e6
-          |FROM t GROUP BY 1 ORDER BY source""".stripMargin))
+          |FROM t GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Autocorrelation of the hourly volume series per event type, lags
+    // 1..6 — the seasonality screen before trusting any hourly trend.
+    // EXACT integers throughout: deviations enter ×n (dev = n·x − Σx,
+    // DECIMAL products ≤ 1e26 « 10³⁸), so acf = Σdev_t·dev_{t+k} /
+    // Σdev² needs no float mean; the signed ×1e6 quantization factors
+    // the sign out so truncating div (Spark) and floor div (DuckDB)
+    // agree. Lag pairing is a keyed self-join on (type, t+k) over the
+    // hourly pre-agg — pair volume O(span·6) per type, gaps pair
+    // nothing. The pre-agg exchange is REUSED across its four consumers
+    // (AQE: 7 ReusedExchange, 3 residual column-pruned scans — measured
+    // FASTER than a localCheckpoint at sf0.1/10×/30×, whose eager
+    // materialization costs ~1 s flat); if the residual scans ever
+    // dominate at true 100 TB, localCheckpoint()ing the span-bounded
+    // hourly frame is the one-line graph_link_prediction escape.
+    "events_autocorrelation" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("x"))
+        val minh = hourly.agg(min("hr").as("mnh"))
+        val t = hourly.crossJoin(broadcast(minh))
+          .withColumn("t", expr("(unix_micros(hr) - unix_micros(mnh)) div 3600000000"))
+          .select("event_type", "t", "x")
+        val st = t.groupBy("event_type").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        val base = t.join(broadcast(st), "event_type")
+          .withColumn("dev", dec(col("n")) * dec(col("x")) - dec(col("sx")))
+          .select("event_type", "t", "dev")
+        val den = base.groupBy("event_type")
+          .agg(sum(col("dev") * col("dev")).as("den"))
+        val pairs = base
+          .withColumn("k", explode(expr("sequence(1L, 6L)")))
+          .select(col("event_type"), col("k"), (col("t") + col("k")).as("t2"),
+            col("dev").as("dev1"))
+          .join(base.select(col("event_type"), col("t").as("t2"), col("dev").as("dev2")),
+            Seq("event_type", "t2"))
+        pairs.groupBy("event_type", "k")
+          .agg(count(lit(1)).as("n_pairs"), sum(col("dev1") * col("dev2")).as("num"))
+          .join(broadcast(den), "event_type")
+          .select(col("event_type"), col("k").cast("long").as("lag"),
+            col("n_pairs"),
+            (when(col("num") < 0, lit(-1L)).otherwise(lit(1L)) *
+              graft.functions.GraftFunctions.longDiv(
+                abs(col("num")) * lit(1000000L).cast("decimal(38,0)"), col("den"))
+                .cast("long")).as("acf_x1e6"))
+          .orderBy("event_type", "lag")
+      },
+      Some(
+        """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS x
+          |               FROM events GROUP BY 1, 2),
+          |mn AS (SELECT min(hr) AS mnh FROM hourly),
+          |t AS (SELECT event_type,
+          |    (epoch_us(hr) - epoch_us(mnh)) // 3600000000 AS t, x
+          |  FROM hourly CROSS JOIN mn),
+          |st AS (SELECT event_type, count(*) AS n, sum(x) AS sx FROM t GROUP BY 1),
+          |base AS (SELECT t.event_type, t.t,
+          |    CAST(st.n AS HUGEINT) * t.x - st.sx AS dev
+          |  FROM t JOIN st USING (event_type)),
+          |den AS (SELECT event_type, sum(dev * dev) AS den FROM base GROUP BY 1),
+          |p AS (SELECT b1.event_type, k.k, count(*) AS n_pairs,
+          |    sum(b1.dev * b2.dev) AS num
+          |  FROM base b1
+          |  CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS k) k
+          |  JOIN base b2 ON b2.event_type = b1.event_type AND b2.t = b1.t + k.k
+          |  GROUP BY 1, 2)
+          |SELECT p.event_type, CAST(p.k AS BIGINT) AS lag, p.n_pairs,
+          |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+          |       (abs(num) * 1000000 // den) AS BIGINT) AS acf_x1e6
+          |FROM p JOIN den ON den.event_type = p.event_type
+          |ORDER BY p.event_type, lag""".stripMargin)),
+
+    // RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    // candidate phrases are maximal runs of non-stopword tokens
+    // (boundaries = the shared en stopword profile + punctuation-only
+    // tokens), capped at 4 tokens; word score = degree/frequency over
+    // the kept phrases (deg = Σ phrase length per occurrence), phrase
+    // score = Σ word scores ×1e6 in exact integer arithmetic. Shape:
+    // one token explode (the text-family norm), per-doc windows for run
+    // ids, then keyed groupBys/joins only — word scores join back on
+    // the token. Top-20 phrases, deterministic tie-break.
+    "text_rake_keywords" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val stop = graft.ops.TextOps.stopwords.toMap.apply("en")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(lower(col("text")), "\\s+"))
+            .as(Seq("pos", "raw")))
+          .withColumn("w", regexp_replace(col("raw"), "[^a-z0-9]", ""))
+          .withColumn("bnd", col("w").isin(stop: _*) || col("w") === "")
+        val runs = toks
+          .withColumn("run", sum(col("bnd").cast("long"))
+            .over(Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(!col("bnd"))
+        val phrases = runs.groupBy("doc_id", "run")
+          .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("tw"))
+          .withColumn("toks", expr("transform(tw, s -> s.w)"))
+          .filter(size(col("toks")) <= 4)
+          .select(col("doc_id"), col("run"),
+            concat_ws(" ", col("toks")).as("phrase"),
+            size(col("toks")).cast("long").as("plen"), col("toks"))
+        val ptoks = phrases.select(col("doc_id"), col("run"), col("phrase"),
+          col("plen"), explode(col("toks")).as("w"))
+        val wsc = ptoks.groupBy("w")
+          .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+          .withColumn("wscore", graft.functions.GraftFunctions.longDiv(
+            dec(col("deg")) * lit(1000000L).cast("decimal(38,0)"), dec(col("freq")))
+            .cast("long"))
+          .select("w", "wscore")
+        val occ = ptoks.join(wsc, "w")
+          .groupBy("doc_id", "run", "phrase")
+          .agg(sum("wscore").cast("long").as("score"))
+        occ.groupBy("phrase")
+          .agg(count(lit(1)).as("n_occ"), max("score").as("score_x1e6"))
+          .orderBy(col("score_x1e6").desc, col("n_occ").desc, col("phrase"))
+          .limit(20)
+      },
+      Some {
+        val stop = graft.ops.TextOps.stopwords.toMap.apply("en")
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH toks AS (SELECT doc_id,
+           |    regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents),
+           |pt AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, tk
+           |       FROM toks),
+           |pw AS (SELECT doc_id, pos,
+           |    regexp_replace(tk[pos], '[^a-z0-9]', '', 'g') AS w FROM pt),
+           |pb AS (SELECT doc_id, pos, w,
+           |    (w IN ($stop) OR w = '') AS bnd FROM pw),
+           |r AS (SELECT doc_id, pos, w, bnd,
+           |    sum(CASE WHEN bnd THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY pos) AS run
+           |  FROM pb),
+           |ph AS (SELECT doc_id, run,
+           |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+           |    CAST(count(*) AS BIGINT) AS plen
+           |  FROM r WHERE NOT bnd GROUP BY 1, 2 HAVING count(*) <= 4),
+           |pt2 AS (SELECT doc_id, run, phrase, plen,
+           |    unnest(string_split(phrase, ' ')) AS w FROM ph),
+           |wsc AS (SELECT w,
+           |    CAST(CAST(sum(plen) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS wscore
+           |  FROM pt2 GROUP BY 1),
+           |occ AS (SELECT doc_id, run, phrase,
+           |    CAST(sum(wscore) AS BIGINT) AS score
+           |  FROM pt2 JOIN wsc USING (w) GROUP BY 1, 2, 3)
+           |SELECT phrase, count(*) AS n_occ, max(score) AS score_x1e6
+           |FROM occ GROUP BY 1
+           |ORDER BY score_x1e6 DESC, n_occ DESC, phrase LIMIT 20""".stripMargin
+      })
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -651,4 +651,32 @@ object EventStream {
     toks.groupByKey(t => java.lang.Math.floorMod(t.w.hashCode, buckets))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** Canonical 60-bit row hash of an event row — the events-table
+    * member of the lakehouse_table_fingerprint family (ts as
+    * unix_micros, value in exact cents: no float or date FORMATTING in
+    * the hashed string, so the hash is layout/engine-invariant).
+    */
+  def eventRowHash60: org.apache.spark.sql.Column =
+    expr("""CAST(conv(substring(md5(concat_ws('|',
+      event_id, unix_micros(ts), user_id, event_type,
+      CAST(floor(value * 100 + 0.5) AS BIGINT), props)), 1, 15), 16, 10) AS BIGINT)""")
+
+  /** Order-invariant table fingerprint over events — works UNCHANGED on
+    * a batch frame or a stream (complete mode): per-row 60-bit hash
+    * summed per hash bucket mod 2^61−1. The streaming state is exactly
+    * `buckets` partial sums forever (commutative + associative), so the
+    * twin is disorder-IMMUNE — no watermark, no monotone-batch
+    * assumption — and ADDITIVE: fp(A ∪ B) = fp(A) + fp(B) mod p per
+    * bucket, the incremental-maintenance identity a 100 TB copy check
+    * relies on (verify deltas, never re-scan the base).
+    */
+  def tableFingerprint(events: DataFrame, buckets: Int = 32): DataFrame =
+    events
+      .withColumn("h", eventRowHash60)
+      .withColumn("bucket", pmod(col("h"), lit(buckets)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+          .as("fingerprint"))
 }

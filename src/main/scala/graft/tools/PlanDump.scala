@@ -19,7 +19,10 @@ object PlanDump {
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       val fin = p.split("== Initial Plan ==")(0)
-      println(s"== $n finalBNLJ=${"BroadcastNestedLoopJoin".r.findAllIn(fin).size} totalBNLJ=${"BroadcastNestedLoopJoin".r.findAllIn(p).size}")
+      println(s"== $n finalBNLJ=${"BroadcastNestedLoopJoin".r.findAllIn(fin).size}" +
+        s" totalBNLJ=${"BroadcastNestedLoopJoin".r.findAllIn(p).size}" +
+        s" finalScans=${"Scan parquet".r.findAllIn(fin).size}" +
+        s" reusedExchange=${"ReusedExchange".r.findAllIn(fin).size}")
       fin.linesIterator.filter(l => l.contains("Join") || l.contains("Cartesian")).foreach(l => println("   " + l.trim.take(160)))
     }
     spark.stop()

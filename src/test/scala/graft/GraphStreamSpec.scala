@@ -967,6 +967,54 @@ class GraphStreamSpec extends SparkSpecBase {
       assert(census == exact)
     } finally q.stop()
   }
+
+  test("streaming table fingerprint: complete-mode sums == batch, additive over batches, disorder-immune") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, dir)
+    val batchFp = EventStream.tableFingerprint(batchEv).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("fingerprint"))).toMap
+
+    // two batches split by event parity, second staged later — and the
+    // split is NOT time-ordered: the fingerprint is commutative, so
+    // unlike the sessionize family there is no disorder caveat to honor
+    val stage = java.nio.file.Files.createTempDirectory("graft-fp")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100)
+    raw.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val in = EventStream.readEvents(spark, stage.toString + "/*/")
+    val q = EventStream.tableFingerprint(in)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_fp").start()
+    try {
+      q.processAllAvailable()
+      val streamFp = spark.table("stream_fp").collect()
+        .map(r => r.getAs[Long]("bucket") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("fingerprint"))).toMap
+      assert(streamFp == batchFp, "streamed fingerprint diverged from batch")
+    } finally q.stop()
+
+    // additivity: fp(A ∪ B) = fp(A) + fp(B) mod p per bucket — the
+    // incremental identity (verify a delta without re-scanning the base)
+    val p = 2305843009213693951L
+    def fp(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      EventStream.tableFingerprint(df).collect()
+        .map(r => r.getAs[Long]("bucket") ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("fingerprint"))).toMap
+    val a = fp(batchEv.filter(col("event_id") % 2 === 1))
+    val b = fp(batchEv.filter(col("event_id") % 2 === 0))
+    batchFp.foreach { case (bucket, (n, f)) =>
+      val (na, fa) = a.getOrElse(bucket, (0L, 0L))
+      val (nb, fb) = b.getOrElse(bucket, (0L, 0L))
+      assert(na + nb == n, s"bucket $bucket row counts not additive")
+      assert(java.lang.Math.floorMod(
+        java.lang.Math.addExact(fa, fb), p) == f,
+        s"bucket $bucket fingerprint not additive mod p")
+    }
+  }
 }
 
 /** Local filesystem whose rename REFUSES any destination named like this

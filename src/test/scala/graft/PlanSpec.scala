@@ -528,4 +528,28 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"cell join not keyed:\n${p.take(2000)}")
   }
+
+  test("autocorrelation: pre-agg exchange reused across consumers, scans bounded") {
+    // four consumers (totals, denominator, both lag-join sides) read
+    // the SAME hourly pre-agg: AQE must reuse the exchange so the
+    // residual corpus scans stay ≤3 (measured faster than an eager
+    // localCheckpoint at every declared scale — see the query scaladoc)
+    val p = plan("events_autocorrelation")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"),
+      s"pre-agg exchange not reused:\n${fin.take(2500)}")
+    assert("Scan parquet".r.findAllIn(fin).size <= 3,
+      s"too many corpus scans:\n${fin.take(2500)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ACF plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 4,
+      s"non-scalar BNLJ (only the 1-row min-hour scalar may cross, once per consumer):\n${p.take(2500)}")
+  }
+
+  test("RAKE: token windows partition by doc; word-score join keyed; no nested loops") {
+    val p = plan("text_rake_keywords")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in RAKE plan:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"word-score join not keyed:\n${p.take(2000)}")
+  }
 }
