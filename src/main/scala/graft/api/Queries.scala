@@ -4855,7 +4855,141 @@ object Queries {
            |SELECT phrase, count(*) AS n_occ, max(score) AS score_x1e6
            |FROM occ GROUP BY 1
            |ORDER BY score_x1e6 DESC, n_occ DESC, phrase LIMIT 20""".stripMargin
-      })
+      }),
+
+    // DAU / trailing-7-day WAU / stickiness per day — the engagement
+    // panel every product pipeline reports. The (user, day) incidence
+    // deduplicates FIRST (one shuffle, the frame every metric derives
+    // from), WAU comes from the bin-keyed expansion — each active day
+    // contributes to the 7 cover days it can serve, a BOUNDED ×7
+    // explode, never a range join — and stickiness = dau·1e6 div wau
+    // stays exact integer.
+    "events_active_users" -> Q(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val bounds = ud.agg(min("day").as("mn"), max("day").as("mx"))
+        val wau = ud
+          .withColumn("cover", explode(expr("sequence(day, day + interval 6 day)")))
+          .crossJoin(broadcast(bounds))
+          .filter(col("cover").between(col("mn"), col("mx")))
+          .groupBy(col("cover").as("day"))
+          .agg(countDistinct("user_id").as("wau"))
+        val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        dau.join(wau, "day")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau").cast("long").as("dau"), col("wau").cast("long").as("wau"),
+            expr("dau * 1000000L div wau").cast("long").as("stickiness_x1e6"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+          |cov AS (SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
+          |                               INTERVAL 1 DAY)) AS cover
+          |        FROM ud),
+          |wau AS (SELECT CAST(cover AS DATE) AS day, count(DISTINCT user_id) AS wau
+          |        FROM cov CROSS JOIN b
+          |        WHERE CAST(cover AS DATE) BETWEEN mn AND mx GROUP BY 1),
+          |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+          |SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+          |  CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+          |  CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_x1e6
+          |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin)),
+
+    // Degree assortativity of the support-pruned co-order graph — do
+    // high-degree parts co-occur with other hubs (r > 0) or with
+    // leaves (r < 0)? Each undirected edge enters BOTH orientations, so
+    // the x/y marginals coincide and Pearson needs NO sqrt:
+    // r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — exact DECIMAL integers,
+    // sign factored out of the ×1e6 quantization. Two keyed joins of
+    // the degree frame onto the edge list.
+    "graph_assortativity" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val e0 = graft.ops.Basket.coOrderEdges(Tables.lineitem(s, d), minSupport = 2)
+          .select("pa", "pb")
+        val e = e0.unionAll(e0.select(col("pb").as("pa"), col("pa").as("pb")))
+        val deg = e.groupBy(col("pa").as("node")).agg(count(lit(1)).as("deg"))
+        val xy = e
+          .join(deg.select(col("node").as("pa"), col("deg").as("dx")), "pa")
+          .join(deg.select(col("node").as("pb"), col("deg").as("dy")), "pb")
+        xy.agg(count(lit(1)).as("n2"),
+            sum(dec(col("dx"))).as("sx"),
+            sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+            sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
+          .select(
+            (col("n2") / 2).cast("long").as("n_edges"),
+            (when(dec(col("n2")) * col("sxy") - col("sx") * col("sx") < 0, lit(-1L))
+              .otherwise(lit(1L)) *
+              graft.functions.GraftFunctions.longDiv(
+                abs(dec(col("n2")) * col("sxy") - col("sx") * col("sx")) *
+                  lit(1000000L).cast("decimal(38,0)"),
+                dec(col("n2")) * col("sxx") - col("sx") * col("sx")).cast("long"))
+              .as("assortativity_x1e6"))
+      },
+      Some(
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+          |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS (SELECT pa, pb FROM e0 UNION ALL SELECT pb, pa FROM e0),
+          |deg AS (SELECT pa AS node, count(*) AS deg FROM e GROUP BY 1),
+          |xy AS (SELECT CAST(da.deg AS HUGEINT) AS dx, CAST(db.deg AS HUGEINT) AS dy
+          |       FROM e JOIN deg da ON da.node = e.pa JOIN deg db ON db.node = e.pb),
+          |s AS (SELECT count(*) AS n2, sum(dx) AS sx, sum(dx * dx) AS sxx,
+          |             sum(dx * dy) AS sxy
+          |      FROM xy)
+          |SELECT CAST(n2 // 2 AS BIGINT) AS n_edges,
+          |  CAST((CASE WHEN n2 * sxy - sx * sx < 0 THEN -1 ELSE 1 END) *
+          |       (abs(n2 * sxy - sx * sx) * 1000000
+          |        // (n2 * sxx - sx * sx)) AS BIGINT) AS assortativity_x1e6
+          |FROM s""".stripMargin)),
+
+    // Mahalanobis-style embedding outliers (diagonal covariance): per
+    // dimension, deviations enter ×n (n·x − Σx) against the variance
+    // ×n² (n·Σx² − (Σx)²) so every z² term is one exact integer
+    // division ×1e6; a vector's score sums its 64 per-dim terms. The
+    // 64-row dim-stats frame BROADCASTS back onto the exploded vectors;
+    // top-20 outliers, deterministic tie-break. The embedding-QA
+    // sibling of events_anomaly_mad.
+    "emb_outliers" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val q = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("dim"),
+            floor(col("x") * 1000000).cast("long").as("xq"))
+        val st = q.groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum(dec(col("xq"))).as("s"),
+            sum(dec(col("xq")) * dec(col("xq"))).as("sxx"))
+          .withColumn("varn2", dec(col("n")) * col("sxx") - col("s") * col("s"))
+        q.join(broadcast(st), "dim")
+          .withColumn("devn", dec(col("n")) * dec(col("xq")) - col("s"))
+          .withColumn("z2_x1e6", graft.functions.GraftFunctions.longDiv(
+            col("devn") * col("devn") * lit(1000000L).cast("decimal(38,0)"),
+            col("varn2")).cast("long"))
+          .groupBy("vec_id")
+          .agg(sum("z2_x1e6").cast("long").as("md_x1e6"))
+          .orderBy(col("md_x1e6").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          |q AS (SELECT vec_id, g.i - 1 AS dim,
+          |        CAST(floor(e[g.i] * 1000000) AS BIGINT) AS xq
+          |      FROM v CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g),
+          |st AS (SELECT dim, count(*) AS n, sum(CAST(xq AS HUGEINT)) AS s,
+          |         sum(CAST(xq AS HUGEINT) * xq) AS sxx
+          |       FROM q GROUP BY 1),
+          |z AS (SELECT q.vec_id,
+          |    ((st.n * q.xq - st.s) * (st.n * q.xq - st.s) * 1000000)
+          |      // (st.n * st.sxx - st.s * st.s) AS z2
+          |  FROM q JOIN st USING (dim))
+          |SELECT vec_id, CAST(sum(z2) AS BIGINT) AS md_x1e6
+          |FROM z GROUP BY 1
+          |ORDER BY md_x1e6 DESC, vec_id LIMIT 20""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

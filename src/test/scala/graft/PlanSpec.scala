@@ -552,4 +552,33 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"word-score join not keyed:\n${p.take(2000)}")
   }
+
+  test("active users: bounded x7 cover explode, day-keyed joins, one scalar broadcast") {
+    // WAU must come from the bin-keyed expansion (explode + groupBy),
+    // never a day-range theta join; the only BNLJ is the 1-row
+    // min/max-day bounds scalar
+    val p = plan("events_active_users")
+    assert(!p.contains("CartesianProduct"), s"cartesian in DAU/WAU plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 1, s"range join fell back to nested loop:\n${p.take(2500)}")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 3,
+      s"too many corpus scans:\n${fin.take(2000)}")
+  }
+
+  test("assortativity: one corpus scan, edge/degree exchanges reused, no nested loops") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in assortativity plan:\n${p.take(2500)}")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"), s"edge exchange not reused:\n${fin.take(2000)}")
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"corpus scanned more than once:\n${fin.take(2000)}")
+  }
+
+  test("embedding outliers: 64-row dim-stats frame broadcasts back onto the vectors") {
+    val p = plan("emb_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in outliers plan:\n${p.take(2500)}")
+  }
 }
