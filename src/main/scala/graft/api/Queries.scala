@@ -4989,7 +4989,319 @@ object Queries {
           |  FROM q JOIN st USING (dim))
           |SELECT vec_id, CAST(sum(z2) AS BIGINT) AS md_x1e6
           |FROM z GROUP BY 1
-          |ORDER BY md_x1e6 DESC, vec_id LIMIT 20""".stripMargin))
+          |ORDER BY md_x1e6 DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // ABC / Pareto inventory classification of parts by lineitem
+    // revenue: class A covers the first 80% of revenue in descending
+    // order, B to 95%, C the tail. The descending cumulative comes from
+    // the ASCENDING two-phase prefix sum (Stats.bucketedPrefixSum — no
+    // corpus-sized sort partition): cumDesc = total − prefixAsc + rev,
+    // which equals the oracle's sum() OVER (ORDER BY rev DESC, pk DESC).
+    // Class predicates are exact integer cross-multiplications.
+    "orders_abc_classes" -> Q(
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("rev")
+            .cast("long").as("rev"))
+        val pre = graft.ops.Stats.bucketedPrefixSum(rev, "rev", "pk",
+          bucketWidth = 1L << 22)
+        val tot = rev.agg(sum("rev").as("total"))
+        pre.crossJoin(broadcast(tot))
+          .withColumn("cum_desc", col("total") - col("prefix") + col("rev"))
+          .withColumn("cls",
+            when(col("cum_desc") * 10 <= col("total") * 8, "A")
+              .when(col("cum_desc") * 100 <= col("total") * 95, "B")
+              .otherwise("C"))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum("rev").cast("long").as("revenue_c"))
+          .crossJoin(broadcast(tot))
+          // revenue_c·1e6 overflows BIGINT past ~9e12 cents — DECIMAL
+          .withColumn("share_x1e6", graft.functions.GraftFunctions.longDiv(
+            col("revenue_c").cast("decimal(38,0)") * lit(1000000L).cast("decimal(38,0)"),
+            col("total").cast("decimal(38,0)")).cast("long"))
+          .select("cls", "n_parts", "revenue_c", "share_x1e6")
+          .orderBy("cls")
+      },
+      Some(
+        """WITH rev AS (SELECT l_partkey AS pk,
+          |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          |  FROM lineitem GROUP BY 1),
+          |t AS (SELECT sum(rev) AS total FROM rev),
+          |c AS (SELECT rev,
+          |    sum(rev) OVER (ORDER BY rev DESC, pk DESC
+          |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_desc
+          |  FROM rev),
+          |k AS (SELECT rev,
+          |    CASE WHEN cum_desc * 10 <= total * 8 THEN 'A'
+          |         WHEN cum_desc * 100 <= total * 95 THEN 'B'
+          |         ELSE 'C' END AS cls
+          |  FROM c CROSS JOIN t)
+          |SELECT cls, count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS revenue_c,
+          |  CAST(CAST(sum(rev) AS HUGEINT) * 1000000 // (SELECT total FROM t) AS BIGINT)
+          |    AS share_x1e6
+          |FROM k GROUP BY 1 ORDER BY cls""".stripMargin)),
+
+    // Shannon entropy of the event-type mix per day — the
+    // concentration/diversity monitor (a day where one type crowds out
+    // the rest drops toward 0). Per-cell terms floor(c·ln c · 1e6)
+    // BEFORE the sum (order-free integer aggregation, the PSI
+    // discipline); the per-day combine H = ln(n) − Σc·ln c / n is a
+    // fixed sequence of IEEE ops from integers. One groupBy to the
+    // day×type frame.
+    "events_type_entropy" -> Q(
+      (s, d) => {
+        val cell = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("term", floor(col("c").cast("double") *
+            log(col("c").cast("double")) * lit(1000000.0)).cast("long"))
+        cell.groupBy("day")
+          .agg(sum("c").as("n"), count(lit(1)).as("n_types"), sum("term").as("s"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n").cast("long").as("n"),
+            col("n_types").cast("long").as("n_types"),
+            floor((log(col("n").cast("double")) * col("n").cast("double") *
+              lit(1000000.0) - col("s").cast("double")) / col("n").cast("double"))
+              .cast("long").as("entropy_x1e6"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH cell AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+          |              FROM events GROUP BY 1, 2),
+          |tm AS (SELECT day, c,
+          |    CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS term
+          |  FROM cell),
+          |d AS (SELECT day, sum(c) AS n, count(*) AS n_types, sum(term) AS s FROM tm GROUP BY 1)
+          |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+          |  CAST(n_types AS BIGINT) AS n_types,
+          |  CAST(floor((ln(CAST(n AS DOUBLE)) * CAST(n AS DOUBLE) * 1000000.0
+          |              - CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS entropy_x1e6
+          |FROM d ORDER BY day""".stripMargin)),
+
+    // Wald–Wolfowitz runs test on the hourly volume series: is the
+    // above/below-mean sign sequence random, or does volume trend/
+    // cluster? Sign via the exact integer predicate x·H > total; runs
+    // from one lag over the span-bounded hourly frame; the expected
+    // run count 1 + 2ab/n and its variance 2ab(2ab−n)/(n²(n−1)) stay
+    // exact ×1e6 integers — no sqrt, the z-score is the reader's one
+    // division.
+    "stats_runs_test" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val hourly = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("x"))
+        val tot = hourly.agg(sum("x").as("total"), count(lit(1)).as("nh"))
+        val signed = hourly.crossJoin(broadcast(tot))
+          .withColumn("sgn", (col("x") * col("nh") > col("total")).cast("long"))
+        val runs = signed
+          .withColumn("chg",
+            when(lag("sgn", 1).over(Window.orderBy("h")).isNull, 1L)
+              .when(lag("sgn", 1).over(Window.orderBy("h")) =!= col("sgn"), 1L)
+              .otherwise(0L))
+        runs.agg(max("nh").cast("long").as("n_hours"),
+            sum("sgn").cast("long").as("n_above"),
+            (max("nh") - sum("sgn")).cast("long").as("n_below"),
+            sum("chg").cast("long").as("runs"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(lit(1000000L)) * (dec(max("nh")) +
+                dec(lit(2L)) * dec(sum("sgn")) * (dec(max("nh")) - dec(sum("sgn")))),
+              dec(max("nh"))).cast("long").as("expected_x1e6"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(lit(2L)) * dec(sum("sgn")) * (dec(max("nh")) - dec(sum("sgn"))) *
+                (dec(lit(2L)) * dec(sum("sgn")) * (dec(max("nh")) - dec(sum("sgn"))) -
+                  dec(max("nh"))) * dec(lit(1000000L)),
+              dec(max("nh")) * dec(max("nh")) * (dec(max("nh")) - dec(lit(1L))))
+              .cast("long").as("var_x1e6"))
+      },
+      Some(
+        """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS x
+          |               FROM events GROUP BY 1),
+          |t AS (SELECT sum(x) AS total, count(*) AS nh FROM hourly),
+          |sg AS (SELECT h, CASE WHEN x * nh > total THEN 1 ELSE 0 END AS sgn
+          |       FROM hourly CROSS JOIN t),
+          |r AS (SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY h) IS NULL THEN 1
+          |                       WHEN lag(sgn) OVER (ORDER BY h) <> sgn THEN 1
+          |                       ELSE 0 END AS chg
+          |      FROM sg),
+          |a AS (SELECT CAST((SELECT nh FROM t) AS HUGEINT) AS n,
+          |             CAST(sum(sgn) AS HUGEINT) AS a, sum(chg) AS runs
+          |      FROM r)
+          |SELECT CAST(n AS BIGINT) AS n_hours, CAST(a AS BIGINT) AS n_above,
+          |  CAST(n - a AS BIGINT) AS n_below, CAST(runs AS BIGINT) AS runs,
+          |  CAST((1000000 * (n + 2 * a * (n - a))) // n AS BIGINT) AS expected_x1e6,
+          |  CAST((2 * a * (n - a) * (2 * a * (n - a) - n) * 1000000)
+          |       // (n * n * (n - 1)) AS BIGINT) AS var_x1e6
+          |FROM a""".stripMargin)),
+
+    // Period-over-period growth — the monthly revenue panel with
+    // month-over-month delta and year-over-year ratio. Prior periods
+    // come from SELF-JOINS on computed month keys (add_months), never
+    // positional lag: a gap month would silently shift a lag(12) to the
+    // wrong year, a calendar join can't. The month frame is span-bounded
+    // (one row per month of corpus time), so both joins broadcast.
+    // Revenue in exact cents; the YoY ratio is one DECIMAL division.
+    "date_mom_growth" -> Q(
+      (s, d) => {
+        val m = Tables.orders(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long").as("rev_c"))
+        val prev = m.select(col("mo").as("pmo"), col("rev_c").as("prev_c"))
+        val yago = m.select(col("mo").as("ymo"), col("rev_c").as("yago_c"))
+        m.join(broadcast(prev), add_months(col("mo"), -1) === col("pmo"), "left")
+          .join(broadcast(yago), add_months(col("mo"), -12) === col("ymo"), "left")
+          .select(date_format(col("mo"), "yyyy-MM").as("month"),
+            col("rev_c"),
+            // NULLABLE integral outputs must ship as DOUBLE: the
+            // compare's pandas reading coerces a nullable BIGINT column
+            // to float64, so an integer-typed Spark cell never matches.
+            // Values are cents (< 2^53) — the double is exact.
+            (col("rev_c") - col("prev_c")).cast("double").as("mom_delta_c"),
+            graft.functions.GraftFunctions.longDiv(
+              col("rev_c").cast("decimal(38,0)") * lit(1000000L).cast("decimal(38,0)"),
+              col("yago_c").cast("decimal(38,0)")).cast("double").as("yoy_x1e6"))
+          .orderBy("month")
+      },
+      Some(
+        """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+          |  FROM orders GROUP BY 1)
+          |SELECT strftime(m.mo, '%Y-%m') AS month, m.rev_c,
+          |  CAST(m.rev_c - p.rev_c AS DOUBLE) AS mom_delta_c,
+          |  CAST(CAST(m.rev_c AS HUGEINT) * 1000000 // y.rev_c AS DOUBLE) AS yoy_x1e6
+          |FROM m
+          |LEFT JOIN m p ON p.mo = m.mo - INTERVAL 1 MONTH
+          |LEFT JOIN m y ON y.mo = m.mo - INTERVAL 12 MONTH
+          |ORDER BY month""".stripMargin)),
+
+    // Referential-integrity audit of the whole star schema — the data
+    // quality gate a 100 TB warehouse runs before publishing: per FK
+    // edge, child row count and orphan row count (child rows whose key
+    // has no parent). Each edge first collapses the child to its key
+    // frame (count per key — the shuffle is key-cardinality sized, not
+    // row sized), then probes the parent key set; dimension parents
+    // broadcast. Fact–fact edges (lineitem→orders) stay keyed
+    // shuffle joins.
+    "quality_referential_integrity" -> Q(
+      (s, d) => {
+        def edge(name: String, child: DataFrame, ck: String,
+                 parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+          // one child scan, one keyed probe, one agg — totals and
+          // orphans come from the SAME left join (conditional sums),
+          // so no scalar crossJoin and no second pass over the child
+          val keys = child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("c"))
+          val par = parent.select(col(pk).as("k")).distinct()
+            .withColumn("hit", lit(1))
+          keys.join(if (bcast) broadcast(par) else par, Seq("k"), "left")
+            .agg(sum("c").as("n_rows"),
+              coalesce(sum(when(col("hit").isNull, col("c"))), lit(0L))
+                .as("n_orphan_rows"),
+              count(when(col("hit").isNull, lit(1))).as("n_orphan_keys"))
+            .select(lit(name).as("fk"), col("n_rows").cast("long"),
+              col("n_orphan_rows").cast("long"), col("n_orphan_keys").cast("long"))
+        }
+        val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d); val su = Tables.supplier(s, d)
+        val p = Tables.part(s, d); val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        edge("customer.nation", c, "c_nationkey", n, "n_nationkey", bcast = true)
+          .unionAll(edge("lineitem.order", li, "l_orderkey", o, "o_orderkey", bcast = false))
+          .unionAll(edge("lineitem.part", li, "l_partkey", p, "p_partkey", bcast = false))
+          .unionAll(edge("lineitem.supplier", li, "l_suppkey", su, "s_suppkey", bcast = true))
+          .unionAll(edge("nation.region", n, "n_regionkey", r, "r_regionkey", bcast = true))
+          .unionAll(edge("orders.customer", o, "o_custkey", c, "c_custkey", bcast = false))
+          .unionAll(edge("supplier.nation", su, "s_nationkey", n, "n_nationkey", bcast = true))
+          .orderBy("fk")
+      },
+      Some {
+        def e(name: String, child: String, ck: String, parent: String, pk: String) =
+          s"""SELECT '$name' AS fk, CAST(sum(c) AS BIGINT) AS n_rows,
+             |  CAST(coalesce(sum(CASE WHEN p.$pk IS NULL THEN c END), 0) AS BIGINT)
+             |    AS n_orphan_rows,
+             |  CAST(count(CASE WHEN p.$pk IS NULL THEN 1 END) AS BIGINT) AS n_orphan_keys
+             |FROM (SELECT $ck AS k, count(*) AS c FROM $child GROUP BY 1) kk
+             |LEFT JOIN $parent p ON p.$pk = kk.k""".stripMargin
+        Seq(
+          e("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          e("lineitem.order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          e("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+          e("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          e("nation.region", "nation", "n_regionkey", "region", "r_regionkey"),
+          e("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+          e("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+      }),
+
+    // Kaplan–Meier survival of time-to-first-purchase (days from a
+    // user's first event), right-censored at corpus end — the
+    // conversion-lag curve with honest censoring. The corpus collapses
+    // to one row per user (first event day, first purchase day), then
+    // to the span-bounded day-offset frame; at-risk counts come from a
+    // cumulative window over that tiny frame. The KM product is carried
+    // in LOG space as exact integers: per-day terms
+    // floor(ln((r−e)/r)·1e6) summed cumulatively (order-free — the
+    // entropy/PSI discipline), so the gate never hashes an exp().
+    "events_survival_km" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        val per = ev.groupBy("user_id")
+          .agg(min("day").as("t0"),
+            min(when(col("event_type") === "purchase", col("day"))).as("conv"))
+        val maxDay = ev.agg(max("day").as("mx"))
+        val durs = per.crossJoin(broadcast(maxDay))
+          .withColumn("converted", col("conv").isNotNull)
+          .withColumn("dur", when(col("converted"),
+            datediff(col("conv"), col("t0"))).otherwise(datediff(col("mx"), col("t0")))
+            .cast("long"))
+        val byDay = durs.groupBy("dur")
+          .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("e"),
+            sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+        val wc = Window.orderBy("dur")
+        byDay
+          .withColumn("at_risk",
+            sum(col("e") + col("c")).over(wc.rowsBetween(Window.currentRow,
+              Window.unboundedFollowing)))
+          .withColumn("term", when(col("at_risk") > col("e"),
+            floor(log((col("at_risk") - col("e")).cast("double") /
+              col("at_risk").cast("double")) * lit(1000000.0)).cast("long")))
+          .withColumn("log_surv_x1e6", sum("term").over(wc))
+          .select(col("dur").cast("long").as("day_offset"),
+            col("e").cast("long").as("n_conv"),
+            col("c").cast("long").as("n_censored"),
+            col("at_risk").cast("long").as("at_risk"),
+            col("log_surv_x1e6").cast("long").as("log_surv_x1e6"))
+          .orderBy("day_offset")
+      },
+      Some(
+        """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+          |per AS (SELECT user_id, min(day) AS t0,
+          |    min(CASE WHEN event_type = 'purchase' THEN day END) AS conv
+          |  FROM ev GROUP BY 1),
+          |mx AS (SELECT max(day) AS mx FROM ev),
+          |durs AS (SELECT user_id, conv IS NOT NULL AS converted,
+          |    CAST(CASE WHEN conv IS NOT NULL THEN conv - t0 ELSE mx - t0 END AS BIGINT) AS dur
+          |  FROM per CROSS JOIN mx),
+          |bd AS (SELECT dur, sum(CASE WHEN converted THEN 1 ELSE 0 END) AS e,
+          |    sum(CASE WHEN converted THEN 0 ELSE 1 END) AS c
+          |  FROM durs GROUP BY 1),
+          |ar AS (SELECT dur, e, c,
+          |    sum(e + c) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+          |                     AND UNBOUNDED FOLLOWING) AS at_risk
+          |  FROM bd),
+          |tm AS (SELECT dur, e, c, at_risk,
+          |    CASE WHEN at_risk > e THEN CAST(floor(ln(CAST(at_risk - e AS DOUBLE)
+          |      / CAST(at_risk AS DOUBLE)) * 1000000.0) AS BIGINT) END AS term
+          |  FROM ar)
+          |SELECT CAST(dur AS BIGINT) AS day_offset, CAST(e AS BIGINT) AS n_conv,
+          |  CAST(c AS BIGINT) AS n_censored, CAST(at_risk AS BIGINT) AS at_risk,
+          |  CAST(sum(term) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+          |                       AND CURRENT ROW) AS BIGINT) AS log_surv_x1e6
+          |FROM tm ORDER BY day_offset""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -48,6 +48,29 @@ object Stats {
       .drop("_bkt", "_rn", "_off")
   }
 
+  /** Two-phase prefix SUM of `valueCol` along (valueCol, tieCol) order
+    * (inclusive): the running-total sibling of [[bucketedRank]] — the
+    * in-bucket running sum comes from a window PARTITIONED on the value
+    * bucket, the cross-bucket offsets from the tiny occupied-bucket
+    * frame. `sum(v) OVER (ORDER BY v, tie)` semantics with no
+    * corpus-sized SinglePartition window anywhere.
+    */
+  def bucketedPrefixSum(df: DataFrame, valueCol: String, tieCol: String,
+      bucketWidth: Long): DataFrame = {
+    val bucketed = df.withColumn("_bkt", expr(s"$valueCol div $bucketWidth"))
+    val inBkt = bucketed.withColumn("_ps",
+      sum(valueCol).over(Window.partitionBy("_bkt").orderBy(valueCol, tieCol)))
+    val offsets = bucketed.groupBy("_bkt").agg(sum(valueCol).as("_bs"))
+      .withColumn("_voff",
+        coalesce(sum("_bs").over(
+          Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_bkt", "_voff")
+    inBkt.join(broadcast(offsets), "_bkt")
+      .withColumn("prefix", (col("_voff") + col("_ps")).cast("long"))
+      .drop("_bkt", "_ps", "_voff")
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov statistic between the `aVal`
     * and `bVal` slices of `flagCol`, over an integer-valued `valueCol`:
     * KS = max |F_a − F_b|, computed as the cross-multiplied integer

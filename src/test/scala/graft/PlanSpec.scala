@@ -581,4 +581,84 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
       s"unkeyed join in outliers plan:\n${p.take(2500)}")
   }
+
+  test("ABC classes: the only unpartitioned window is the bucket-offsets prefix sum") {
+    // bucketedPrefixSum's contract, mirroring the gini rank pin: the
+    // per-part running sum is PARTITIONED on the value bucket; the lone
+    // SinglePartition window sums _bs over the occupied-bucket frame
+    // (KB-sized at any SF). The two scalar-total crossJoins broadcast
+    // 1-row frames.
+    val df = Queries.registry("orders_abc_classes").fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.exists(l => l.contains("sum(rev") && l.contains("], [_bkt#")),
+      s"running sum not bucket-partitioned:\n${windows.mkString("\n").take(1500)}")
+    val unpartitioned = windows.filterNot(l => l.contains("], [_bkt#"))
+    assert(unpartitioned.forall(_.contains("sum(_bs")),
+      s"unexpected unpartitioned window over a non-bucket frame:\n${unpartitioned.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ABC plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 2,
+      s"non-scalar nested loop (only the 1-row total may cross, twice):\n${p.take(2500)}")
+  }
+
+  test("type entropy: one corpus scan, map-side partial, no joins at all") {
+    val p = plan("events_type_entropy")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"corpus scanned more than once:\n${fin.take(2000)}")
+    assert(p.contains("partial_"), s"no map-side partial agg:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"unexpected join in entropy plan:\n${p.take(2000)}")
+  }
+
+  test("MoM growth: prior-period joins broadcast the month frame, agg exchange reused") {
+    val p = plan("date_mom_growth")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(fin).size >= 2,
+      s"calendar self-joins not broadcast:\n${fin.take(2000)}")
+    assert(fin.contains("ReusedExchange"),
+      s"month pre-agg exchange not reused across the three consumers:\n${fin.take(2000)}")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in MoM plan:\n${p.take(2500)}")
+  }
+
+  test("referential integrity: totals and orphans from ONE probe per edge, no scalar crosses") {
+    // each FK edge = child key-collapse → one keyed probe → one agg;
+    // the rewrite away from anti-join + total-crossJoin halved the
+    // scans (16 → 13) and removed all 7 scalar BNLJ crosses
+    val p = plan("quality_referential_integrity")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"scalar cross crept back into the audit plan:\n${p.take(2500)}")
+    assert("Scan parquet".r.findAllIn(fin).size <= 14,
+      s"child tables scanned more than once per edge:\n${fin.take(2000)}")
+    assert(fin.contains("BroadcastHashJoin"),
+      s"dimension parents not broadcast:\n${fin.take(2000)}")
+  }
+
+  test("survival KM: corpus collapses per user before the day-frame windows") {
+    val p = plan("events_survival_km")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 2,
+      s"events scanned more than twice (per-user agg + max-day scalar):\n${fin.take(2000)}")
+    assert(p.contains("partial_"), s"no map-side partial agg:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in KM plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 1,
+      s"non-scalar nested loop (only the 1-row max-day may cross):\n${p.take(2500)}")
+  }
+
+  test("runs test: lag window runs on the post-agg hourly frame, one corpus scan") {
+    // the Window.orderBy("h") is SinglePartition by construction, but it
+    // consumes the hour-grain aggregate (span-bounded: one row per hour
+    // of corpus time, ~720 at every SF) — the corpus itself is reduced
+    // by a partial-agg groupBy first.
+    val p = plan("stats_runs_test")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"corpus scanned more than once:\n${fin.take(2000)}")
+    assert(p.contains("partial_"), s"no map-side partial agg:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in runs plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 1,
+      s"non-scalar nested loop (only the 1-row totals may cross):\n${p.take(2500)}")
+  }
 }

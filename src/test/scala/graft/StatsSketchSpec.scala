@@ -62,6 +62,21 @@ class StatsSketchSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("bucketedPrefixSum equals a global running sum over (value, tie)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map { i =>
+      val v = if (i % 3 == 0) rnd.nextInt(100).toLong else rnd.nextInt(1000000).toLong
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v").repartition(6)
+    val got = graft.ops.Stats.bucketedPrefixSum(df, "v", "id", bucketWidth = 4096L)
+      .select("id", "prefix").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    val want = rows.sortBy { case (id, v) => (v, id) }
+      .map { case (id, v) => acc += v; id -> acc }.toMap
+    assert(got == want)
+  }
+
   test("ksBinned tracks ksExact within the inter-edge mass bound (events corpus)") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(floor(col("value") * 100).cast("long").as("vc"),
