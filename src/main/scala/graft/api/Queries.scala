@@ -5301,7 +5301,168 @@ object Queries {
           |  CAST(c AS BIGINT) AS n_censored, CAST(at_risk AS BIGINT) AS at_risk,
           |  CAST(sum(term) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
           |                       AND CURRENT ROW) AS BIGINT) AS log_surv_x1e6
-          |FROM tm ORDER BY day_offset""".stripMargin))
+          |FROM tm ORDER BY day_offset""".stripMargin)),
+
+    // HITS hubs/authorities on the customer–part purchase bipartite
+    // graph — see ops/Basket.hitsBipartite. The oracle is the
+    // mechanical 3-round unroll with MATERIALIZED CTEs (the sssp/kcore
+    // discipline); fixed-point rescale keeps both engines in exact
+    // BIGINT arithmetic.
+    "graph_hits_parts" -> Q(
+      (s, d) => graft.ops.Basket.hitsBipartite(
+        Tables.lineitem(s, d), Tables.orders(s, d), rounds = 3, k = 20),
+      Some {
+        val base =
+          """WITH e AS MATERIALIZED (
+            |  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+            |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+            |h0 AS (SELECT DISTINCT ck, CAST(1048576 AS BIGINT) AS h FROM e)""".stripMargin
+        val steps = (1 to 3).flatMap { i =>
+          Seq(
+            s"""a${i}r AS MATERIALIZED (SELECT pk, sum(h) AS a
+               |  FROM e JOIN h${i - 1} USING (ck) GROUP BY 1)""".stripMargin,
+            s"""a$i AS MATERIALIZED (SELECT pk,
+               |  a * 1048576 // (SELECT max(a) FROM a${i}r) AS a FROM a${i}r)""".stripMargin,
+            s"""h${i}r AS MATERIALIZED (SELECT ck, sum(a) AS h
+               |  FROM e JOIN a$i USING (pk) GROUP BY 1)""".stripMargin,
+            s"""h$i AS MATERIALIZED (SELECT ck,
+               |  h * 1048576 // (SELECT max(h) FROM h${i}r) AS h FROM h${i}r)""".stripMargin)
+        }
+        (Seq(base) ++ steps).mkString(",\n") +
+          """
+            |SELECT CAST(pk AS BIGINT) AS part_id, CAST(a AS BIGINT) AS auth_x2p20
+            |FROM a3 ORDER BY a DESC, pk LIMIT 20""".stripMargin
+      }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al., LREC'20): every
+    // doc scored by its mean corpus-bigram inverse probability (the
+    // text_bigram_surprisal model, ×1e6 integers), then split into
+    // head/middle/tail TERCILES by exact two-phase rank — the
+    // bucket boundary is (rank−1)·3 div n on both sides, so the gate
+    // never hashes a float quantile. The LM fit and the scoring are the
+    // same two keyed joins; ranking adds no corpus-sized window
+    // (Stats.bucketedRank).
+    "text_perplexity_buckets" -> Q(
+      (s, d) => {
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t != '')").as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+        val ctx = lm.groupBy("w1").agg(sum("nb").as("nu"))
+        val scored = bg.join(lm, Seq("w1", "w2")).join(ctx, Seq("w1"))
+          .withColumn("inv_p_x1e6", expr("nu * 1000000L div nb"))
+          .groupBy("doc_id")
+          .agg(expr("sum(inv_p_x1e6) div count(*)").as("score"))
+        val ranked = graft.ops.Stats.bucketedRank(scored, "score", "doc_id",
+          bucketWidth = 1L << 32)
+        val tot = scored.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("bucket", expr("(rank - 1) * 3 div n"))
+          .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+          .groupBy(when(col("bucket") === 0, "head")
+            .when(col("bucket") === 1, "middle").otherwise("tail").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(score) div count(*)").cast("long").as("mean_score_x1e6"),
+            expr("sum(n_chars) div count(*)").cast("long").as("mean_chars"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |u AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          |      FROM t WHERE len(tk) >= 2),
+          |bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 FROM u),
+          |lm AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
+          |ctx AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nu FROM lm GROUP BY 1),
+          |sc AS (SELECT doc_id,
+          |    CAST(sum(nu * 1000000 // nb) // count(*) AS BIGINT) AS score
+          |  FROM bg JOIN lm USING (w1, w2) JOIN ctx USING (w1)
+          |  GROUP BY doc_id),
+          |rk AS (SELECT doc_id, score,
+          |    row_number() OVER (ORDER BY score, doc_id) AS rank,
+          |    count(*) OVER () AS n
+          |  FROM sc),
+          |bk AS (SELECT doc_id, score, (rank - 1) * 3 // n AS bucket FROM rk)
+          |SELECT CASE bucket WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+          |         ELSE 'tail' END AS bucket,
+          |  count(*) AS n_docs,
+          |  CAST(sum(score) // count(*) AS BIGINT) AS mean_score_x1e6,
+          |  CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+          |FROM bk JOIN documents USING (doc_id)
+          |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // 1-D earth-mover distance (Wasserstein-1) of each source's
+    // document-length distribution against the whole corpus — the
+    // drift metric that measures how FAR mass moved, complementing
+    // PSI/KS/TVD which only see that it moved. Lengths bin to a fixed
+    // 64-cell grid over the global [min,max]; EMD = Σ_bins
+    // |CumF_src − CumF_all| with the ECDF difference cross-multiplied
+    // into exact integers (the KS discipline) and ONE integral
+    // division per source at the end. The corpus collapses to the
+    // source×bin grid in a single aggregation; every window runs on
+    // that ≤ sources×64 frame.
+    "stats_emd_sources" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+        val ext = docs.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+        val cell = docs.crossJoin(broadcast(ext))
+          .withColumn("bin", least(
+            expr("(n_chars - mn) * 64 div (mx - mn + 1)"), lit(63L)))
+          .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+        // dense grid: every (source × 0..63) cell, zeros included, so
+        // the cumulative is defined at every bin edge
+        val grid = cell.select("source").distinct()
+          .select(col("source"), explode(expr("sequence(0L, 63L)")).as("bin"))
+          .join(cell, Seq("source", "bin"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val wSrc = Window.partitionBy("source").orderBy("bin")
+        val cum = grid.withColumn("cum_s", sum("c").over(wSrc))
+        val all = cum.groupBy("bin").agg(sum("c").as("ca"))
+          .withColumn("cum_a", sum("ca").over(Window.orderBy("bin")))
+          .select("bin", "cum_a")
+        val nS = cell.groupBy("source").agg(sum("c").as("n_s"))
+        val nAll = docs.agg(count(lit(1)).as("n_all"))
+        cum.join(broadcast(all), "bin").join(broadcast(nS), "source")
+          .crossJoin(broadcast(nAll))
+          .withColumn("dev", abs(dec(col("cum_s")) * dec(col("n_all")) -
+            dec(col("cum_a")) * dec(col("n_s"))))
+          .groupBy("source")
+          .agg(max("n_s").cast("long").as("n_docs"),
+            graft.functions.GraftFunctions.longDiv(
+              sum("dev") * dec(lit(1000000L)),
+              dec(max("n_s")) * dec(max("n_all"))).cast("long").as("emd_x1e6"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH docs AS (SELECT source, n_chars FROM documents),
+          |ext AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM docs),
+          |cell AS (SELECT source,
+          |    least((n_chars - mn) * 64 // (mx - mn + 1), 63) AS bin,
+          |    count(*) AS c
+          |  FROM docs CROSS JOIN ext GROUP BY 1, 2),
+          |grid AS (SELECT s.source, b.bin, coalesce(cell.c, 0) AS c
+          |  FROM (SELECT DISTINCT source FROM cell) s
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bin) b
+          |  LEFT JOIN cell ON cell.source = s.source AND cell.bin = b.bin),
+          |cum AS (SELECT source, bin, c,
+          |    sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum_s
+          |  FROM grid),
+          |al AS (SELECT bin, sum(c) AS ca FROM cum GROUP BY bin),
+          |alc AS (SELECT bin, sum(ca) OVER (ORDER BY bin) AS cum_a FROM al),
+          |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cell GROUP BY 1),
+          |na AS (SELECT count(*) AS n_all FROM docs)
+          |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+          |  CAST(sum(abs(CAST(cum_s AS HUGEINT) * n_all - CAST(cum_a AS HUGEINT) * n_s))
+          |    * 1000000 // (CAST(n_s AS HUGEINT) * n_all) AS BIGINT) AS emd_x1e6
+          |FROM cum JOIN alc USING (bin) JOIN ns USING (source) CROSS JOIN na
+          |GROUP BY source, n_s, n_all ORDER BY source""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

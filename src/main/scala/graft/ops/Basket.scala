@@ -226,4 +226,46 @@ object Basket {
     }
     d.orderBy("dist", "node").limit(k)
   }
+
+  /** HITS hubs/authorities (Kleinberg, JACM'99) on the customer–part
+    * bipartite purchase graph: authority(part) = Σ hub(customer) over
+    * purchase edges, hub(customer) = Σ authority(part), alternated for
+    * `rounds` declared rounds from hub ≡ 1. Scores live in 2²⁰ fixed
+    * point with an L∞ rescale (max → 2²⁰) after every half-step — the
+    * emb_pca_power discipline — so every intermediate is an exact
+    * BIGINT (sum ≤ 2²⁰·maxDeg, rescale product ≤ 2⁶⁰) and the unroll
+    * replays mechanically in SQL (both engines' integral divisions
+    * agree on non-negative operands). Returns the top-k parts by final
+    * authority.
+    *
+    * Scale shape: the edge incidence is one keyed join (lineitem ⋈
+    * orders on the order key) + distinct — one shuffle each; every
+    * half-step is one keyed join of the score frame against the
+    * checkpointed edge frame plus a groupBy and a 1-row max broadcast.
+    * Nothing wider than |edges| + |nodes| materializes, the PageRank/
+    * Bellman-Ford iteration shape.
+    */
+  def hitsBipartite(lineitem: DataFrame, orders: DataFrame,
+      rounds: Int = 3, k: Int = 20): DataFrame = {
+    val e = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("ck")), "ok")
+      .select("ck", "pk").distinct()
+      .localCheckpoint(true)
+    var hub = e.select("ck").distinct().withColumn("h", lit(1L << 20))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val a0 = e.join(hub, "ck").groupBy("pk").agg(sum("h").as("a"))
+      auth = a0.crossJoin(broadcast(a0.agg(max("a").as("mx"))))
+        .select(col("pk"), expr("a * 1048576L div mx").as("a"))
+        .localCheckpoint(true)
+      val h0 = e.join(auth, "pk").groupBy("ck").agg(sum("a").as("h"))
+      hub = h0.crossJoin(broadcast(h0.agg(max("h").as("mx"))))
+        .select(col("ck"), expr("h * 1048576L div mx").as("h"))
+        .localCheckpoint(true)
+    }
+    auth.orderBy(desc("a"), asc("pk")).limit(k)
+      .select(col("pk").cast("long").as("part_id"),
+        col("a").cast("long").as("auth_x2p20"))
+  }
 }

@@ -647,6 +647,42 @@ class PlanSpec extends SparkSpecBase {
       s"non-scalar nested loop (only the 1-row max-day may cross):\n${p.take(2500)}")
   }
 
+  test("HITS: per-half-step keyed joins only; checkpoints bound the iteration lineage") {
+    // each half-step is edge ⋈ score (keyed) + groupBy + a 1-row max
+    // rescale, all inside localCheckpoint segments — the final plan is
+    // a TakeOrdered over the checkpointed frame with no cartesian and
+    // no nested loop anywhere
+    val p = plan("graph_hits_parts")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in HITS plan:\n${p.take(2500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not a TakeOrdered:\n${p.take(2000)}")
+  }
+
+  test("perplexity buckets: LM joins keyed, rank bucket-partitioned, one scalar cross") {
+    val p = plan("text_perplexity_buckets")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ppl plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 1,
+      s"non-scalar nested loop (only the 1-row doc count may cross):\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"LM score join not keyed:\n${p.take(2000)}")
+    // the in-bucket rank window must carry the bucket partition spec
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.exists(l => l.contains("row_number()") && l.contains("], [_bkt#")),
+      s"rank window not bucket-partitioned:\n${windows.mkString("\n").take(1500)}")
+  }
+
+  test("EMD: corpus collapses to the source-bin grid; crosses are grid/scalar frames only") {
+    val p = plan("stats_emd_sources")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 6,
+      s"documents scanned too many times:\n${fin.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in EMD plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 4,
+      s"a corpus-sized frame fell into a nested loop (only min/max, n_all scalars and the 64-bin grid may cross):\n${p.take(2500)}")
+    assert(p.contains("partial_"), s"no map-side partial for the cell agg:\n${p.take(2000)}")
+  }
+
   test("runs test: lag window runs on the post-agg hourly frame, one corpus scan") {
     // the Window.orderBy("h") is SinglePartition by construction, but it
     // consumes the hour-grain aggregate (span-bounded: one row per hour
