@@ -5462,7 +5462,160 @@ object Queries {
           |  CAST(sum(abs(CAST(cum_s AS HUGEINT) * n_all - CAST(cum_a AS HUGEINT) * n_s))
           |    * 1000000 // (CAST(n_s AS HUGEINT) * n_all) AS BIGINT) AS emd_x1e6
           |FROM cum JOIN alc USING (bin) JOIN ns USING (source) CROSS JOIN na
-          |GROUP BY source, n_s, n_all ORDER BY source""".stripMargin))
+          |GROUP BY source, n_s, n_all ORDER BY source""".stripMargin)),
+
+    // Contrastive hard-negative mining — see ops/Similarity.hardNegatives.
+    "sim_hard_negatives" -> Q(
+      (s, d) => graft.ops.Similarity.hardNegatives(
+          Tables.embeddings(s, d), queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy("query_id", "rnk"),
+      Some(
+        """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          |           FROM embeddings),
+          |q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe
+          |      FROM v WHERE vec_id IN (0, 1, 2, 3, 4)),
+          |scored AS (
+          |  SELECT query_id, vec_id, label,
+          |    round(list_dot_product(e, qe)
+          |      / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
+          |  FROM v CROSS JOIN q WHERE vec_id <> query_id AND label <> qlabel),
+          |r AS (SELECT query_id, vec_id, label, cos,
+          |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+          |      FROM scored)
+          |SELECT query_id, vec_id, CAST(label AS BIGINT) AS neg_label, cos,
+          |  CAST(rnk AS INT) AS rnk
+          |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // Wide star-schema flatten with a per-region order-invariant
+    // checksum — the "denormalize 100 TB for export, then prove the
+    // copy" primitive: lineitem joined through orders→customer→nation→
+    // region plus part and supplier (the classic 6-way star), each row
+    // fingerprinted with the portable 60-bit md5 family and summed
+    // mod 2⁶¹−1 per region (the lakehouse_table_fingerprint
+    // discipline — repartition/order-invariant, map-side combinable).
+    // Fact–fact joins stay keyed; nation/region broadcast.
+    "lakehouse_denorm_checksum" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+        val su = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+        val n = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .withColumn("h", graft.functions.GraftFunctions.md5Hash60(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+            col("c_name"), col("p_brand"), col("s_name"), col("n_name"),
+            col("r_name"))))
+          .groupBy(col("r_name").as("region"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
+              .as("fingerprint"))
+          .orderBy("region")
+      },
+      Some {
+        val h = GraphSql.md5Hash60(
+          """l_orderkey || '|' || l_linenumber || '|' || o_orderstatus || '|' ||
+            |c_name || '|' || p_brand || '|' || s_name || '|' || n_name || '|' ||
+            |r_name""".stripMargin)
+        s"""SELECT r_name AS region, count(*) AS n_rows,
+           |  CAST(sum(CAST($h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+           |    AS fingerprint
+           |FROM lineitem
+           |JOIN orders ON o_orderkey = l_orderkey
+           |JOIN customer ON c_custkey = o_custkey
+           |JOIN part ON p_partkey = l_partkey
+           |JOIN supplier ON s_suppkey = l_suppkey
+           |JOIN nation ON n_nationkey = c_nationkey
+           |JOIN region ON r_regionkey = n_regionkey
+           |GROUP BY 1 ORDER BY region""".stripMargin
+      }),
+
+    // Deterministic Poisson bootstrap CI for the mean order value
+    // (Chamandy et al., "Estimating uncertainty for massive data
+    // streams", Google TR 2012): replica b resamples each order with
+    // weight ~ Poisson(1), derived NOT from an RNG but from the 60-bit
+    // md5 of (orderkey:b) against fixed inverse-CDF thresholds
+    // (floor(cdf·2⁶⁰) literals, identical on both sides) — fully
+    // deterministic, repartition-invariant, and replayable in SQL. The
+    // 32 replica means come from ONE pass: the ×32 explode feeds a
+    // 32-group aggregate with map-side combine, so nothing
+    // corpus-sized shuffles; the CI is the 2nd/31st order statistic of
+    // the 32-row replica frame.
+    "stats_bootstrap_ci" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val T = Seq(424136118829305344L, 848272237658610688L,
+          1060340297073263360L, 1131029650211480960L,
+          1148701988496035328L, 1152236456152946176L)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        // the ×32 explode multiplies CPU (32 md5s/row) but not input
+        // bytes, so scan-split parallelism understates the work: a
+        // single 23 MB parquet split would run the whole fan-out on
+        // one core. The pre-explode repartition ships 16 bytes/row to
+        // unlock 32 hashes/row of parallelism — at full scale the scan
+        // has thousands of splits and AQE keeps this exchange cheap.
+        val rep = o.repartition(o.sparkSession.sparkContext.defaultParallelism)
+          .select(col("o_orderkey"), col("cents"),
+            explode(expr("sequence(0, 31)")).as("b"))
+          .withColumn("h", graft.functions.GraftFunctions.md5Hash60(
+            concat_ws(":", col("o_orderkey"), col("b"))))
+          .withColumn("w",
+            when(col("h") < T(0), 0L).when(col("h") < T(1), 1L)
+              .when(col("h") < T(2), 2L).when(col("h") < T(3), 3L)
+              .when(col("h") < T(4), 4L).when(col("h") < T(5), 5L)
+              .otherwise(6L))
+        val means = rep.groupBy("b")
+          .agg(expr("sum(w * cents) div sum(w)").as("m"))
+        val ranked = means
+          .withColumn("r", row_number().over(Window.orderBy("m", "b")))
+        val point = o.agg(count(lit(1)).as("n_orders"),
+          expr("sum(cents) div count(*)").as("mean_c"))
+        point
+          .crossJoin(broadcast(ranked.filter(col("r") === 2)
+            .select(col("m").as("boot_lo_c"))))
+          .crossJoin(broadcast(ranked.filter(col("r") === 31)
+            .select(col("m").as("boot_hi_c"))))
+          .select(col("n_orders").cast("long").as("n_orders"),
+            col("mean_c").cast("long").as("mean_c"),
+            col("boot_lo_c").cast("long").as("boot_lo_c"),
+            col("boot_hi_c").cast("long").as("boot_hi_c"))
+      },
+      Some {
+        val h = GraphSql.md5Hash60("o_orderkey || ':' || b")
+        s"""WITH o AS (SELECT o_orderkey,
+           |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+           |rep AS (SELECT o_orderkey, cents, unnest(generate_series(0, 31)) AS b FROM o),
+           |hh AS (SELECT cents, b, $h AS h FROM rep),
+           |ww AS (SELECT cents, b,
+           |    CASE WHEN h < 424136118829305344 THEN 0
+           |         WHEN h < 848272237658610688 THEN 1
+           |         WHEN h < 1060340297073263360 THEN 2
+           |         WHEN h < 1131029650211480960 THEN 3
+           |         WHEN h < 1148701988496035328 THEN 4
+           |         WHEN h < 1152236456152946176 THEN 5
+           |         ELSE 6 END AS w
+           |  FROM hh),
+           |m AS (SELECT b, sum(w * cents) // sum(w) AS m FROM ww GROUP BY 1),
+           |r AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM m),
+           |p AS (SELECT count(*) AS n_orders, sum(cents) // count(*) AS mean_c FROM o)
+           |SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           |  CAST(mean_c AS BIGINT) AS mean_c,
+           |  CAST((SELECT m FROM r WHERE r = 2) AS BIGINT) AS boot_lo_c,
+           |  CAST((SELECT m FROM r WHERE r = 31) AS BIGINT) AS boot_hi_c
+           |FROM p""".stripMargin
+      })
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -48,6 +48,33 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCLR
+    * batch-construction primitive): for each anchor vector, the k
+    * nearest neighbors carrying a DIFFERENT label — the negatives
+    * closest to the decision boundary, which dominate the contrastive
+    * gradient. Same broadcast-anchor shape as [[bruteForceTopK]]: the
+    * anchor batch broadcasts, the corpus side streams one scan, the
+    * per-anchor top-k is a partitioned window over the anchor key. At
+    * 100 TB the anchor batch is the (bounded) training batch; the
+    * label filter prunes before scoring.
+    */
+  def hardNegatives(embs: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val v = embs.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos", round(dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"),
+        col("label").cast("long").as("neg_label"), col("cos"), col("rnk"))
+  }
+
   /** Deterministic ±1 hyperplane component for (plane j, dim i) — seeded
     * by the parity of md5's first hex nibble, reproducible across
     * sessions/cluster sizes AND across engines (DuckDB's md5 yields the

@@ -683,6 +683,40 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), s"no map-side partial for the cell agg:\n${p.take(2000)}")
   }
 
+  test("hard negatives: anchor batch broadcasts, per-anchor top-k is a partitioned window") {
+    val p = plan("sim_hard_negatives")
+    assert(!p.contains("CartesianProduct"), s"cartesian in mining plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 1,
+      s"non-anchor frame fell into a nested loop:\n${p.take(2500)}")
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.exists(l => l.contains("row_number()") && l.contains("], [query_id#")),
+      s"top-k window not anchor-partitioned:\n${windows.mkString("\n").take(1500)}")
+  }
+
+  test("denorm checksum: 6-way star stays keyed; fingerprint partial-aggregates map-side") {
+    val p = plan("lakehouse_denorm_checksum")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in star flatten:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"small dims not broadcast:\n${p.take(2000)}")
+    assert(p.contains("partial_"), s"checksum not map-side combined:\n${p.take(2000)}")
+  }
+
+  test("bootstrap CI: explode parallelized by the pre-fan-out repartition; 32-group combine") {
+    // the x32 explode must sit above a repartition of the NARROW
+    // projection (16 bytes/row buys 32 md5s/row of parallelism —
+    // 28 s -> 3.5 s at 10x on a single-split corpus), and the replica
+    // means must combine map-side into the 32-row frame
+    val p = plan("stats_bootstrap_ci")
+    assert(p.contains("Exchange RoundRobinPartitioning") ||
+      p.contains("Exchange hashpartitioning"),
+      s"no pre-explode repartition:\n${p.take(2000)}")
+    assert(p.contains("partial_"), s"replica means not map-side combined:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bootstrap plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 2,
+      s"non-scalar nested loop (only the two 1-row CI bounds may cross):\n${p.take(2500)}")
+  }
+
   test("runs test: lag window runs on the post-agg hourly frame, one corpus scan") {
     // the Window.orderBy("h") is SinglePartition by construction, but it
     // consumes the hour-grain aggregate (span-bounded: one row per hour
