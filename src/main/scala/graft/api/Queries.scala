@@ -5555,9 +5555,6 @@ object Queries {
     "stats_bootstrap_ci" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val T = Seq(424136118829305344L, 848272237658610688L,
-          1060340297073263360L, 1131029650211480960L,
-          1148701988496035328L, 1152236456152946176L)
         val o = Tables.orders(s, d).select(col("o_orderkey"),
           expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
         // the ×32 explode multiplies CPU (32 md5s/row) but not input
@@ -5571,11 +5568,7 @@ object Queries {
             explode(expr("sequence(0, 31)")).as("b"))
           .withColumn("h", graft.functions.GraftFunctions.md5Hash60(
             concat_ws(":", col("o_orderkey"), col("b"))))
-          .withColumn("w",
-            when(col("h") < T(0), 0L).when(col("h") < T(1), 1L)
-              .when(col("h") < T(2), 2L).when(col("h") < T(3), 3L)
-              .when(col("h") < T(4), 4L).when(col("h") < T(5), 5L)
-              .otherwise(6L))
+          .withColumn("w", graft.ops.Stats.poissonWeight(col("h")))
         val means = rep.groupBy("b")
           .agg(expr("sum(w * cents) div sum(w)").as("m"))
         val ranked = means
@@ -5615,7 +5608,75 @@ object Queries {
            |  CAST((SELECT m FROM r WHERE r = 2) AS BIGINT) AS boot_lo_c,
            |  CAST((SELECT m FROM r WHERE r = 31) AS BIGINT) AS boot_hi_c
            |FROM p""".stripMargin
-      })
+      }),
+
+    // Label-propagation communities — see ops/Basket.labelPropagation.
+    // Oracle = the mechanical 3-round unroll (min-of-modes tie-break
+    // replayed with a windowed row_number on identical (cnt DESC,
+    // lbl) order).
+    "graph_label_propagation" -> Q(
+      (s, d) => graft.ops.Basket.labelPropagation(Tables.lineitem(s, d),
+        rounds = 3, minSupport = 2, k = 20),
+      Some {
+        val base =
+          """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            |e0 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+            |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+            |      GROUP BY 1, 2 HAVING count(*) >= 2),
+            |e AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e0
+            |                   UNION ALL SELECT pb, pa FROM e0),
+            |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)""".stripMargin
+        val rounds = (1 to 3).map { i =>
+          s"""l$i AS MATERIALIZED (SELECT node, lbl FROM (
+             |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+             |           ORDER BY cnt DESC, lbl) AS rn
+             |  FROM (SELECT e.dst AS node, l.lbl, count(*) AS cnt
+             |        FROM e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2))
+             |  WHERE rn = 1)""".stripMargin
+        }
+        (Seq(base) ++ rounds).mkString(",\n") +
+          """
+            |SELECT CAST(lbl AS BIGINT) AS community, count(*) AS n_members
+            |FROM l3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+      }),
+
+    // Repeat-payment audit — the fraud/data-entry screen every AP
+    // system runs: pairs of orders from the SAME customer in the SAME
+    // $100 amount band, histogrammed by time gap. The self-join keys
+    // on (customer, amount band) — group sizes are bounded by
+    // per-customer order counts, so the pair explosion is O(rows ·
+    // ordersPerCustomer), never quadratic in the table; the gap
+    // bucketing is exact integer day arithmetic.
+    "quality_repeat_payments" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderkey").as("ok"),
+          col("o_custkey").as("ck"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 10000").as("amt"),
+          to_date(col("o_orderdate")).as("day"))
+        val b = o.select(col("ok").as("ok2"), col("ck"), col("amt"),
+          col("day").as("day2"))
+        o.join(b, Seq("ck", "amt"))
+          .filter(col("ok") < col("ok2"))
+          .withColumn("gap", abs(datediff(col("day2"), col("day"))))
+          .groupBy(when(col("gap") <= 90, "0-90")
+            .when(col("gap") <= 365, "91-365").otherwise("365+").as("gap_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct("ck").as("n_customers"),
+            sum(col("amt") * 100L).cast("long").as("amount_dollars"))
+          .orderBy("gap_bucket")
+      },
+      Some(
+        """WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+          |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 AS amt,
+          |    CAST(o_orderdate AS DATE) AS day
+          |  FROM orders),
+          |p AS (SELECT a.ck, a.amt, abs(b.day - a.day) AS gap
+          |      FROM o a JOIN o b ON b.ck = a.ck AND b.amt = a.amt AND a.ok < b.ok)
+          |SELECT CASE WHEN gap <= 90 THEN '0-90'
+          |            WHEN gap <= 365 THEN '91-365' ELSE '365+' END AS gap_bucket,
+          |  count(*) AS n_pairs, count(DISTINCT ck) AS n_customers,
+          |  CAST(sum(amt * 100) AS BIGINT) AS amount_dollars
+          |FROM p GROUP BY 1 ORDER BY gap_bucket""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -268,4 +268,48 @@ object Basket {
       .select(col("pk").cast("long").as("part_id"),
         col("a").cast("long").as("auth_x2p20"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.,
+    * Phys. Rev. E 76, 2007) on the support-pruned co-order graph:
+    * labels start as the node id; each of the `rounds` declared rounds
+    * every node adopts the MINIMUM label among the most frequent labels
+    * of its neighbors (min-of-modes — a fully deterministic tie-break,
+    * where the paper's random tie-break would be un-replayable).
+    * Synchronous LPA can two-color oscillate on bipartite structures;
+    * with declared rounds and the deterministic tie-break the result
+    * is still a well-defined, engine-invariant computation (the
+    * kcore/sssp declared-rounds discipline). Returns the top-k
+    * communities by size.
+    *
+    * Scale shape: per round one keyed join of the label frame against
+    * the (checkpointed, both-orientation) edge frame, a (node, label)
+    * count, and a node-partitioned window pick — never anything wider
+    * than |edges|; the window partitions on the node key, so no global
+    * sort exists.
+    */
+  def labelPropagation(lineitem: DataFrame, rounds: Int = 3,
+      minSupport: Int = 2, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = coOrderEdges(lineitem, minSupport)
+    val e = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(true)
+    var lab = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("node").orderBy(desc("cnt"), asc("lbl"))
+    for (_ <- 1 to rounds) {
+      lab = e.join(lab, e("src") === lab("node"))
+        .select(e("dst").as("node"), lab("lbl"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lbl")
+        .localCheckpoint(true)
+    }
+    lab.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+      .orderBy(desc("n_members"), asc("lbl")).limit(k)
+      .select(col("lbl").cast("long").as("community"),
+        col("n_members").cast("long").as("n_members"))
+  }
 }

@@ -13,6 +13,23 @@ import graft.functions.GraftFunctions.longDiv
   */
 object Stats {
 
+  /** Poisson(1) inverse-CDF thresholds ×2⁶⁰ (floor(P(X ≤ k)·2⁶⁰) for
+    * k = 0..5): a 60-bit uniform hash below threshold k ⇒ resample
+    * weight k, above all six ⇒ 6. The ONE source of truth for every
+    * deterministic-bootstrap path (batch query, streaming twin, and —
+    * replicated as literals — the DuckDB oracle), per the shared-knob
+    * discipline: a drift between sides silently breaks the hash gate.
+    */
+  val PoissonCdfX2p60: Seq[Long] = Seq(
+    424136118829305344L, 848272237658610688L, 1060340297073263360L,
+    1131029650211480960L, 1148701988496035328L, 1152236456152946176L)
+
+  /** Resample weight ~ Poisson(1) for a 60-bit uniform hash column. */
+  def poissonWeight(h: Column): Column =
+    PoissonCdfX2p60.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((t, k), rest) => when(h < t, k.toLong).otherwise(rest)
+    }
+
   /** Exact dense ranking of `valueCol` (ties broken by `tieCol`) without
     * a global-window sort: rows are range-bucketed by value
     * (`bucket = value div bucketWidth` — order-preserving across

@@ -679,4 +679,32 @@ object EventStream {
       .agg(count(lit(1)).as("n_rows"),
         expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
           .as("fingerprint"))
+
+  /** Streaming/incremental member of the deterministic-bootstrap family
+    * (stats_bootstrap_ci's twin): per replica b, the running
+    * Poisson(1)-weighted sums of event value in cents — weights from
+    * md5(event_id:b) against [[graft.ops.Stats.PoissonCdfX2p60]] (the
+    * SAME shared thresholds as the batch query, no drift possible).
+    * Works UNCHANGED on a batch frame or a stream in complete mode:
+    * state is exactly `replicas` rows of three commutative sums
+    * FOREVER, so the twin is disorder-IMMUNE (no watermark, no
+    * monotone-batch assumption) and ADDITIVE across arbitrary batch
+    * splits — the identity that lets a 100 TB pipeline maintain live
+    * confidence intervals over an unbounded ingest without ever
+    * re-scanning. The replica mean m_b = wsum_b div w_b is the
+    * reader's one division; the CI is the 2nd/31st order statistic of
+    * the `replicas`-row frame, exactly as in the batch query.
+    */
+  def bootstrapSums(events: DataFrame, replicas: Int = 32): DataFrame =
+    events
+      .select(col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        explode(expr(s"sequence(0, ${replicas - 1})")).as("b"))
+      .withColumn("h", graft.functions.GraftFunctions.md5Hash60(
+        concat_ws(":", col("event_id"), col("b"))))
+      .withColumn("w", graft.ops.Stats.poissonWeight(col("h")))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n"),
+        sum("w").cast("long").as("wsum"),
+        sum(expr("w * cents")).cast("long").as("wxsum"))
 }

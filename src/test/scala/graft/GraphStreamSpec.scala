@@ -1015,6 +1015,49 @@ class GraphStreamSpec extends SparkSpecBase {
         s"bucket $bucket fingerprint not additive mod p")
     }
   }
+
+  test("streaming bootstrap sums: complete-mode replicas == batch, disorder-immune, additive") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, dir)
+    def sums(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long, Long)] =
+      EventStream.bootstrapSums(df).collect()
+        .map(r => r.getAs[Int]("b") -> (r.getAs[Long]("n"),
+          r.getAs[Long]("wsum"), r.getAs[Long]("wxsum"))).toMap
+    val batch = sums(batchEv)
+    assert(batch.size == 32 && batch.keySet == (0 until 32).toSet)
+
+    // NOT-time-ordered parity split: the three per-replica sums are
+    // commutative, so unlike the sessionize family there is no
+    // disorder caveat — the stream must land bit-equal to batch
+    val stage = java.nio.file.Files.createTempDirectory("graft-boot")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100)
+    raw.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val in = EventStream.readEvents(spark, stage.toString + "/*/")
+    val q = EventStream.bootstrapSums(in)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_boot").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_boot").collect()
+        .map(r => r.getAs[Int]("b") -> (r.getAs[Long]("n"),
+          r.getAs[Long]("wsum"), r.getAs[Long]("wxsum"))).toMap
+      assert(streamed == batch, "streamed bootstrap sums diverged from batch")
+    } finally q.stop()
+
+    // additivity per replica — the live-CI incremental identity
+    val a = sums(batchEv.filter(col("event_id") % 2 === 1))
+    val bb = sums(batchEv.filter(col("event_id") % 2 === 0))
+    batch.foreach { case (rep, (n, w, wx)) =>
+      val (n1, w1, wx1) = a.getOrElse(rep, (0L, 0L, 0L))
+      val (n2, w2, wx2) = bb.getOrElse(rep, (0L, 0L, 0L))
+      assert(n1 + n2 == n && w1 + w2 == w && wx1 + wx2 == wx,
+        s"replica $rep sums not additive")
+    }
+  }
 }
 
 /** Local filesystem whose rename REFUSES any destination named like this

@@ -717,6 +717,23 @@ class PlanSpec extends SparkSpecBase {
       s"non-scalar nested loop (only the two 1-row CI bounds may cross):\n${p.take(2500)}")
   }
 
+  test("label propagation: per-round keyed joins, node-partitioned mode pick, no nested loops") {
+    val p = plan("graph_label_propagation")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in LPA plan:\n${p.take(2500)}")
+  }
+
+  test("repeat payments: self-join keyed on (customer, amount band), never a theta join") {
+    val df = Queries.registry("quality_repeat_payments").fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"pair join fell into a nested loop:\n${p.take(2500)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"pair join not keyed:\n${p.take(2000)}")
+  }
+
   test("runs test: lag window runs on the post-agg hourly frame, one corpus scan") {
     // the Window.orderBy("h") is SinglePartition by construction, but it
     // consumes the hour-grain aggregate (span-bounded: one row per hour
