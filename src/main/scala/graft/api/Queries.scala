@@ -5676,7 +5676,119 @@ object Queries {
           |            WHEN gap <= 365 THEN '91-365' ELSE '365+' END AS gap_bucket,
           |  count(*) AS n_pairs, count(DISTINCT ck) AS n_customers,
           |  CAST(sum(amt * 100) AS BIGINT) AS amount_dollars
-          |FROM p GROUP BY 1 ORDER BY gap_bucket""".stripMargin))
+          |FROM p GROUP BY 1 ORDER BY gap_bucket""".stripMargin)),
+
+    // Gaps-and-islands: maximal consecutive-day activity streaks per
+    // user, as a streak-length histogram — the engagement-streak panel.
+    // The island key is the SQL-canon dayNumber − row_number trick, in
+    // pure integers (days since epoch) so both engines agree; every
+    // window partitions on the user.
+    "window_gap_islands" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        ud.withColumn("dnum", datediff(col("day"), lit("1970-01-01")).cast("long"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("grp", col("dnum") - col("rn"))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+          .groupBy(col("len").cast("long").as("streak_len"))
+          .agg(count(lit(1)).as("n_streaks"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("streak_len")
+      },
+      Some(
+        """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+          |rn AS (SELECT user_id, CAST(day - DATE '1970-01-01' AS BIGINT) AS dnum,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM ud),
+          |isl AS (SELECT user_id, dnum - rn AS grp, count(*) AS len
+          |        FROM rn GROUP BY 1, 2)
+          |SELECT CAST(len AS BIGINT) AS streak_len, count(*) AS n_streaks,
+          |  count(DISTINCT user_id) AS n_users
+          |FROM isl GROUP BY 1 ORDER BY streak_len""".stripMargin)),
+
+    // Day-of-week × hour traffic heatmap with the independence-model
+    // deviation ratio (obs/expected ×1e6, expected = rowTotal·colTotal/n
+    // — the chi-square grid's readout form): the dashboard that shows
+    // WHEN the load concentrates. The dow comes from pure epoch-day
+    // arithmetic ((days+4) mod 7, 0=Sunday) — date_format/dayofweek
+    // conventions differ between engines, integers don't. One corpus
+    // scan to the 168-cell grid; marginals join back broadcast.
+    "events_dow_hour_heatmap" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        // the 168-row cell grid feeds FOUR consumers (cells + three
+        // marginals): checkpoint it so the corpus scans once, not per
+        // consumer
+        val cell = Tables.events(s, d)
+          .select(((datediff(to_date(col("ts")), lit("1970-01-01")) + 4) % 7)
+              .cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hr"))
+          .groupBy("dow", "hr").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val rt = cell.groupBy("dow").agg(sum("n").as("rt"))
+        val ct = cell.groupBy("hr").agg(sum("n").as("ct"))
+        val tot = cell.agg(sum("n").as("t"))
+        cell.join(broadcast(rt), "dow").join(broadcast(ct), "hr")
+          .crossJoin(broadcast(tot))
+          .select(col("dow"), col("hr"), col("n").cast("long").as("n"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(col("n")) * dec(col("t")) * dec(lit(1000000L)),
+              dec(col("rt")) * dec(col("ct"))).cast("long").as("ratio_x1e6"))
+          .orderBy("dow", "hr")
+      },
+      Some(
+        """WITH e AS (SELECT
+          |    (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS dow,
+          |    CAST(hour(ts) AS BIGINT) AS hr FROM events),
+          |cell AS (SELECT dow, hr, count(*) AS n FROM e GROUP BY 1, 2),
+          |rt AS (SELECT dow, CAST(sum(n) AS BIGINT) AS rt FROM cell GROUP BY 1),
+          |ct AS (SELECT hr, CAST(sum(n) AS BIGINT) AS ct FROM cell GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cell)
+          |SELECT dow, hr, CAST(n AS BIGINT) AS n,
+          |  CAST(CAST(n AS HUGEINT) * t * 1000000
+          |    // (CAST(rt AS HUGEINT) * ct) AS BIGINT) AS ratio_x1e6
+          |FROM cell JOIN rt USING (dow) JOIN ct USING (hr) CROSS JOIN tot
+          |ORDER BY dow, hr""".stripMargin)),
+
+    // Herfindahl–Hirschman supplier-concentration index per nation:
+    // HHI = Σ (supplier revenue share)², the antitrust/market-power
+    // statistic ×1e6 in EXACT integers — Σrev² and (Σrev)² cross-
+    // multiplied in DECIMAL(38,0), one integral division per nation.
+    // The corpus collapses per supplier first (one shuffle on the
+    // supplier key); the supplier→nation attach broadcasts.
+    "stats_hhi_suppliers" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val sr = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey").as("sk"))
+          .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long").as("rev"))
+        val sn = sr
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey").as("sk"), col("s_nationkey"))), "sk")
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+            "s_nationkey")
+        sn.groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            graft.functions.GraftFunctions.longDiv(
+              sum(dec(col("rev")) * dec(col("rev"))) * dec(lit(1000000L)),
+              dec(sum("rev")) * dec(sum("rev"))).cast("long").as("hhi_x1e6"))
+          .orderBy("nation")
+      },
+      Some(
+        """WITH sr AS (SELECT l_suppkey AS sk,
+          |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          |  FROM lineitem GROUP BY 1),
+          |sn AS (SELECT sk, rev, n_name FROM sr
+          |       JOIN supplier ON s_suppkey = sk
+          |       JOIN nation ON n_nationkey = s_nationkey)
+          |SELECT n_name AS nation, count(*) AS n_suppliers,
+          |  CAST(sum(CAST(rev AS HUGEINT) * rev) * 1000000
+          |    // (CAST(sum(rev) AS HUGEINT) * sum(rev)) AS BIGINT) AS hhi_x1e6
+          |FROM sn GROUP BY 1 ORDER BY nation""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

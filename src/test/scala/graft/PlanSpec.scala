@@ -734,6 +734,42 @@ class PlanSpec extends SparkSpecBase {
       s"pair join not keyed:\n${p.take(2000)}")
   }
 
+  test("gap islands: one corpus scan; all windows user-partitioned") {
+    val df = Queries.registry("window_gap_islands").fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"events scanned more than once:\n${fin.take(2000)}")
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty && windows.forall(_.contains("], [user_id#")),
+      s"streak window not user-partitioned:\n${windows.mkString("\n").take(1500)}")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unexpected join shape:\n${p.take(2500)}")
+  }
+
+  test("dow-hour heatmap: one scan to the checkpointed 168-cell grid, marginals broadcast back") {
+    // the cell grid is localCheckpoint'ed so its FOUR consumers (cells
+    // + three marginals) never re-scan the corpus: the final plan reads
+    // the 168-row checkpoint, zero parquet scans
+    val p = plan("events_dow_hour_heatmap")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"events re-scanned per marginal:\n${fin.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in heatmap plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 1,
+      s"non-scalar nested loop (only the 1-row total may cross):\n${p.take(2500)}")
+  }
+
+  test("HHI: supplier collapse first, dim attaches broadcast, no nested loops") {
+    val p = plan("stats_hhi_suppliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier/nation dims not broadcast:\n${p.take(2000)}")
+    assert(p.contains("partial_"), s"revenue collapse not map-side combined:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in HHI plan:\n${p.take(2500)}")
+  }
+
   test("runs test: lag window runs on the post-agg hourly frame, one corpus scan") {
     // the Window.orderBy("h") is SinglePartition by construction, but it
     // consumes the hour-grain aggregate (span-bounded: one row per hour
