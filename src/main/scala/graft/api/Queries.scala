@@ -5788,7 +5788,152 @@ object Queries {
           |SELECT n_name AS nation, count(*) AS n_suppliers,
           |  CAST(sum(CAST(rev AS HUGEINT) * rev) * 1000000
           |    // (CAST(sum(rev) AS HUGEINT) * sum(rev)) AS BIGINT) AS hhi_x1e6
-          |FROM sn GROUP BY 1 ORDER BY nation""".stripMargin))
+          |FROM sn GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    // Per-label embedding centroid drift between the even/odd vector
+    // halves (the "old batch vs new batch" monitor an embedding
+    // pipeline runs after each re-encode): squared L2 distance between
+    // half-centroids in EXACT rational arithmetic — per dim the
+    // difference s₁/n₁ − s₂/n₂ cross-multiplies to (s₁n₂ − s₂n₁), its
+    // square sums in DECIMAL(38,0), one integral division by (n₁n₂)²
+    // at the end. Components enter as floor(x·10⁶) integers (the
+    // emb_dim_stats discipline); one explode, one (label, dim)
+    // aggregation, everything after runs on the labels×64 frame.
+    "emb_centroid_drift" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val q = Tables.embeddings(s, d)
+          .select(col("label"), (col("vec_id") % 2 === 0).as("ha"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .withColumn("q", floor(col("x") * 1000000).cast("long"))
+        val cell = q.groupBy("label", "dim")
+          .agg(sum(when(col("ha"), col("q"))).as("s1"),
+            sum(when(col("ha"), 1L).otherwise(0L)).as("n1"),
+            sum(when(!col("ha"), col("q"))).as("s2"),
+            sum(when(!col("ha"), 1L).otherwise(0L)).as("n2"))
+        cell.groupBy(col("label").cast("long").as("label"))
+          .agg(max("n1").cast("long").as("n_even"),
+            max("n2").cast("long").as("n_odd"),
+            graft.functions.GraftFunctions.longDiv(
+              sum((dec(col("s1")) * dec(col("n2")) - dec(col("s2")) * dec(col("n1"))) *
+                (dec(col("s1")) * dec(col("n2")) - dec(col("s2")) * dec(col("n1")))),
+              dec(max("n1")) * dec(max("n2")) * dec(max("n1")) * dec(max("n2")))
+              .cast("long").as("drift_l2sq_q"))
+          .orderBy("label")
+      },
+      Some(
+        """WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e
+          |           FROM embeddings),
+          |q AS (SELECT label, vec_id % 2 = 0 AS ha, g.i - 1 AS dim,
+          |    CAST(floor(e[g.i] * 1000000) AS BIGINT) AS q
+          |  FROM v CROSS JOIN LATERAL
+          |    (SELECT unnest(generate_series(1, len(e))) AS i) g),
+          |cell AS (SELECT label, dim,
+          |    CAST(sum(CASE WHEN ha THEN q END) AS HUGEINT) AS s1,
+          |    CAST(sum(CASE WHEN ha THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+          |    CAST(sum(CASE WHEN NOT ha THEN q END) AS HUGEINT) AS s2,
+          |    CAST(sum(CASE WHEN NOT ha THEN 1 ELSE 0 END) AS HUGEINT) AS n2
+          |  FROM q GROUP BY 1, 2)
+          |SELECT CAST(label AS BIGINT) AS label,
+          |  CAST(max(n1) AS BIGINT) AS n_even, CAST(max(n2) AS BIGINT) AS n_odd,
+          |  CAST(sum((s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1))
+          |    // (max(n1) * max(n2) * max(n1) * max(n2)) AS BIGINT) AS drift_l2sq_q
+          |FROM cell GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Point-in-time customer feature snapshot — the feature-store
+    // primitive: every feature computed AS OF a cutoff (90 days before
+    // corpus end), using only orders on or before it, so training
+    // never leaks the future. One customer-key collapse with
+    // conditional sums for the trailing-90d window; the cutoff is a
+    // 1-row broadcast. Top-20 by trailing revenue keeps the readout
+    // bounded; the full frame is the same plan minus the limit.
+    "features_customer_snapshot" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+          to_date(col("o_orderdate")).as("day"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+        val cut = o.agg(date_sub(max("day"), 90).as("cutoff"))
+        o.crossJoin(broadcast(cut))
+          .filter(col("day") <= col("cutoff"))
+          .groupBy("ck")
+          .agg(max("cutoff").as("cutoff"),
+            count(lit(1)).as("n_orders"),
+            sum(when(col("day") > date_sub(col("cutoff"), 90), 1L).otherwise(0L))
+              .as("orders_90d"),
+            coalesce(sum(when(col("day") > date_sub(col("cutoff"), 90),
+              col("cents"))), lit(0L)).as("rev_90d_c"),
+            datediff(max("cutoff"), max("day")).as("recency_days"),
+            datediff(max("cutoff"), min("day")).as("tenure_days"))
+          .select(col("ck").cast("long").as("custkey"),
+            col("n_orders").cast("long").as("n_orders"),
+            col("orders_90d").cast("long").as("orders_90d"),
+            col("rev_90d_c").cast("long").as("rev_90d_c"),
+            col("recency_days").cast("long").as("recency_days"),
+            col("tenure_days").cast("long").as("tenure_days"))
+          .orderBy(desc("rev_90d_c"), asc("custkey")).limit(20)
+      },
+      Some(
+        """WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS day,
+          |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+          |cut AS (SELECT max(day) - 90 AS cutoff FROM o),
+          |f AS (SELECT ck,
+          |    count(*) AS n_orders,
+          |    sum(CASE WHEN day > cutoff - 90 THEN 1 ELSE 0 END) AS orders_90d,
+          |    coalesce(sum(CASE WHEN day > cutoff - 90 THEN cents END), 0) AS rev_90d_c,
+          |    CAST(max(cutoff) - max(day) AS BIGINT) AS recency_days,
+          |    CAST(max(cutoff) - min(day) AS BIGINT) AS tenure_days
+          |  FROM o CROSS JOIN cut WHERE day <= cutoff GROUP BY ck)
+          |SELECT CAST(ck AS BIGINT) AS custkey, CAST(n_orders AS BIGINT) AS n_orders,
+          |  CAST(orders_90d AS BIGINT) AS orders_90d,
+          |  CAST(rev_90d_c AS BIGINT) AS rev_90d_c, recency_days, tenure_days
+          |FROM f ORDER BY rev_90d_c DESC, custkey LIMIT 20""".stripMargin)),
+
+    // Dedup survivorship audit: did min-id canonical selection keep
+    // the BEST copy? Per near-dup cluster (the dedup_clusters
+    // machinery), compare the canonical member's length against the
+    // cluster max — the report that motivates quality-ranked
+    // survivorship rules over arbitrary (min-id) ones. One readout
+    // row; the oracle nests the full cluster unroll as a subselect
+    // (the pipelineClusterKeep discipline — the two oracles cannot
+    // drift).
+    "pipeline_cluster_audit" -> Q(
+      (s, d) => {
+        val docs = plantedDocs(s, d, exact = false)
+        val lbl = graft.ops.Dedup.duplicateClusters(
+          graft.ops.Dedup.minhashPairs(docs, k = 8, bands = 4))
+        val len = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        val cl = lbl.join(len, "doc_id")
+          .groupBy("canonical_id")
+          .agg(count(lit(1)).as("sz"), max("len").as("max_len"),
+            max(when(col("doc_id") === col("canonical_id"), col("len")))
+              .as("canon_len"),
+            sum(when(col("doc_id") =!= col("canonical_id"), col("len")))
+              .as("drop_len"),
+            sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
+              .as("n_drop"))
+          .filter(col("sz") >= 2)
+        cl.agg(count(lit(1)).cast("long").as("n_clusters"),
+          sum(when(col("canon_len") === col("max_len"), 1L).otherwise(0L))
+            .cast("long").as("n_canonical_longest"),
+          expr("sum(canon_len) div count(*)").cast("long").as("mean_kept_chars"),
+          expr("sum(drop_len) div sum(n_drop)").cast("long").as("mean_dropped_chars"))
+      },
+      Some(
+        s"""WITH lbl AS MATERIALIZED (SELECT * FROM (${TextSql.dedupClusters()})),
+           |${TextSql.plantCteRenamed("docs2")},
+           |m AS (SELECT l.doc_id, l.canonical_id, length(d.text) AS len
+           |      FROM lbl l JOIN docs2 d USING (doc_id)),
+           |cl AS (SELECT canonical_id, count(*) AS sz, max(len) AS max_len,
+           |    max(CASE WHEN doc_id = canonical_id THEN len END) AS canon_len,
+           |    sum(CASE WHEN doc_id <> canonical_id THEN len END) AS drop_len,
+           |    sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END) AS n_drop
+           |  FROM m GROUP BY 1 HAVING count(*) >= 2)
+           |SELECT count(*) AS n_clusters,
+           |  CAST(sum(CASE WHEN canon_len = max_len THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_canonical_longest,
+           |  CAST(sum(canon_len) // count(*) AS BIGINT) AS mean_kept_chars,
+           |  CAST(sum(drop_len) // sum(n_drop) AS BIGINT) AS mean_dropped_chars
+           |FROM cl""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -294,6 +294,13 @@ object TextSql {
   /** Planted-duplicate construction shared by the dedup oracles; mirrors
     * Queries.plantedDocs.
     */
+  /** The planted-docs CTE under a caller-chosen name — for oracles that
+    * nest a full cluster query (which already binds `docs`) and need a
+    * second copy of the corpus (the pipelineClusterKeep discipline).
+    */
+  def plantCteRenamed(name: String): String =
+    plantCte(exact = false).replaceFirst("docs AS", s"$name AS")
+
   private def plantCte(exact: Boolean): String = {
     val text = if (exact) "text" else "text || ' planted dup tail'"
     s"""docs AS (

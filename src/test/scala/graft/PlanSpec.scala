@@ -770,6 +770,31 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in HHI plan:\n${p.take(2500)}")
   }
 
+  test("centroid drift: one explode scan to the label-dim cells, no joins") {
+    val p = plan("emb_centroid_drift")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"embeddings scanned more than once:\n${fin.take(2000)}")
+    assert(p.contains("partial_"), s"cell agg not map-side combined:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"unexpected join in drift plan:\n${p.take(2000)}")
+  }
+
+  test("feature snapshot: one customer collapse, cutoff scalar broadcast, TakeOrdered top-k") {
+    val p = plan("features_customer_snapshot")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k not a TakeOrdered:\n${p.take(2000)}")
+    assert(p.contains("partial_"), s"feature agg not map-side combined:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in snapshot plan:\n${p.take(2500)}")
+    assert(bnljCount(p) <= 1,
+      s"non-scalar nested loop (only the 1-row cutoff may cross):\n${p.take(2500)}")
+  }
+
+  test("cluster audit: keyed joins only through the minhash/CC machinery") {
+    val p = plan("pipeline_cluster_audit")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in audit plan:\n${p.take(2500)}")
+  }
+
   test("runs test: lag window runs on the post-agg hourly frame, one corpus scan") {
     // the Window.orderBy("h") is SinglePartition by construction, but it
     // consumes the hour-grain aggregate (span-bounded: one row per hour
