@@ -5933,7 +5933,123 @@ object Queries {
            |    AS n_canonical_longest,
            |  CAST(sum(canon_len) // count(*) AS BIGINT) AS mean_kept_chars,
            |  CAST(sum(drop_len) // sum(n_drop) AS BIGINT) AS mean_dropped_chars
-           |FROM cl""".stripMargin))
+           |FROM cl""".stripMargin)),
+
+    // Fulfillment SLA compliance per order priority: share of orders
+    // whose FIRST line shipped within 30 days. One keyed fact–fact
+    // join (order grain collapse with map-side combine), then the
+    // priority rollup; rate ×1e6 exact.
+    "orders_sla_compliance" -> Q(
+      (s, d) => {
+        val f = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            to_date(col("o_orderdate")).as("od"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("o_orderkey"),
+              to_date(col("l_shipdate")).as("sd")), "o_orderkey")
+          .groupBy("o_orderkey", "o_orderpriority")
+          .agg(datediff(min("sd"), min("od")).cast("long").as("lag_days"))
+        f.groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("lag_days") <= 30, 1L).otherwise(0L)).cast("long")
+              .as("n_on_time"),
+            expr("sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) * 1000000L div count(*)")
+              .cast("long").as("on_time_x1e6"))
+          .orderBy("priority")
+      },
+      Some(
+        """WITH f AS (SELECT o_orderkey, o_orderpriority,
+          |    CAST(min(CAST(l_shipdate AS DATE)) - CAST(min(o_orderdate) AS DATE) AS BIGINT)
+          |      AS lag_days
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2)
+          |SELECT o_orderpriority AS priority, count(*) AS n_orders,
+          |  CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+          |  CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) * 1000000 // count(*)
+          |    AS BIGINT) AS on_time_x1e6
+          |FROM f GROUP BY 1 ORDER BY priority""".stripMargin)),
+
+    // Maximum drawdown of the daily revenue series — the risk metric
+    // read off any cumulative-performance dashboard: running peak via
+    // a window over the SPAN-BOUNDED day frame (the corpus collapses
+    // to one row per day first), drawdown = peak − value, worst day
+    // reported with an exact ×1e6 relative depth. First-occurrence
+    // tie-break (draw DESC, day ASC) pins determinism.
+    "stats_max_drawdown" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val day = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long").as("rev"))
+        val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        day.withColumn("peak", max("rev").over(w))
+          .withColumn("draw", col("peak") - col("rev"))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("trough_day"),
+            col("peak").cast("long").as("peak_c"),
+            col("rev").cast("long").as("trough_c"),
+            col("draw").cast("long").as("drawdown_c"),
+            graft.functions.GraftFunctions.longDiv(
+              col("draw").cast("decimal(38,0)") * lit(1000000L).cast("decimal(38,0)"),
+              col("peak").cast("decimal(38,0)")).cast("long").as("drawdown_x1e6"))
+          .orderBy(desc("drawdown_c"), asc("trough_day")).limit(1)
+      },
+      Some(
+        """WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          |  FROM orders GROUP BY 1),
+          |r AS (SELECT d, rev, max(rev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+          |        PRECEDING AND CURRENT ROW) AS peak FROM day),
+          |dd AS (SELECT d, rev, peak, peak - rev AS draw FROM r)
+          |SELECT strftime(d, '%Y-%m-%d') AS trough_day, CAST(peak AS BIGINT) AS peak_c,
+          |  CAST(rev AS BIGINT) AS trough_c, CAST(draw AS BIGINT) AS drawdown_c,
+          |  CAST(CAST(draw AS HUGEINT) * 1000000 // peak AS BIGINT) AS drawdown_x1e6
+          |FROM dd ORDER BY draw DESC, d LIMIT 1""".stripMargin)),
+
+    // Local bridges of the support-pruned co-order graph: edges whose
+    // endpoints share NO common neighbor — removing one disconnects
+    // its endpoints locally (Granovetter's weak ties). The closed-pair
+    // frame comes from the wedge join (the clusteringCoeff Σdeg²
+    // bound); bridge status is ONE left probe with a conditional agg
+    // (the referential-integrity shape — no anti-join + scalar cross).
+    "graph_local_bridges" -> Q(
+      (s, d) => {
+        val e0 = graft.ops.Basket.coOrderEdges(Tables.lineitem(s, d), minSupport = 2)
+          .select("pa", "pb").localCheckpoint(true)
+        val adj = e0.unionByName(
+          e0.select(col("pb").as("pa"), col("pa").as("pb")))
+        val closed = adj.as("w1")
+          .join(adj.as("w2"), col("w1.pb") === col("w2.pa"))
+          .filter(col("w1.pa") < col("w2.pb"))
+          .select(col("w1.pa").as("pa"), col("w2.pb").as("pb")).distinct()
+          .withColumn("hit", lit(1))
+        e0.join(closed, Seq("pa", "pb"), "left")
+          .agg(count(lit(1)).cast("long").as("n_edges"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).cast("long")
+              .as("n_bridges"),
+            expr("sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) * 1000000L div count(*)")
+              .cast("long").as("bridge_x1e6"))
+      },
+      Some(
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+          |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |adj AS MATERIALIZED (SELECT pa AS a, pb AS b FROM e0
+          |                     UNION ALL SELECT pb, pa FROM e0),
+          |closed AS (SELECT DISTINCT w1.a AS pa, w2.b AS pb
+          |           FROM adj w1 JOIN adj w2 ON w2.a = w1.b
+          |           WHERE w1.a < w2.b),
+          |cl AS (SELECT e0.pa, e0.pb,
+          |         EXISTS (SELECT 1 FROM closed c
+          |                 WHERE c.pa = e0.pa AND c.pb = e0.pb) AS has_cn
+          |       FROM e0)
+          |SELECT count(*) AS n_edges,
+          |  CAST(sum(CASE WHEN has_cn THEN 0 ELSE 1 END) AS BIGINT) AS n_bridges,
+          |  CAST(sum(CASE WHEN has_cn THEN 0 ELSE 1 END) * 1000000 // count(*)
+          |    AS BIGINT) AS bridge_x1e6
+          |FROM cl""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

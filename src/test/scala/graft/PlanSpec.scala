@@ -795,6 +795,31 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in audit plan:\n${p.take(2500)}")
   }
 
+  test("SLA compliance: fact-fact join keyed, order collapse map-side combined") {
+    val p = plan("orders_sla_compliance")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in SLA plan:\n${p.take(2500)}")
+    assert(p.contains("partial_"), s"order collapse not map-side combined:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"order join not keyed:\n${p.take(2000)}")
+  }
+
+  test("max drawdown: corpus collapses to the day frame before the running-peak window") {
+    val p = plan("stats_max_drawdown")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"orders scanned more than once:\n${fin.take(2000)}")
+    assert(p.contains("partial_"), s"day collapse not map-side combined:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"worst-day pick not a TakeOrdered:\n${p.take(2000)}")
+  }
+
+  test("local bridges: wedge join keyed, bridge status one left probe, no scalar crosses") {
+    val p = plan("graph_local_bridges")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in bridges plan:\n${p.take(2500)}")
+  }
+
   test("runs test: lag window runs on the post-agg hourly frame, one corpus scan") {
     // the Window.orderBy("h") is SinglePartition by construction, but it
     // consumes the hour-grain aggregate (span-bounded: one row per hour
