@@ -6049,7 +6049,153 @@ object Queries {
           |  CAST(sum(CASE WHEN has_cn THEN 0 ELSE 1 END) AS BIGINT) AS n_bridges,
           |  CAST(sum(CASE WHEN has_cn THEN 0 ELSE 1 END) * 1000000 // count(*)
           |    AS BIGINT) AS bridge_x1e6
-          |FROM cl""".stripMargin))
+          |FROM cl""".stripMargin)),
+
+    // Inter-arrival-time distribution per event type — the
+    // point-process diagnostic behind rate limiting and session-gap
+    // tuning: per-user consecutive gaps (user-partitioned window, ties
+    // broken on event_id), bucketed by FIXED integer thresholds
+    // (<1m/<10m/<1h/<6h/<1d/≥1d — no float log in the gate). Type is
+    // the LATER event's.
+    "events_inter_arrival" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("gap_s", expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) div 1000000"))
+          .filter(col("gap_s").isNotNull)
+          .groupBy(col("event_type"),
+            when(col("gap_s") < 60, "0_lt_1m").when(col("gap_s") < 600, "1_lt_10m")
+              .when(col("gap_s") < 3600, "2_lt_1h")
+              .when(col("gap_s") < 21600, "3_lt_6h")
+              .when(col("gap_s") < 86400, "4_lt_1d").otherwise("5_ge_1d")
+              .as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bucket")
+      },
+      Some(
+        """WITH g AS (SELECT event_type,
+          |    CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id)) AS BIGINT) // 1000000 AS gap_s
+          |  FROM events),
+          |b AS (SELECT event_type,
+          |    CASE WHEN gap_s < 60 THEN '0_lt_1m' WHEN gap_s < 600 THEN '1_lt_10m'
+          |         WHEN gap_s < 3600 THEN '2_lt_1h' WHEN gap_s < 21600 THEN '3_lt_6h'
+          |         WHEN gap_s < 86400 THEN '4_lt_1d' ELSE '5_ge_1d' END AS bucket
+          |  FROM g WHERE gap_s IS NOT NULL)
+          |SELECT event_type, bucket, count(*) AS n
+          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Embedding-quality AUC: cosine similarity as a same-label
+    // classifier over a DETERMINISTIC pair sample (offsets +1/+7/+41
+    // on the vector id — linear pair volume, keyed joins), scored by
+    // the exact Mann–Whitney rank statistic. Ranking is strict
+    // (cos, pair-key) order — midrank tie handling would need float
+    // averaging; with 6-dp cosines ties are rare and the strict rank
+    // is engine-invariant. Ranks from the two-phase bucketedRank (no
+    // corpus-sized window; scores shift +1e6 so range bucketing stays
+    // order-preserving across negatives).
+    "emb_cosine_auc" -> Q(
+      (s, d) => {
+        val v = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("e"))
+        val offs = v.select(col("vec_id").as("ia"), col("label").as("la"),
+            col("e").as("ea"), explode(expr("array(1L, 7L, 41L)")).as("off"))
+          .withColumn("ib", col("ia") + col("off"))
+        val pairs = offs.join(v.select(col("vec_id").as("ib"),
+            col("label").as("lb"), col("e").as("eb")), "ib")
+          .withColumn("c6", floor(round(graft.ops.Similarity.cosine(
+            col("ea"), col("eb")), 6) * 1000000).cast("long"))
+          .select((col("la") === col("lb")).as("same"),
+            (col("c6") + 1000000L).as("c6s"),
+            (col("ia") * 100L + col("off")).as("tk"))
+        val ranked = graft.ops.Stats.bucketedRank(pairs, "c6s", "tk",
+          bucketWidth = 4096L)
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        ranked.agg(count(lit(1)).as("n"),
+            sum(when(col("same"), 1L).otherwise(0L)).as("np"),
+            sum(when(col("same"), col("rank"))).as("u"))
+          .select(col("n").cast("long").as("n_pairs"),
+            col("np").cast("long").as("n_same"),
+            (col("n") - col("np")).cast("long").as("n_diff"),
+            // (u − np(np+1)/2)/(np·nn) doubled on both sides keeps the
+            // arithmetic division-free until the one integral divide
+            graft.functions.GraftFunctions.longDiv(
+              (dec(lit(2L)) * dec(col("u")) -
+                dec(col("np")) * (dec(col("np")) + dec(lit(1L)))) * dec(lit(1000000L)),
+              dec(lit(2L)) * dec(col("np")) * (dec(col("n")) - dec(col("np"))))
+              .cast("long").as("auc_x1e6"))
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+          |           FROM embeddings),
+          |p AS (SELECT a.vec_id AS ia, o.off, a.label = b.label AS same,
+          |    CAST(floor(round(list_dot_product(a.e, b.e)
+          |      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+          |      * 1000000) AS BIGINT) AS c6
+          |  FROM v a
+          |  CROSS JOIN (SELECT unnest([1, 7, 41]) AS off) o
+          |  JOIN v b ON b.vec_id = a.vec_id + o.off),
+          |r AS (SELECT same, row_number() OVER (ORDER BY c6, ia * 100 + off) AS rnk
+          |      FROM p),
+          |s AS (SELECT CAST(count(*) AS HUGEINT) AS np, CAST(sum(rnk) AS HUGEINT) AS u
+          |      FROM r WHERE same),
+          |t AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM r)
+          |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(np AS BIGINT) AS n_same,
+          |  CAST(n - np AS BIGINT) AS n_diff,
+          |  CAST((u - np * (np + 1) // 2) * 1000000 // (np * (n - np)) AS BIGINT)
+          |    AS auc_x1e6
+          |FROM s CROSS JOIN t""".stripMargin)),
+
+    // Day-over-day top revenue movers per nation — the anomaly feed of
+    // every revenue dashboard. Change ratio is SIGN-FACTORED
+    // (±|Δ|·1e6 div prev): DuckDB's // floors while Spark's div
+    // truncates, so signed division would drift by one on every
+    // negative change (the round-6 integral-division guard). Windows
+    // partition per nation over its day frame.
+    "date_top_movers" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val nd = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey")), "o_custkey")
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+            "c_nationkey")
+          .groupBy(col("n_name"), to_date(col("o_orderdate")).as("d"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long").as("rev"))
+        val w = Window.partitionBy("n_name").orderBy("d")
+        nd.withColumn("prev", lag("rev", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("change_x1e6",
+            when(col("rev") >= col("prev"),
+              expr("(rev - prev) * 1000000L div prev"))
+              .otherwise(-expr("(prev - rev) * 1000000L div prev")).cast("long"))
+          .select(col("n_name").as("nation"),
+            date_format(col("d"), "yyyy-MM-dd").as("day"),
+            col("rev").cast("long").as("rev_c"),
+            col("prev").cast("long").as("prev_c"), col("change_x1e6"))
+          .orderBy(abs(col("change_x1e6")).desc, col("nation"), col("day"))
+          .limit(10)
+      },
+      Some(
+        """WITH nd AS (SELECT n_name, CAST(o_orderdate AS DATE) AS d,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          |  FROM orders JOIN customer ON c_custkey = o_custkey
+          |  JOIN nation ON n_nationkey = c_nationkey
+          |  GROUP BY 1, 2),
+          |l AS (SELECT n_name, d, rev,
+          |    lag(rev) OVER (PARTITION BY n_name ORDER BY d) AS prev FROM nd),
+          |c AS (SELECT n_name, d, rev, prev,
+          |    CAST(CASE WHEN rev >= prev THEN (rev - prev) * 1000000 // prev
+          |         ELSE -((prev - rev) * 1000000 // prev) END AS BIGINT) AS change_x1e6
+          |  FROM l WHERE prev IS NOT NULL)
+          |SELECT n_name AS nation, strftime(d, '%Y-%m-%d') AS day,
+          |  CAST(rev AS BIGINT) AS rev_c, CAST(prev AS BIGINT) AS prev_c, change_x1e6
+          |FROM c ORDER BY abs(change_x1e6) DESC, nation, day LIMIT 10""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -820,6 +820,40 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in bridges plan:\n${p.take(2500)}")
   }
 
+  test("inter-arrival: one scan, gap window user-partitioned") {
+    val df = Queries.registry("events_inter_arrival").fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"events scanned more than once:\n${fin.take(2000)}")
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty && windows.forall(_.contains("], [user_id#")),
+      s"gap window not user-partitioned:\n${windows.mkString("\n").take(1500)}")
+  }
+
+  test("cosine AUC: offset pair joins keyed; rank window bucket-partitioned") {
+    val df = Queries.registry("emb_cosine_auc").fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"pair join fell into a nested loop:\n${p.take(2500)}")
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.exists(l => l.contains("row_number()") && l.contains("], [_bkt#")),
+      s"rank window not bucket-partitioned:\n${windows.mkString("\n").take(1500)}")
+  }
+
+  test("top movers: star joins keyed/broadcast, change window nation-partitioned, TakeOrdered") {
+    val p = plan("date_top_movers")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in movers plan:\n${p.take(2500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 not a TakeOrdered:\n${p.take(2000)}")
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty && windows.forall(_.contains("], [n_name#")),
+      s"lag window not nation-partitioned:\n${windows.mkString("\n").take(1500)}")
+  }
+
   test("runs test: lag window runs on the post-agg hourly frame, one corpus scan") {
     // the Window.orderBy("h") is SinglePartition by construction, but it
     // consumes the hour-grain aggregate (span-bounded: one row per hour
