@@ -6195,7 +6195,131 @@ object Queries {
           |  FROM l WHERE prev IS NOT NULL)
           |SELECT n_name AS nation, strftime(d, '%Y-%m-%d') AS day,
           |  CAST(rev AS BIGINT) AS rev_c, CAST(prev AS BIGINT) AS prev_c, change_x1e6
-          |FROM c ORDER BY abs(change_x1e6) DESC, nation, day LIMIT 10""".stripMargin))
+          |FROM c ORDER BY abs(change_x1e6) DESC, nation, day LIMIT 10""".stripMargin)),
+
+    // Exact median and mode per event type — the order statistics the
+    // reference's COUNT-only aggregate surface lacked entirely. Both
+    // come from the per-type distinct-VALUE frame (the KS discipline:
+    // the value domain is bounded, so the cumulative window runs over
+    // ≤10k rows per type, never the corpus): lower median = first
+    // value with 2·cum ≥ n+1 in pure integers, mode = (count DESC,
+    // value) head.
+    "agg_median_mode" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dc = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+          .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val tot = dc.groupBy("event_type").agg(sum("cnt").as("n"))
+        val cum = dc.withColumn("cum",
+          sum("cnt").over(Window.partitionBy("event_type").orderBy("c")))
+        val med = cum.join(broadcast(tot), "event_type")
+          .filter(col("cum") * 2 >= col("n") + 1)
+          .groupBy("event_type").agg(min("c").as("median_c"))
+        val mode = dc.withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(desc("cnt"), asc("c"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("c").as("mode_c"), col("cnt").as("mode_n"))
+        tot.join(broadcast(med), "event_type").join(broadcast(mode), "event_type")
+          .select(col("event_type"), col("n").cast("long").as("n"),
+            col("median_c").cast("long").as("median_c"),
+            col("mode_c").cast("long").as("mode_c"),
+            col("mode_n").cast("long").as("mode_n"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          |  FROM events),
+          |dc AS (SELECT event_type, c, count(*) AS cnt FROM v GROUP BY 1, 2),
+          |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM dc GROUP BY 1),
+          |cum AS (SELECT event_type, c, cnt,
+          |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+          |  FROM dc),
+          |med AS (SELECT event_type, min(c) AS median_c
+          |        FROM cum JOIN tot USING (event_type)
+          |        WHERE cum * 2 >= n + 1 GROUP BY 1),
+          |mode AS (SELECT event_type, c AS mode_c, cnt AS mode_n FROM (
+          |    SELECT event_type, c, cnt,
+          |      row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, c) AS rn
+          |    FROM dc) WHERE rn = 1)
+          |SELECT event_type, n, median_c, mode_c, CAST(mode_n AS BIGINT) AS mode_n
+          |FROM tot JOIN med USING (event_type) JOIN mode USING (event_type)
+          |ORDER BY event_type""".stripMargin)),
+
+    // Calendar-month seasonality index of order revenue: per-month
+    // average order value vs the overall average, cross-multiplied
+    // into one exact integral division — the 12-row deseasonalization
+    // table every forecast pipeline starts from.
+    "date_seasonality_index" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val m = Tables.orders(s, d)
+          .groupBy(month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("s"),
+            count(lit(1)).as("c"))
+        val t = m.agg(sum("s").as("st"), sum("c").as("ct"))
+        m.crossJoin(broadcast(t))
+          .select(col("mo"), col("c").cast("long").as("n_orders"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(col("s")) * dec(col("ct")) * dec(lit(1000000L)),
+              dec(col("c")) * dec(col("st"))).cast("long").as("index_x1e6"))
+          .orderBy("mo")
+      },
+      Some(
+        """WITH m AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+          |    count(*) AS c
+          |  FROM orders GROUP BY 1),
+          |t AS (SELECT CAST(sum(s) AS HUGEINT) AS st, CAST(sum(c) AS HUGEINT) AS ct FROM m)
+          |SELECT mo, CAST(c AS BIGINT) AS n_orders,
+          |  CAST(CAST(s AS HUGEINT) * ct * 1000000 // (CAST(c AS HUGEINT) * st)
+          |    AS BIGINT) AS index_x1e6
+          |FROM m CROSS JOIN t ORDER BY mo""".stripMargin)),
+
+    // Flesch reading-ease per source (×1e3 fixed point): words and
+    // vowel-group syllable proxies from regexp_extract_all counts,
+    // sentences from terminal-punctuation runs — the classic
+    // 206.835 − 1.015·(W/S) − 84.6·(Y/W) with each ratio term
+    // TRUNCATED to an integer before the sum (documented quantization;
+    // both engines truncate identically on non-negative operands). One
+    // codegen scan; the readability member of the text-QA suite.
+    "text_readability_flesch" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"),
+          greatest(expr(
+            "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)"),
+            lit(1L)).as("w"),
+          greatest(expr(
+            "CAST(size(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT)"),
+            lit(1L)).as("sn"),
+          greatest(expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)"),
+            lit(1L)).as("y"))
+        .withColumn("fx", lit(206835L) - expr("(1015L * w) div sn") -
+          expr("(84600L * y) div w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          // sign-factored mean: fx can go negative on vowel-heavy text
+          // and floor (DuckDB //) vs truncate (Spark div) differ there
+          when(sum("fx") >= 0, expr("sum(fx) div count(*)"))
+            .otherwise(-expr("(-sum(fx)) div count(*)"))
+            .cast("long").as("mean_flesch_x1e3"))
+        .orderBy("source"),
+      Some(
+        """WITH f AS (SELECT source,
+          |    greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT), 1) AS w,
+          |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sn,
+          |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) AS y
+          |  FROM documents),
+          |sc AS (SELECT source,
+          |    206835 - (1015 * w) // sn - (84600 * y) // w AS fx
+          |  FROM f)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(CASE WHEN sum(fx) >= 0 THEN sum(fx) // count(*)
+          |       ELSE -((-sum(fx)) // count(*)) END AS BIGINT) AS mean_flesch_x1e3
+          |FROM sc GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

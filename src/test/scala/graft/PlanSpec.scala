@@ -854,6 +854,39 @@ class PlanSpec extends SparkSpecBase {
       s"lag window not nation-partitioned:\n${windows.mkString("\n").take(1500)}")
   }
 
+  test("median/mode: one scan to the checkpointed value-count frame; windows type-partitioned") {
+    val df = Queries.registry("agg_median_mode").fn(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"events re-scanned per statistic (value-count frame must checkpoint):\n${fin.take(2000)}")
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty && windows.forall(_.contains("], [event_type#")),
+      s"order-statistic window not type-partitioned:\n${windows.mkString("\n").take(1500)}")
+    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+      s"unkeyed join in median/mode plan:\n${p.take(2500)}")
+  }
+
+  test("seasonality index: one scan, 12-row frame, one scalar cross") {
+    val p = plan("date_seasonality_index")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"orders scanned more than once:\n${fin.take(2000)}")
+    assert(p.contains("partial_"), s"month agg not map-side combined:\n${p.take(2000)}")
+    assert(bnljCount(p) <= 1,
+      s"non-scalar nested loop (only the 1-row totals may cross):\n${p.take(2500)}")
+  }
+
+  test("flesch readability: single codegen scan, no joins") {
+    val p = plan("text_readability_flesch")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"documents scanned more than once:\n${fin.take(2000)}")
+    assert(!p.contains("Join"), s"unexpected join in flesch plan:\n${p.take(2000)}")
+    assert(p.contains("partial_"), s"source agg not map-side combined:\n${p.take(2000)}")
+  }
+
   test("runs test: lag window runs on the post-agg hourly frame, one corpus scan") {
     // the Window.orderBy("h") is SinglePartition by construction, but it
     // consumes the hour-grain aggregate (span-bounded: one row per hour
