@@ -6319,7 +6319,112 @@ object Queries {
           |SELECT source, count(*) AS n_docs,
           |  CAST(CASE WHEN sum(fx) >= 0 THEN sum(fx) // count(*)
           |       ELSE -((-sum(fx)) // count(*)) END AS BIGINT) AS mean_flesch_x1e3
-          |FROM sc GROUP BY 1 ORDER BY source""".stripMargin))
+          |FROM sc GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Gopher-style quality-filter rule table (Rae et al. 2112.11446
+    // §A1.1): per rule, how many docs it would remove — word-count
+    // bounds, mean-word-length bounds, alphanumeric-symbol ratio,
+    // stopword coverage — plus the pass-all row. Every predicate is an
+    // exact integer cross-multiplication; ONE codegen scan computes all
+    // five counters (conditional sums), unpivoted with stack() on the
+    // 1-row aggregate — never a pass per rule.
+    "pipeline_gopher_rules" -> Q(
+      (s, d) => {
+        val f = Tables.documents(s, d).select(
+          expr("CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)").as("w"),
+          expr("CAST(size(regexp_extract_all(lower(text), '[a-z0-9]', 0)) AS BIGINT)").as("alnum"),
+          expr("CAST(length(text) AS BIGINT)").as("chars"),
+          expr("CAST(size(regexp_extract_all(lower(text), '\\\\b(the|and|of|to|a|in|is|that|it|for)\\\\b', 0)) AS BIGINT)").as("sw"))
+        val r = f.select(
+          (col("w") < 50 || col("w") > 100000).as("r1"),
+          (col("w") === 0 || col("chars") * 10 < col("w") * 30 ||
+            col("chars") * 10 > col("w") * 100).as("r2"),
+          (col("alnum") * 10 < col("chars") * 7).as("r3"),
+          (col("sw") * 100 < col("w") * 2).as("r4"))
+        r.agg(sum(when(col("r1"), 1L).otherwise(0L)).as("c1"),
+            sum(when(col("r2"), 1L).otherwise(0L)).as("c2"),
+            sum(when(col("r3"), 1L).otherwise(0L)).as("c3"),
+            sum(when(col("r4"), 1L).otherwise(0L)).as("c4"),
+            sum(when(!(col("r1") || col("r2") || col("r3") || col("r4")), 1L)
+              .otherwise(0L)).as("c5"))
+          .select(expr(
+            """stack(5, '1_word_count', c1, '2_mean_word_len', c2,
+              |'3_symbol_ratio', c3, '4_stopword_ratio', c4,
+              |'5_pass_all', c5) AS (rule, n_violations)""".stripMargin))
+          .select(col("rule"), col("n_violations").cast("long").as("n_violations"))
+          .orderBy("rule")
+      },
+      Some(
+        """WITH f AS (SELECT doc_id,
+          |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS w,
+          |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT) AS alnum,
+          |    CAST(length(text) AS BIGINT) AS chars,
+          |    CAST(len(regexp_extract_all(lower(text),
+          |      '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS BIGINT) AS sw
+          |  FROM documents),
+          |r AS (SELECT doc_id,
+          |    w < 50 OR w > 100000 AS r1,
+          |    w = 0 OR (chars * 10 < w * 30) OR (chars * 10 > w * 100) AS r2,
+          |    alnum * 10 < chars * 7 AS r3,
+          |    sw * 100 < w * 2 AS r4
+          |  FROM f)
+          |SELECT * FROM (
+          |  SELECT '1_word_count' AS rule,
+          |    CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM r
+          |  UNION ALL SELECT '2_mean_word_len',
+          |    CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+          |  UNION ALL SELECT '3_symbol_ratio',
+          |    CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+          |  UNION ALL SELECT '4_stopword_ratio',
+          |    CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+          |  UNION ALL SELECT '5_pass_all',
+          |    CAST(sum(CASE WHEN NOT (r1 OR r2 OR r3 OR r4) THEN 1 ELSE 0 END)
+          |      AS BIGINT) FROM r)
+          |ORDER BY rule""".stripMargin)),
+
+    // Fano factor (variance-to-mean ratio) of hourly volume per event
+    // type — the burstiness scalar: 1 = Poisson, <1 regular, >1 bursty.
+    // Exact: Fano·1e6 = (n·Σx² − (Σx)²)·1e6 div (n·Σx), all integer.
+    // Complements the runs test (sign sequence) with a magnitude view.
+    "stats_fano_factor" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hh"))
+          .agg(count(lit(1)).as("x"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_hours"),
+            sum("x").cast("long").as("n_events"),
+            graft.functions.GraftFunctions.longDiv(
+              (dec(count(lit(1))) * sum(dec(col("x")) * dec(col("x"))) -
+                dec(sum("x")) * dec(sum("x"))) * dec(lit(1000000L)),
+              dec(count(lit(1))) * dec(sum("x"))).cast("long").as("fano_x1e6"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x * x) AS HUGEINT) AS s2
+          |  FROM h GROUP BY 1)
+          |SELECT event_type, CAST(n AS BIGINT) AS n_hours, CAST(s AS BIGINT) AS n_events,
+          |  CAST((n * s2 - s * s) * 1000000 // (n * s) AS BIGINT) AS fano_x1e6
+          |FROM a ORDER BY event_type""".stripMargin)),
+
+    // Basket-size distribution — lines per order histogram, the
+    // one-glance profile behind every join-fanout and pair-explosion
+    // cost model in this engine (the co-order pair volume is
+    // Σ C(size,2) of exactly this table).
+    "orders_basket_size_dist" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").cast("long").as("basket_size"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("basket_size"),
+      Some(
+        """WITH b AS (SELECT l_orderkey, count(*) AS sz FROM lineitem GROUP BY 1)
+          |SELECT CAST(sz AS BIGINT) AS basket_size, count(*) AS n_orders
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

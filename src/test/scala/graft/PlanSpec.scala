@@ -887,6 +887,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_"), s"source agg not map-side combined:\n${p.take(2000)}")
   }
 
+  test("gopher rules: all five counters from ONE codegen scan, stack unpivot, no joins") {
+    val p = plan("pipeline_gopher_rules")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"documents re-scanned per rule:\n${fin.take(2000)}")
+    assert(!p.contains("Join"), s"unexpected join in gopher plan:\n${p.take(2000)}")
+    assert(p.contains("partial_"), s"rule counters not map-side combined:\n${p.take(2000)}")
+  }
+
+  test("fano factor: two-stage aggregation, one scan, no joins") {
+    val p = plan("stats_fano_factor")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(fin).size <= 1,
+      s"events scanned more than once:\n${fin.take(2000)}")
+    assert(!p.contains("Join"), s"unexpected join in fano plan:\n${p.take(2000)}")
+    assert(p.contains("partial_"), s"hour agg not map-side combined:\n${p.take(2000)}")
+  }
+
   test("runs test: lag window runs on the post-agg hourly frame, one corpus scan") {
     // the Window.orderBy("h") is SinglePartition by construction, but it
     // consumes the hour-grain aggregate (span-bounded: one row per hour
