@@ -6424,7 +6424,183 @@ object Queries {
       Some(
         """WITH b AS (SELECT l_orderkey, count(*) AS sz FROM lineitem GROUP BY 1)
           |SELECT CAST(sz AS BIGINT) AS basket_size, count(*) AS n_orders
-          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Spearman rank correlation per nation between customer account
+    // balance and lifetime order spend. Ranks are ROW_NUMBER over a
+    // deterministic total order (value, custkey) — tie-FREE by
+    // construction, so the no-tie identity rho = 1 − 6·Σd²/(n(n²−1))
+    // is exact and engine-invariant (an avg-rank tie treatment would
+    // need Pearson-on-ranks with a sqrt — not integer-exact). One
+    // shuffle on nationkey serves both rank windows; the spend frame
+    // is a keyed pre-aggregation (customer-cardinality, not orders).
+    "stats_spearman_rho" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val spend = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long").as("spend_c"))
+        val base = Tables.customer(s, d)
+          .join(spend, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_nationkey"), col("c_custkey"),
+            expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal_c"),
+            coalesce(col("spend_c"), lit(0L)).as("sp_c"))
+        val wx = Window.partitionBy("c_nationkey").orderBy(col("bal_c"), col("c_custkey"))
+        val wy = Window.partitionBy("c_nationkey").orderBy(col("sp_c"), col("c_custkey"))
+        base
+          .withColumn("dd", (row_number().over(wx).cast("long") -
+            row_number().over(wy).cast("long")))
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("dd") * col("dd")).cast("long").as("sum_d2"))
+          .filter(col("n") >= 2)
+          .withColumn("den",
+            dec(col("n")) * (dec(col("n")) * dec(col("n")) - lit(1L).cast("decimal(38,0)")))
+          .withColumn("num", col("den") - lit(6L).cast("decimal(38,0)") * dec(col("sum_d2")))
+          .select(col("nationkey"), col("n"), col("sum_d2"),
+            when(col("num") >= 0,
+              graft.functions.GraftFunctions.longDiv(
+                col("num") * lit(1000000L).cast("decimal(38,0)"), col("den")))
+              .otherwise(-graft.functions.GraftFunctions.longDiv(
+                (-col("num")) * lit(1000000L).cast("decimal(38,0)"), col("den")))
+              .cast("long").as("rho_x1e6"))
+          .orderBy("nationkey")
+      },
+      Some(
+        """WITH sp AS (SELECT o_custkey,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sp_c
+          |  FROM orders GROUP BY 1),
+          |b AS (SELECT c_nationkey, c_custkey,
+          |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c,
+          |    coalesce(sp.sp_c, 0) AS sp_c
+          |  FROM customer LEFT JOIN sp ON c_custkey = o_custkey),
+          |r AS (SELECT c_nationkey,
+          |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY bal_c, c_custkey) AS BIGINT)
+          |      - CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY sp_c, c_custkey) AS BIGINT)
+          |      AS dd
+          |  FROM b),
+          |a AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+          |    CAST(count(*) AS HUGEINT) AS n, CAST(sum(dd * dd) AS HUGEINT) AS s2
+          |  FROM r GROUP BY 1 HAVING count(*) >= 2)
+          |SELECT nationkey, CAST(n AS BIGINT) AS n, CAST(s2 AS BIGINT) AS sum_d2,
+          |  CAST(CASE WHEN n * (n * n - 1) - 6 * s2 >= 0
+          |    THEN (n * (n * n - 1) - 6 * s2) * 1000000 // (n * (n * n - 1))
+          |    ELSE -((-(n * (n * n - 1) - 6 * s2)) * 1000000 // (n * (n * n - 1)))
+          |    END AS BIGINT) AS rho_x1e6
+          |FROM a ORDER BY nationkey""".stripMargin)),
+
+    // Mann–Kendall trend statistic on the daily revenue series per
+    // order priority: S = Σ_{i<j} sign(x_j − x_i), plus exact Kendall
+    // tau-a ×1e6 = S div C(n,2). The pair join runs on the
+    // DAY-AGGREGATED frame — its volume is (date-span)², bounded by the
+    // calendar and CORPUS-SIZE INDEPENDENT (the corpus scan is one
+    // keyed aggregation); the complement to Theil–Sen (slope) and CUSUM
+    // (changepoint location): a distribution-free monotone-trend test.
+    "stats_mann_kendall" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val day = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"), col("o_orderdate"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long").as("rev_c"))
+        val a = day.select(col("o_orderpriority").as("pri"),
+          col("o_orderdate").as("d1"), col("rev_c").as("x1"))
+        val b = day.select(col("o_orderpriority").as("pri2"),
+          col("o_orderdate").as("d2"), col("rev_c").as("x2"))
+        a.join(b, col("pri") === col("pri2") && col("d1") < col("d2"))
+          .groupBy(col("pri").as("o_orderpriority"))
+          .agg(
+            (countDistinct(col("d1")) + lit(1L)).cast("long").as("n_days"),
+            sum(when(col("x2") > col("x1"), 1L)
+              .when(col("x2") < col("x1"), -1L).otherwise(0L))
+              .cast("long").as("s_stat"))
+          // tau = S / C(n,2); computed as 2·S·1e6 div (n(n−1)) — the
+          // doubled form keeps every operand integral (no decimal
+          // division scale), mathematically identical since n(n−1) is
+          // even.
+          .withColumn("den",
+            dec(col("n_days")) * (dec(col("n_days")) - lit(1L).cast("decimal(38,0)")))
+          .select(col("o_orderpriority"), col("n_days"), col("s_stat"),
+            when(col("s_stat") >= 0,
+              graft.functions.GraftFunctions.longDiv(
+                dec(col("s_stat")) * lit(2000000L).cast("decimal(38,0)"), col("den")))
+              .otherwise(-graft.functions.GraftFunctions.longDiv(
+                (-dec(col("s_stat"))) * lit(2000000L).cast("decimal(38,0)"), col("den")))
+              .cast("long").as("tau_x1e6"))
+          .orderBy("o_orderpriority")
+      },
+      Some(
+        """WITH day AS (SELECT o_orderpriority AS pri, o_orderdate AS dd,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+          |  FROM orders GROUP BY 1, 2),
+          |p AS (SELECT a.pri,
+          |    CAST(count(DISTINCT a.dd) + 1 AS HUGEINT) AS n_days,
+          |    CAST(sum(CASE WHEN b.rev_c > a.rev_c THEN 1
+          |        WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END) AS HUGEINT) AS s_stat
+          |  FROM day a JOIN day b ON a.pri = b.pri AND a.dd < b.dd
+          |  GROUP BY 1)
+          |SELECT pri AS o_orderpriority, CAST(n_days AS BIGINT) AS n_days,
+          |  CAST(s_stat AS BIGINT) AS s_stat,
+          |  CAST(CASE WHEN s_stat >= 0
+          |    THEN s_stat * 2000000 // (n_days * (n_days - 1))
+          |    ELSE -((-s_stat) * 2000000 // (n_days * (n_days - 1)))
+          |    END AS BIGINT) AS tau_x1e6
+          |FROM p ORDER BY o_orderpriority""".stripMargin)),
+
+    // Open-order backlog depth: how many orders are placed but not yet
+    // fully shipped, tracked as a DIFFERENCE ARRAY (+1 at order date,
+    // −1 at last ship date) cumulated over the day axis — the interval
+    // stabbing count WITHOUT an interval join (the r9 interval-overlap
+    // join materializes pairs; this is the O(days) aggregate twin a
+    // 100 TB warehouse uses for queue-depth dashboards). The global
+    // cumulative window runs on the day-delta frame only (≤ date-span
+    // rows — the pipeline_shard_budget SinglePartition discipline).
+    // Depth is piecewise constant between change days; the monthly peak
+    // reads the post-change value on change days in that month
+    // (documented: a month with no state change does not emit a row).
+    "orders_open_backlog" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val close = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate")).as("close_d"))
+        val iv = Tables.orders(s, d)
+          .join(close, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderdate").as("open_d"), col("close_d"))
+          .filter(col("close_d") > col("open_d"))
+        val deltas = iv.select(col("open_d").as("day"), lit(1L).as("delta"))
+          .unionByName(iv.select(col("close_d").as("day"), lit(-1L).as("delta")))
+          .groupBy("day").agg(sum("delta").cast("long").as("delta"))
+        deltas
+          .withColumn("open_cnt",
+            sum("delta").over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+          .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+          .agg(max("open_cnt").cast("long").as("peak_open"),
+            count(lit(1)).cast("long").as("n_change_days"))
+          .orderBy("month")
+      },
+      Some(
+        """WITH cl AS (SELECT l_orderkey, max(l_shipdate) AS close_d
+          |  FROM lineitem GROUP BY 1),
+          |iv AS (SELECT o_orderdate AS open_d, cl.close_d
+          |  FROM orders JOIN cl ON o_orderkey = l_orderkey
+          |  WHERE cl.close_d > o_orderdate),
+          |dl AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM (
+          |    SELECT open_d AS day, 1 AS delta FROM iv
+          |    UNION ALL SELECT close_d, -1 FROM iv)
+          |  GROUP BY 1),
+          |c AS (SELECT day,
+          |    CAST(sum(delta) OVER (ORDER BY day
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_cnt
+          |  FROM dl)
+          |SELECT strftime(day, '%Y-%m') AS month,
+          |  CAST(max(open_cnt) AS BIGINT) AS peak_open,
+          |  count(*) AS n_change_days
+          |FROM c GROUP BY 1 ORDER BY month""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
