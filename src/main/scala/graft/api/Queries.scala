@@ -6600,7 +6600,163 @@ object Queries {
           |SELECT strftime(day, '%Y-%m') AS month,
           |  CAST(max(open_cnt) AS BIGINT) AS peak_open,
           |  count(*) AS n_change_days
-          |FROM c GROUP BY 1 ORDER BY month""".stripMargin))
+          |FROM c GROUP BY 1 ORDER BY month""".stripMargin)),
+
+    // Lorenz curve / Pareto table of customer lifetime revenue: rank
+    // every ordering customer by exact cents (ties broken by custkey),
+    // cut into 10 explicit-arithmetic deciles
+    // (decile = (rank−1)·10 div n + 1 — NOT the engines' NTILE, whose
+    // remainder placement is convention), and read off each decile's
+    // revenue share and cumulative share ×1e6. Ranking is
+    // ops/Stats.bucketedRank — range-bucket + partitioned window +
+    // tiny-offsets frame, the stats_gini_customers discipline, so no
+    // corpus-sized SinglePartition sort; the only global window runs
+    // on the 10-row decile frame. The "top decile owns X% of revenue"
+    // readout that complements gini (one number) with the full curve.
+    "stats_lorenz_deciles" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val rev = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .cast("long").as("rev"))
+        val ranked = graft.ops.Stats.bucketedRank(rev, "rev", "cust",
+          bucketWidth = 1L << 22)
+        val tot = ranked.agg(count(lit(1)).as("n"), sum("rev").as("total"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("decile", expr("(rank - 1) * 10 div n + 1"))
+          .groupBy(col("decile").cast("long").as("decile"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum("rev").cast("long").as("rev_cents"),
+            max("total").as("total"))
+          .withColumn("cum_cents",
+            sum("rev_cents").over(Window.orderBy("decile")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("decile"), col("n_customers"), col("rev_cents"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(col("rev_cents")) * dec(lit(1000000L)), dec(col("total")))
+              .cast("long").as("share_x1e6"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(col("cum_cents")) * dec(lit(1000000L)), dec(col("total")))
+              .cast("long").as("cum_share_x1e6"))
+          .orderBy("decile")
+      },
+      Some(
+        """WITH r AS (SELECT o_custkey AS cust,
+          |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+          |  FROM orders GROUP BY 1),
+          |t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(sum(rev) AS HUGEINT) AS total FROM r),
+          |rk AS (SELECT rev, row_number() OVER (ORDER BY rev, cust) AS rnk FROM r),
+          |dd AS (SELECT (rnk - 1) * 10 // n + 1 AS decile, rev FROM rk CROSS JOIN t),
+          |g AS (SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
+          |    CAST(sum(rev) AS BIGINT) AS rev_cents FROM dd GROUP BY 1),
+          |c AS (SELECT decile, n_customers, rev_cents,
+          |    CAST(sum(rev_cents) OVER (ORDER BY decile) AS HUGEINT) AS cum FROM g)
+          |SELECT decile, n_customers, rev_cents,
+          |  CAST(CAST(rev_cents AS HUGEINT) * 1000000 // total AS BIGINT) AS share_x1e6,
+          |  CAST(cum * 1000000 // total AS BIGINT) AS cum_share_x1e6
+          |FROM c CROSS JOIN t ORDER BY decile""".stripMargin)),
+
+    // Tukey-fence outlier census per event type, in exact integer
+    // cents: Q1/Q3 are the values at ranks ceil(n/4) / ceil(3n/4)
+    // (cum·4 ≥ n ⟺ cum ≥ ceil(n/4) for integers — no division
+    // convention in the gate at all), read off the DISTINCT-value
+    // cumulative frame (domain-bounded, the agg_median_mode
+    // discipline); the 1.5·IQR fences are applied DOUBLED
+    // (2v < 5·Q1 − 3·Q3 / 2v > 5·Q3 − 3·Q1) so the half-cent fence
+    // positions never materialize as rationals. One corpus scan to the
+    // distinct-value frame, every window partitioned by type.
+    "stats_tukey_outliers" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dc = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+          .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val tot = dc.groupBy("event_type").agg(sum("cnt").as("n"))
+        val cum = dc.withColumn("cum",
+          sum("cnt").over(Window.partitionBy("event_type").orderBy("c")))
+          .join(broadcast(tot), "event_type")
+        val q1 = cum.filter(col("cum") * 4 >= col("n"))
+          .groupBy("event_type").agg(min("c").as("q1_c"))
+        val q3 = cum.filter(col("cum") * 4 >= col("n") * 3)
+          .groupBy("event_type").agg(min("c").as("q3_c"))
+        val fences = q1.join(q3, "event_type")
+        dc.join(broadcast(fences), "event_type")
+          .groupBy("event_type")
+          .agg(sum("cnt").cast("long").as("n"),
+            max("q1_c").cast("long").as("q1_c"),
+            max("q3_c").cast("long").as("q3_c"),
+            sum(when(col("c") * 2 < col("q1_c") * 5 - col("q3_c") * 3,
+              col("cnt")).otherwise(0L)).cast("long").as("n_low"),
+            sum(when(col("c") * 2 > col("q3_c") * 5 - col("q1_c") * 3,
+              col("cnt")).otherwise(0L)).cast("long").as("n_high"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+          |  FROM events),
+          |dc AS (SELECT event_type, c, count(*) AS cnt FROM v GROUP BY 1, 2),
+          |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM dc GROUP BY 1),
+          |cum AS (SELECT event_type, c, cnt,
+          |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+          |  FROM dc),
+          |q1 AS (SELECT event_type, min(c) AS q1_c
+          |       FROM cum JOIN tot USING (event_type)
+          |       WHERE cum * 4 >= n GROUP BY 1),
+          |q3 AS (SELECT event_type, min(c) AS q3_c
+          |       FROM cum JOIN tot USING (event_type)
+          |       WHERE cum * 4 >= n * 3 GROUP BY 1)
+          |SELECT dc.event_type, CAST(sum(cnt) AS BIGINT) AS n,
+          |  max(q1_c) AS q1_c, max(q3_c) AS q3_c,
+          |  CAST(sum(CASE WHEN c * 2 < q1_c * 5 - q3_c * 3 THEN cnt ELSE 0 END)
+          |    AS BIGINT) AS n_low,
+          |  CAST(sum(CASE WHEN c * 2 > q3_c * 5 - q1_c * 3 THEN cnt ELSE 0 END)
+          |    AS BIGINT) AS n_high
+          |FROM dc JOIN q1 USING (event_type) JOIN q3 USING (event_type)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // k-truss census of the support-pruned co-order graph: edges in
+    // ≥ k−2 triangles, support re-derived on survivors for 5 declared
+    // peeling passes (ops/Basket.kTruss — the edge-grain sibling of
+    // graph_kcore; the spec asserts the corpus fixpoint lands within
+    // them, and proves the multi-round cascade on a crafted strip at
+    // k=4). k=3 here — the triangle-connected backbone — because the
+    // 4-truss of this corpus is empty past sf0.001 (measured), which
+    // would gate nothing. The oracle unrolls the identical rounds with
+    // MATERIALIZED CTEs (the graph_kcore discipline).
+    "graph_k_truss" -> Q(
+      (s, d) => graft.ops.Basket.kTruss(Tables.lineitem(s, d), k = 3,
+        rounds = 5, minSupport = 2),
+      Some {
+        val base =
+          """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            |e0 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+            |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+            |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+        val rounds = (1 to 5).map { i =>
+          s"""w$i AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+             |  FROM e${i - 1} e1 JOIN e${i - 1} e2 ON e2.pa = e1.pb),
+             |t$i AS MATERIALIZED (SELECT a, b, c FROM w$i WHERE EXISTS
+             |  (SELECT 1 FROM e${i - 1} e WHERE e.pa = w$i.a AND e.pb = w$i.c)),
+             |s$i AS (SELECT pa, pb FROM (
+             |    SELECT pa, pb, count(*) AS sup FROM (
+             |      SELECT a AS pa, b AS pb FROM t$i
+             |      UNION ALL SELECT b, c FROM t$i
+             |      UNION ALL SELECT a, c FROM t$i)
+             |    GROUP BY 1, 2) WHERE sup >= 1),
+             |e$i AS MATERIALIZED (SELECT e.pa, e.pb FROM e${i - 1} e
+             |  JOIN s$i s ON s.pa = e.pa AND s.pb = e.pb)""".stripMargin
+        }.mkString(",\n")
+        s"""$base,
+           |$rounds
+           |SELECT (SELECT count(*) FROM
+           |    (SELECT pa AS n FROM e5 UNION SELECT pb FROM e5)) AS n_truss_nodes,
+           |  (SELECT count(*) FROM e5) AS n_truss_edges""".stripMargin
+      })
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -190,6 +190,47 @@ object Basket {
       .select("n_core_nodes", "n_core_edges")
   }
 
+  /** k-truss of the support-pruned co-order graph (Cohen 2008): keep
+    * edges supported by ≥ k−2 triangles, re-deriving support on the
+    * surviving edges for `rounds` declared peeling passes — the
+    * edge-grain sibling of [[kCore]] (node degree → edge triangle
+    * support), and a strictly stronger cohesion filter: every k-truss
+    * edge lies in the (k−1)-core. Fixed rounds keep the oracle a
+    * mechanical unroll; the spec asserts the corpus fixpoint lands
+    * within them.
+    *
+    * Scale shape per round: one wedge join on the middle node + one
+    * left-semi closure probe against the edge set (Σ deg² of the
+    * SHRINKING adjacency, the node-iterator bound) + one per-edge
+    * support aggregation + one left-semi filter — all keyed, nothing
+    * wider than the wedge frame materializes, and each triangle
+    * (a < b < c) charges its three edges exactly once. Per-round
+    * localCheckpoint truncates the lineage exactly like [[kCore]].
+    */
+  def kTruss(lineitem: DataFrame, k: Int = 4, rounds: Int = 3,
+      minSupport: Int = 2): DataFrame = {
+    var e = coOrderEdges(lineitem, minSupport).select("pa", "pb")
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val w = e.select(col("pa").as("a"), col("pb").as("b"))
+        .join(e.select(col("pa").as("b"), col("pb").as("c")), "b")
+      val tri = w.join(e.select(col("pa").as("a"), col("pb").as("c")),
+        Seq("a", "c"), "left_semi")
+      val sup = tri.select(col("a").as("pa"), col("b").as("pb"))
+        .unionByName(tri.select(col("b").as("pa"), col("c").as("pb")))
+        .unionByName(tri.select(col("a").as("pa"), col("c").as("pb")))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= k - 2)
+        .select("pa", "pb")
+      e = e.join(sup, Seq("pa", "pb"), "left_semi").localCheckpoint(true)
+    }
+    val nodes = e.select(col("pa").as("node"))
+      .unionByName(e.select(col("pb").as("node"))).distinct()
+    nodes.agg(count(lit(1)).as("n_truss_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_truss_edges")))
+      .select("n_truss_nodes", "n_truss_edges")
+  }
+
   /** Weighted single-source shortest paths over the support-pruned
     * co-order graph by `rounds` Bellman-Ford relaxations: edge cost
     * 10⁶ div n_both (stronger co-purchase = cheaper hop), seed = the
