@@ -6756,7 +6756,201 @@ object Queries {
            |SELECT (SELECT count(*) FROM
            |    (SELECT pa AS n FROM e5 UNION SELECT pb FROM e5)) AS n_truss_nodes,
            |  (SELECT count(*) FROM e5) AS n_truss_edges""".stripMargin
-      })
+      }),
+
+    // Cramér's V² between part brand and lineitem return flag — the
+    // normalized effect size stats_chi2_segments lacks (chi2 grows
+    // with n; V² = chi2 / (n·min(r−1, c−1)) ∈ [0,1] is comparable
+    // across corpus sizes, the screen a feature-selection pass ranks
+    // by). Same exact-integer cell arithmetic as the chi2 query;
+    // V²×1e9 derives from the FLOORED chi2_x1e6 (documented
+    // quantization — both engines floor identically on non-negative
+    // operands). ONE fact-table pass: the corpus is scanned once into
+    // the tiny contingency frame obs (≤ brands × flags rows); the
+    // margins rn/cn/tn are re-aggregations of obs, not re-scans — at
+    // 100 TB the join+groupBy runs once and everything downstream is
+    // driver-sized. V kept squared so no sqrt enters the gate.
+    "stats_cramers_v" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val j = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand"))),
+            "l_partkey")
+          .select(col("brand"), col("l_returnflag").as("flag"))
+        val obs = j.groupBy("brand", "flag").agg(count(lit(1)).as("obs0"))
+          .localCheckpoint(true)
+        val rn = obs.groupBy("brand").agg(sum("obs0").as("rn"))
+        val cn = obs.groupBy("flag").agg(sum("obs0").as("cn"))
+        val tn = obs.agg(sum("obs0").as("tn"))
+        // cell basis = rows × columns (cross of the two TINY margin
+        // frames), not the observed combos — a zero cell still
+        // contributes rn·cn/tn to chi2 (a crafted perfect-association
+        // fixture reads V² = 1 only with zero cells counted)
+        val cells = rn.crossJoin(cn)
+          .join(obs, Seq("brand", "flag"), "left")
+          .withColumn("obs", coalesce(col("obs0"), lit(0L)))
+          .crossJoin(broadcast(tn))
+          .withColumn("term_x1e6", graft.functions.GraftFunctions.longDiv(
+            (dec(col("obs")) * dec(col("tn")) - dec(col("rn")) * dec(col("cn")))
+              * (dec(col("obs")) * dec(col("tn")) - dec(col("rn")) * dec(col("cn")))
+              * dec(lit(1000000L)),
+            dec(col("rn")) * dec(col("cn")) * dec(col("tn"))).cast("long"))
+        cells.agg(
+            countDistinct(col("brand")).as("n_r"),
+            countDistinct(col("flag")).as("n_c"),
+            max(col("tn")).as("n"),
+            sum("term_x1e6").as("chi2_x1e6"))
+          .select(col("n").cast("long").as("n"),
+            col("n_r").cast("long").as("n_r"),
+            col("n_c").cast("long").as("n_c"),
+            col("chi2_x1e6").cast("long").as("chi2_x1e6"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(col("chi2_x1e6")) * dec(lit(1000L)),
+              dec(col("n")) * dec(least(col("n_r") - 1, col("n_c") - 1)))
+              .cast("long").as("v2_x1e9"))
+      },
+      Some(
+        """WITH j AS (SELECT p.p_brand AS brand, l.l_returnflag AS flag
+          |           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+          |obs AS (SELECT brand, flag, count(*) AS obs FROM j GROUP BY 1, 2),
+          |r AS (SELECT brand, count(*) AS rn FROM j GROUP BY 1),
+          |c AS (SELECT flag, count(*) AS cn FROM j GROUP BY 1),
+          |t AS (SELECT count(*) AS tn FROM j),
+          |basis AS (SELECT r.brand, c.flag, r.rn, c.cn,
+          |    coalesce(obs.obs, 0) AS obs
+          |  FROM r CROSS JOIN c
+          |  LEFT JOIN obs ON obs.brand = r.brand AND obs.flag = c.flag),
+          |cells AS (SELECT
+          |    CAST((CAST(obs AS HUGEINT) * tn - CAST(rn AS HUGEINT) * cn)
+          |         * (CAST(obs AS HUGEINT) * tn - CAST(rn AS HUGEINT) * cn)
+          |         * 1000000
+          |         // (CAST(rn AS HUGEINT) * cn * tn) AS BIGINT) AS term_x1e6,
+          |    basis.brand, basis.flag, tn
+          |  FROM basis CROSS JOIN t)
+          |SELECT CAST(max(tn) AS BIGINT) AS n,
+          |  count(DISTINCT brand) AS n_r,
+          |  count(DISTINCT flag) AS n_c,
+          |  CAST(sum(term_x1e6) AS BIGINT) AS chi2_x1e6,
+          |  CAST(CAST(sum(term_x1e6) AS HUGEINT) * 1000
+          |    // (CAST(max(tn) AS HUGEINT)
+          |        * least(count(DISTINCT brand) - 1, count(DISTINCT flag) - 1))
+          |    AS BIGINT) AS v2_x1e9
+          |FROM cells""".stripMargin)),
+
+    // PMI-ranked collocations: top bigrams by pointwise mutual
+    // information, NOT raw count (text_bigram_topk) — PMI surfaces
+    // pairs that co-occur far above chance even at modest counts, the
+    // phrase-mining signal (Church & Hanks 1990). log is monotone, so
+    // ranking by the exact rational p(xy)/(p(x)p(y)) =
+    // c_xy·Nu²/(Nb·c_x·c_y) IS the PMI order — ×1e6 floored, ties
+    // broken (w1, w2), no float log in the gate. Count floor ≥ 20
+    // keeps the rare-pair PMI explosion out. One bigram explode scan;
+    // unigram/bigram LM frames are vocab-sized keyed joins (the
+    // text_bigram_surprisal shape).
+    "text_bigram_pmi" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val toks = Tables.documents(s, d)
+          .select(expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t != '')").as("tk"))
+        // uni appears in THREE consumers (nu + the c1/c2 joins) and bi
+        // in two (nb + the ranking) — all as IDENTICAL subplans, so
+        // Catalyst's ReusedExchange computes each groupBy exchange once
+        // (verified: an eager localCheckpoint here measured SLOWER at
+        // 30× because it blocks that reuse and forces a materialization)
+        val uni = toks.select(explode(col("tk")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val nu = uni.agg(sum("cw").as("nu"))
+        val bi = toks.filter(size(col("tk")) >= 2)
+          .select(explode(expr(
+            "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 20)
+        val nb = bi.agg(sum("n").as("nb"))
+        bi
+          .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+          .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+          .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+          .select(col("w1"), col("w2"), col("n").cast("long").as("n"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(col("n")) * dec(col("nu")) * dec(col("nu")) * dec(lit(1000000L)),
+              dec(col("nb")) * dec(col("c1")) * dec(col("c2")))
+              .cast("long").as("pmi_ratio_x1e6"))
+          .orderBy(desc("pmi_ratio_x1e6"), asc("w1"), asc("w2")).limit(50)
+      },
+      Some(
+        """WITH t AS (SELECT list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |uni AS (SELECT w, count(*) AS cw FROM (SELECT unnest(tk) AS w FROM t)
+          |        GROUP BY 1),
+          |nu AS (SELECT CAST(sum(cw) AS HUGEINT) AS nu FROM uni),
+          |u AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+          |      FROM t WHERE len(tk) >= 2),
+          |bi AS (SELECT w1, w2, n FROM (
+          |    SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS n
+          |    FROM u GROUP BY 1, 2) WHERE n >= 20),
+          |nb AS (SELECT CAST(sum(n) AS HUGEINT) AS nb FROM bi)
+          |SELECT w1, w2, CAST(n AS BIGINT) AS n,
+          |  CAST(CAST(n AS HUGEINT) * nu * nu * 1000000
+          |    // (nb * CAST(c1.cw AS HUGEINT) * c2.cw) AS BIGINT) AS pmi_ratio_x1e6
+          |FROM bi JOIN uni c1 ON c1.w = bi.w1 JOIN uni c2 ON c2.w = bi.w2
+          |CROSS JOIN nu CROSS JOIN nb
+          |ORDER BY pmi_ratio_x1e6 DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // Code-vs-prose detector — the pre-tokenization routing split every
+    // LLM data pipeline runs (code to a code tokenizer/mix weight,
+    // prose to the text pipeline). Symbol-density heuristic: a doc is
+    // "code" when 10 × count of [{}();=] chars > its whitespace token
+    // count — braces/semicolons/assignments are ~absent from prose and
+    // dense in every bracketed language. The corpus is pure prose, so
+    // deterministic code-shaped variants of docs 0-39 are planted
+    // in-query under doc_id+400000 (the dedup_canonical discipline):
+    // the per-source census proves both sides of the split. ONE
+    // codegen scan (regexp strip + lengths), no joins, no UDF.
+    "text_code_detect" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val plants = base.filter(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 400000)
+          .withColumn("text", concat(
+            lit("func f"), col("doc_id"), lit("(x) { return x + "),
+            col("doc_id"), lit("; } let y = f("), col("doc_id"),
+            lit("); // "), substring(col("text"), 1, 40)))
+        base.unionByName(plants)
+          .select(col("source"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[{}();=]", ""))).as("sym"),
+            size(expr("filter(split(text, '\\\\s+'), t -> t != '')")).as("toks"))
+          .withColumn("is_code",
+            when(col("sym") * 10 > col("toks"), 1L).otherwise(0L))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("is_code").cast("long").as("n_code"))
+          .withColumn("code_rate_x1e6",
+            expr("n_code * 1000000L div n_docs"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT source, text FROM documents
+          |  UNION ALL
+          |  SELECT source,
+          |    'func f' || (doc_id + 400000) || '(x) { return x + '
+          |      || (doc_id + 400000) || '; } let y = f(' || (doc_id + 400000)
+          |      || '); // ' || substring(text, 1, 40) AS text
+          |  FROM documents WHERE doc_id < 40),
+          |f AS (SELECT source,
+          |    length(text) - length(regexp_replace(text, '[{}();=]', '', 'g')) AS sym,
+          |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS toks
+          |  FROM docs)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN sym * 10 > toks THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+          |  CAST(sum(CASE WHEN sym * 10 > toks THEN 1 ELSE 0 END) * 1000000
+          |    // count(*) AS BIGINT) AS code_rate_x1e6
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
