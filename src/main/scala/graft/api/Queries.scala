@@ -6950,7 +6950,225 @@ object Queries {
           |  CAST(sum(CASE WHEN sym * 10 > toks THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
           |  CAST(sum(CASE WHEN sym * 10 > toks THEN 1 ELSE 0 END) * 1000000
           |    // count(*) AS BIGINT) AS code_rate_x1e6
-          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // One-way ANOVA F statistic of order value across the five order
+    // priorities — the "does this segmentation explain any variance"
+    // screen behind every mix/stratification decision upstream of it
+    // (complements stats_chi2_segments, which tests categorical
+    // association; this tests a numeric response). Sum decomposition
+    // in exact integers over whole DOLLARS (per-order floor — cents²
+    // sums would push the per-group s_g²/n_g terms past BIGINT at 30×;
+    // dollar² keeps every column long-safe past 100×): per-group
+    // Σx/Σx² collapse in ONE corpus scan to a k-row frame, every later
+    // term derived from that frame (the stats_cramers_v discipline).
+    // The only quantizations are the per-group unit floors (identical
+    // both engines, non-negative operands throughout — greatest(0,·)
+    // absorbs the ≤k-ULP floor residue so SSB/SSW never go negative).
+    "stats_anova_f" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val g = Tables.orders(s, d)
+          .select(expr("CAST(floor(o_totalprice) AS BIGINT)").as("x"),
+            col("o_orderpriority").as("grp"))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("ng"), sum(dec(col("x"))).as("sg"),
+            sum(dec(col("x")) * dec(col("x"))).as("qg"))
+          .withColumn("bg", graft.functions.GraftFunctions.longDiv(
+            col("sg") * col("sg"), dec(col("ng"))))
+        g.agg(count(lit(1)).as("k"), sum(dec(col("ng"))).as("n"),
+            sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+            sum(dec(col("bg"))).as("bgs"))
+          .select(col("k"), col("n"),
+            greatest(dec(lit(0L)), col("bgs") -
+              graft.functions.GraftFunctions.longDiv(
+                col("s") * col("s"), col("n")).cast("decimal(38,0)")).as("ssb"),
+            greatest(dec(lit(0L)), col("q") - col("bgs")).as("ssw"))
+          .select(col("k").cast("long").as("k"), col("n").cast("long").as("n"),
+            col("ssb").cast("long").as("ssb"),
+            col("ssw").cast("long").as("ssw"),
+            graft.functions.GraftFunctions.longDiv(
+              col("ssb") * (col("n") - col("k")).cast("decimal(38,0)")
+                * dec(lit(1000000L)),
+              nullif(col("ssw") * (col("k") - 1).cast("decimal(38,0)"),
+                dec(lit(0L)))).cast("long").as("f_x1e6"))
+      },
+      Some(
+        """WITH g AS (SELECT o_orderpriority AS grp, count(*) AS ng,
+          |    sum(CAST(CAST(floor(o_totalprice) AS BIGINT) AS HUGEINT)) AS sg,
+          |    sum(CAST(CAST(floor(o_totalprice) AS BIGINT) AS HUGEINT)
+          |        * CAST(floor(o_totalprice) AS BIGINT)) AS qg
+          |  FROM orders GROUP BY 1),
+          |b AS (SELECT grp, ng, sg, qg, sg * sg // ng AS bg FROM g),
+          |t AS (SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s, sum(qg) AS q,
+          |    sum(bg) AS bgs FROM b),
+          |f AS (SELECT k, n,
+          |    greatest(0, bgs - s * s // n) AS ssb,
+          |    greatest(0, q - bgs) AS ssw FROM t)
+          |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+          |  CAST(ssb AS BIGINT) AS ssb, CAST(ssw AS BIGINT) AS ssw,
+          |  CAST(ssb * (n - k) * 1000000 // nullif(ssw * (k - 1), 0) AS BIGINT)
+          |    AS f_x1e6
+          |FROM f""".stripMargin)),
+
+    // Newman modularity of the brand partition over the co-purchase
+    // graph — "are brands real communities in purchasing behavior?",
+    // the quality score that adjudicates any community detection
+    // (graph_label_propagation emits communities; this scores a
+    // partition). Q = Σ_c (e_c/m − (d_c/2m)²) over the same
+    // support-pruned co-order edge set as graph_local_bridges /
+    // clustering_coeff; per-community terms emitted with the common
+    // denominator 4m² so Q = Σ q_term exactly, sign-factored ×1e9
+    // (a cross-heavy brand has d_c² > 4m·e_c ⇒ negative term; DuckDB
+    // // floors where Java div truncates, so |·| first). Everything
+    // past the one edge derivation runs on edge-count-sized frames;
+    // the brand map is a broadcast dim.
+    "graph_modularity_brands" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val e0 = graft.ops.Basket.coOrderEdges(Tables.lineitem(s, d), minSupport = 2)
+          .select("pa", "pb").localCheckpoint(true)
+        val m = e0.agg(count(lit(1)).as("m"))
+        val deg = e0.select(col("pa").as("v"))
+          .unionByName(e0.select(col("pb").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        // node→brand map: ONE part scan probed by the broadcast
+        // graph-node frame (support-pruned, edge-bounded) — never the
+        // reverse: force-broadcasting the part DIM would collect the
+        // full dimension on the driver three times (measured 3× slower
+        // at 10×); at 100 TB the dim is the big side here
+        val nb = Tables.part(s, d)
+          .select(col("p_partkey").as("v"), col("p_brand"))
+          .join(broadcast(deg), "v")
+          .localCheckpoint(true)
+        val dc = nb.groupBy(col("p_brand").as("brand"))
+          .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))
+        val ec = e0
+          .join(broadcast(nb.select(col("v").as("pa"), col("p_brand").as("ba"))),
+            "pa")
+          .join(broadcast(nb.select(col("v").as("pb"), col("p_brand").as("bb"))),
+            "pb")
+          .filter(col("ba") === col("bb"))
+          .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("in_edges0"))
+        dc.join(ec, Seq("brand"), "left")
+          .withColumn("in_edges", coalesce(col("in_edges0"), lit(0L)))
+          .crossJoin(broadcast(m))
+          .withColumn("num", dec(lit(4L)) * dec(col("m")) * dec(col("in_edges"))
+            - dec(col("deg_sum")) * dec(col("deg_sum")))
+          .withColumn("den", dec(lit(4L)) * dec(col("m")) * dec(col("m")))
+          .select(col("brand"), col("n_nodes").cast("long").as("n_nodes"),
+            col("deg_sum").cast("long").as("deg_sum"),
+            col("in_edges").cast("long").as("in_edges"),
+            when(col("num") >= 0, graft.functions.GraftFunctions.longDiv(
+                col("num") * dec(lit(1000000000L)), col("den")))
+              .otherwise(-graft.functions.GraftFunctions.longDiv(
+                -col("num") * dec(lit(1000000000L)), col("den")))
+              .cast("long").as("q_term_x1e9"))
+          .orderBy("brand")
+      },
+      Some(
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+          |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
+          |deg AS (SELECT v, count(*) AS deg FROM
+          |        (SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY 1),
+          |dc AS (SELECT p_brand AS brand, count(*) AS n_nodes,
+          |         CAST(sum(deg) AS HUGEINT) AS deg_sum
+          |       FROM deg JOIN part ON p_partkey = v GROUP BY 1),
+          |ec AS (SELECT pab.p_brand AS brand, count(*) AS in_edges
+          |       FROM e0 JOIN part pab ON pab.p_partkey = e0.pa
+          |                JOIN part pbb ON pbb.p_partkey = e0.pb
+          |       WHERE pab.p_brand = pbb.p_brand GROUP BY 1),
+          |j AS (SELECT dc.brand, dc.n_nodes, dc.deg_sum,
+          |        CAST(coalesce(ec.in_edges, 0) AS HUGEINT) AS in_edges
+          |      FROM dc LEFT JOIN ec ON ec.brand = dc.brand),
+          |q AS (SELECT brand, n_nodes, deg_sum, in_edges,
+          |    4 * m * in_edges - deg_sum * deg_sum AS num,
+          |    4 * m * m AS den
+          |  FROM j CROSS JOIN m)
+          |SELECT brand, CAST(n_nodes AS BIGINT) AS n_nodes,
+          |  CAST(deg_sum AS BIGINT) AS deg_sum, CAST(in_edges AS BIGINT) AS in_edges,
+          |  CAST(CASE WHEN num >= 0 THEN num * 1000000000 // den
+          |       ELSE -((-num) * 1000000000 // den) END AS BIGINT) AS q_term_x1e9
+          |FROM q ORDER BY brand""".stripMargin)),
+
+    // OLS goodness-of-fit per nation: R² (and the slope) of WEEKLY
+    // revenue against the week index, in EXACT integers — the
+    // "is this trend real" companion to events_trend_slope (slope
+    // only, float) and stats_mann_kendall (distribution-free, no
+    // magnitude). R²·1e6 = (kΣxy−ΣxΣy)²·1e6 / ((kΣx²−(Σx)²)(kΣy²−(Σy)²))
+    // — num² ≤ dxx·dyy by Cauchy–Schwarz so the ratio is ≤1e6 always.
+    // Week granularity + whole-dollar y are the overflow schedule:
+    // num²·1e6 ≤ k²·Σx²·Σy²·1e6 stays under DECIMAL(38,0)/HUGEINT
+    // past 100× (daily cents would cross 1e38 at 30×). Slope is
+    // sign-factored; a zero-variance nation (dyy=0) reads NULL R² via
+    // nullif on both engines (DuckDB // by zero would error, Spark div
+    // would null — nullif makes them agree). Corpus pays one keyed
+    // join + one (nation, week) collapse; the regression runs on the
+    // calendar-bounded week frame.
+    "stats_ols_r2" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val ord = Tables.orders(s, d)
+        val mn = ord.agg(min(to_date(col("o_orderdate"))).as("mnd"))
+        ord
+          .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey")), "o_custkey")
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+            "c_nationkey")
+          .crossJoin(broadcast(mn))
+          .groupBy(col("n_name").as("nation"),
+            expr("CAST(datediff(to_date(o_orderdate), mnd) AS BIGINT) div 7")
+              .as("x"))
+          .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("y"))
+          .groupBy("nation")
+          .agg(count(lit(1)).as("kk"),
+            sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+            sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+            sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+            sum(dec(col("y")) * dec(col("y"))).as("syy"))
+          .withColumn("num", dec(col("kk")) * col("sxy") - col("sx") * col("sy"))
+          .withColumn("dxx", dec(col("kk")) * col("sxx") - col("sx") * col("sx"))
+          .withColumn("dyy", dec(col("kk")) * col("syy") - col("sy") * col("sy"))
+          .select(col("nation"), col("kk").cast("long").as("n_weeks"),
+            graft.functions.GraftFunctions.longDiv(
+              col("num") * col("num") * dec(lit(1000000L)),
+              nullif(col("dxx") * col("dyy"), dec(lit(0L))))
+              .cast("long").as("r2_x1e6"),
+            when(col("num") >= 0, graft.functions.GraftFunctions.longDiv(
+                col("num") * dec(lit(1000000L)), nullif(col("dxx"), dec(lit(0L)))))
+              .otherwise(-graft.functions.GraftFunctions.longDiv(
+                -col("num") * dec(lit(1000000L)), nullif(col("dxx"), dec(lit(0L)))))
+              .cast("long").as("slope_x1e6"))
+          .orderBy("nation")
+      },
+      Some(
+        """WITH mn AS (SELECT min(CAST(o_orderdate AS DATE)) AS mnd FROM orders),
+          |nw AS (SELECT n_name AS nation,
+          |    CAST(CAST(datediff('day', mnd, CAST(o_orderdate AS DATE)) AS BIGINT)
+          |      // 7 AS HUGEINT) AS x,
+          |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS HUGEINT) AS y
+          |  FROM orders JOIN customer ON c_custkey = o_custkey
+          |  JOIN nation ON n_nationkey = c_nationkey
+          |  CROSS JOIN mn
+          |  GROUP BY 1, 2),
+          |s AS (SELECT nation, count(*) AS kk, sum(x) AS sx, sum(y) AS sy,
+          |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          |  FROM nw GROUP BY 1),
+          |t AS (SELECT nation, kk,
+          |    kk * sxy - sx * sy AS num,
+          |    kk * sxx - sx * sx AS dxx,
+          |    kk * syy - sy * sy AS dyy
+          |  FROM s)
+          |SELECT nation, CAST(kk AS BIGINT) AS n_weeks,
+          |  CAST(num * num * 1000000 // nullif(dxx * dyy, 0) AS BIGINT) AS r2_x1e6,
+          |  CAST(CASE WHEN num >= 0 THEN num * 1000000 // nullif(dxx, 0)
+          |       ELSE -((-num) * 1000000 // nullif(dxx, 0)) END AS BIGINT)
+          |    AS slope_x1e6
+          |FROM t ORDER BY nation""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
