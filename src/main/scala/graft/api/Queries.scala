@@ -7168,7 +7168,109 @@ object Queries {
           |  CAST(CASE WHEN num >= 0 THEN num * 1000000 // nullif(dxx, 0)
           |       ELSE -((-num) * 1000000 // nullif(dxx, 0)) END AS BIGINT)
           |    AS slope_x1e6
-          |FROM t ORDER BY nation""".stripMargin))
+          |FROM t ORDER BY nation""".stripMargin)),
+
+    // Tokenizer fertility per source — BPE tokens emitted per word
+    // under the merge table trained on the WHOLE corpus: the
+    // pre-training diagnostic that decides whether a source needs its
+    // own tokenizer or a higher mix weight to compensate (fertility
+    // directly scales its effective token budget). Training is the
+    // shared 5-round integer-gated loop (text_bpe_merges); the corpus
+    // pays that plus ONE per-(source, word) collapse — the
+    // segmentation regex runs over the vocab-sized frame, never the
+    // corpus.
+    "text_bpe_fertility" -> Q(
+      (s, d) => graft.ops.TextOps.bpeFertility(Tables.documents(s, d), rounds = 5),
+      Some(TextSql.bpeFertility(rounds = 5))),
+
+    // Boilerplate/HTML stripping census — the first stage of every
+    // web-crawl pipeline (C4/CCNet strip markup before any quality
+    // gate). Tag chars counted by the same regex both engines run
+    // (<[^>]*>); the corpus is markup-free, so HTML-wrapped variants
+    // of docs 0-39 are planted in-query under doc_id+500000 (the
+    // text_code_detect discipline) — the census proves both the
+    // detection and the removal accounting. ONE codegen scan, no joins.
+    "text_html_strip" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val plants = base.filter(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 500000)
+          .withColumn("text", concat(
+            lit("<html><head><title>t"), col("doc_id"),
+            lit("</title></head><body><p>"), substring(col("text"), 1, 60),
+            lit("</p><div class=\"nav\">menu</div></body></html>")))
+        base.unionByName(plants)
+          .select(col("source"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "<[^>]*>", ""))).as("tag_chars"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("tag_chars") > 0, 1L).otherwise(0L)).cast("long")
+              .as("n_html"),
+            sum("tag_chars").cast("long").as("tag_chars"))
+          .withColumn("html_rate_x1e6", expr("n_html * 1000000L div n_docs"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT source, text FROM documents
+          |  UNION ALL
+          |  SELECT source,
+          |    '<html><head><title>t' || (doc_id + 500000)
+          |      || '</title></head><body><p>' || substring(text, 1, 60)
+          |      || '</p><div class="nav">menu</div></body></html>' AS text
+          |  FROM documents WHERE doc_id < 40),
+          |f AS (SELECT source,
+          |    length(text) - length(regexp_replace(text, '<[^>]*>', '', 'g'))
+          |      AS tag_chars
+          |  FROM docs)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN tag_chars > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_html,
+          |  CAST(sum(tag_chars) AS BIGINT) AS tag_chars,
+          |  CAST(sum(CASE WHEN tag_chars > 0 THEN 1 ELSE 0 END) * 1000000
+          |    // count(*) AS BIGINT) AS html_rate_x1e6
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Time-weighted average value per event type — the correct
+    // "average state" when observations arrive irregularly (a plain
+    // mean over-weights bursty periods; TWA weights each value by how
+    // long it HELD: until the user's next event). Per-user lead window
+    // (ts, event_id tie-break — the sessionize discipline), last event
+    // carries no weight; value in cents × gap seconds summed in
+    // DECIMAL, one integral division at the end. One user-keyed
+    // shuffle, linear.
+    "events_twa" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        Tables.events(s, d)
+          .withColumn("gap_s", expr(
+            "(unix_micros(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - unix_micros(ts)) div 1000000"))
+          .filter(col("gap_s").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"),
+            col("gap_s"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_intervals"),
+            sum(col("gap_s")).cast("long").as("held_s"),
+            sum(dec(col("c")) * dec(col("gap_s"))).as("cw"))
+          .select(col("event_type"), col("n_intervals"), col("held_s"),
+            graft.functions.GraftFunctions.longDiv(
+              col("cw") * dec(lit(1000L)),
+              nullif(col("held_s").cast("decimal(38,0)"), dec(lit(0L))))
+              .cast("long").as("twa_c_x1e3"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH g AS (SELECT event_type,
+          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+          |    CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id)) - epoch_us(ts) AS BIGINT) // 1000000 AS gap_s
+          |  FROM events)
+          |SELECT event_type, count(*) AS n_intervals,
+          |  CAST(sum(gap_s) AS BIGINT) AS held_s,
+          |  CAST(sum(CAST(c AS HUGEINT) * gap_s) * 1000
+          |    // nullif(CAST(sum(gap_s) AS HUGEINT), 0) AS BIGINT) AS twa_c_x1e3
+          |FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

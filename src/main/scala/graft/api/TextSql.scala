@@ -181,6 +181,33 @@ object TextSql {
        |GROUP BY sym ORDER BY cnt DESC, sym LIMIT $k""".stripMargin
   }
 
+  /** Oracle mirror of TextOps.bpeFertility: same training CTEs, then a
+    * per-(source, word) collapse segmented by the final alternation.
+    */
+  def bpeFertility(rounds: Int = 5): String = {
+    val prior = (1 to rounds).map(i => s"SELECT pair FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(rounds)},
+       |pat AS (
+       |  SELECT string_agg(pair, '|' ORDER BY length(pair) DESC, pair) || '|.' AS p
+       |  FROM ($prior)),
+       |wfs AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT source,
+       |      regexp_replace(unnest(regexp_split_to_array(lower(text), '\\s+')),
+       |        '[^a-z0-9]', '', 'g') AS w
+       |    FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY 1, 2),
+       |seg AS (
+       |  SELECT source, f,
+       |    CAST(len(regexp_extract_all(w, (SELECT p FROM pat))) AS BIGINT) AS nseg
+       |  FROM wfs)
+       |SELECT source, CAST(sum(f) AS BIGINT) AS n_words,
+       |  CAST(sum(f * nseg) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(f * nseg) * 1000000 // sum(f) AS BIGINT) AS fertility_x1e6
+       |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def quotaSample(perLang: Int = 5): String =
     s"""WITH s AS (
        |  SELECT doc_id, text,

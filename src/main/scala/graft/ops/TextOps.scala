@@ -444,4 +444,36 @@ object TextOps {
         .orderBy(desc("cnt"), asc("sym")).limit(k)
     } finally { wf.unpersist(); () }
   }
+
+  /** Tokenizer fertility per source: BPE tokens emitted per word under
+    * the merge table trained on the WHOLE corpus (the cross-source
+    * comparability is the point — a source whose vocabulary the shared
+    * tokenizer segments poorly reads high). Segment counts come from
+    * the same longest-first alternation as [[bpeApply]]; the corpus
+    * pays the global training scan plus ONE per-(source, word) collapse,
+    * and the segmentation regex runs over that vocab-sized frame, never
+    * the corpus.
+    */
+  def bpeFertility(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val (wf, merges) = bpeFit(docs, rounds)
+    try {
+      val pat = bpePattern(merges.map(_._2))
+      docs
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("w0"))
+        .select(col("source"),
+          regexp_replace(col("w0"), "[^a-z0-9]", "").as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("source", "w").agg(count(lit(1)).as("f"))
+        .select(col("source"), col("f"),
+          size(regexp_extract_all(col("w"), lit(pat), lit(0))).cast("long")
+            .as("nseg"))
+        .groupBy("source")
+        .agg(sum(col("f")).cast("long").as("n_words"),
+          sum(col("f") * col("nseg")).cast("long").as("n_bpe_tokens"))
+        .withColumn("fertility_x1e6",
+          expr("n_bpe_tokens * 1000000L div n_words"))
+        .orderBy("source")
+    } finally { wf.unpersist(); () }
+  }
 }
