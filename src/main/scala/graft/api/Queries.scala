@@ -7270,7 +7270,161 @@ object Queries {
           |  CAST(sum(gap_s) AS BIGINT) AS held_s,
           |  CAST(sum(CAST(c AS HUGEINT) * gap_s) * 1000
           |    // nullif(CAST(sum(gap_s) AS HUGEINT), 0) AS BIGINT) AS twa_c_x1e3
-          |FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cross-source n-gram novelty — what fraction of a source's
+    // distinct 3-grams appear in NO other source: the
+    // memorization/contribution profile that decides whether a source
+    // adds anything the mix doesn't already have (the set-level
+    // complement of text_source_divergence's distributional view).
+    // Two keyed shuffles: (source, gram) distinct collapse, then a
+    // gram-keyed source-count re-aggregation joined back; novel ⇔
+    // exactly one source holds the gram. Gram frames are
+    // vocab³-bounded, never corpus-row-sized.
+    "text_ngram_novelty" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"), expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t != '')").as("tk"))
+        // ONE gram-keyed exchange serves all three stages: the
+        // (g, source) distinct, the per-gram source count, and the
+        // join — HashPartitioning(g) satisfies the composite
+        // clustering, so neither aggregation nor the join re-shuffles
+        // (three string shuffles measured 5× cost for 3× rows at 30×)
+        val sg = toks.filter(size(col("tk")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(slice(tk, 1, size(tk) - 2), (w, i) -> concat_ws(' ', w, tk[i + 1], tk[i + 2]))")).as("g"))
+          .repartition(col("g"))
+          .groupBy("g", "source").agg(count(lit(1)).as("occ"))
+        val df = sg.groupBy("g").agg(count(lit(1)).as("nsrc"))
+        sg.join(df, "g")
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_grams"),
+            sum(when(col("nsrc") === 1, 1L).otherwise(0L)).cast("long")
+              .as("n_novel"))
+          .withColumn("novelty_x1e6", expr("n_novel * 1000000L div n_grams"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH t AS (SELECT source, list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |u AS (SELECT source, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+          |      FROM t WHERE len(tk) >= 3),
+          |sg AS (SELECT source, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS g
+          |       FROM u GROUP BY 1, 2),
+          |df AS (SELECT g, count(*) AS nsrc FROM sg GROUP BY 1)
+          |SELECT source, count(*) AS n_grams,
+          |  CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          |  CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) * 1000000
+          |    // count(*) AS BIGINT) AS novelty_x1e6
+          |FROM sg JOIN df USING (g) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Customer-cohort LTV triangle — cumulative revenue per customer by
+    // cohort (first-order month) × order age in months: THE retention
+    // economics table (the revenue twin of events_cohort_matrix's
+    // activity counts). Corpus pays one customer-keyed first-order
+    // collapse + one keyed join back; the triangle itself is
+    // calendar²-bounded, so its cumulative window and the cohort-size
+    // join run on a tiny frame. Whole-dollar revenue (the ANOVA unit
+    // discipline), ltv = cumulative dollars ×1e3 per cohort customer.
+    "orders_cohort_ltv" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey").as("ck"), to_date(col("o_orderdate")).as("od"),
+            expr("CAST(floor(o_totalprice) AS BIGINT)").as("rev"))
+        val first = o.groupBy("ck").agg(min("od").as("fd"))
+        val cs = first
+          .groupBy(date_format(col("fd"), "yyyy-MM").as("cohort"))
+          .agg(count(lit(1)).as("n_custs"))
+        val tri = o.join(first, "ck")
+          .groupBy(date_format(col("fd"), "yyyy-MM").as("cohort"),
+            ((year(col("od")) - year(col("fd"))) * 12
+              + (month(col("od")) - month(col("fd")))).cast("long").as("age_m"))
+          .agg(sum("rev").cast("long").as("rev"))
+        val w = Window.partitionBy("cohort").orderBy("age_m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tri.withColumn("cum_rev", sum("rev").over(w).cast("long"))
+          .join(broadcast(cs), "cohort")
+          .select(col("cohort"), col("age_m"), col("n_custs").cast("long").as("n_custs"),
+            col("rev"), col("cum_rev"),
+            expr("cum_rev * 1000L div n_custs").as("ltv_x1e3"))
+          .orderBy("cohort", "age_m")
+      },
+      Some(
+        """WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+          |    CAST(floor(o_totalprice) AS BIGINT) AS rev FROM orders),
+          |f AS (SELECT ck, min(od) AS fd FROM o GROUP BY 1),
+          |cs AS (SELECT strftime(fd, '%Y-%m') AS cohort, count(*) AS n_custs
+          |       FROM f GROUP BY 1),
+          |tri AS (SELECT strftime(fd, '%Y-%m') AS cohort,
+          |    CAST((year(od) - year(fd)) * 12 + (month(od) - month(fd)) AS BIGINT)
+          |      AS age_m,
+          |    CAST(sum(rev) AS BIGINT) AS rev
+          |  FROM o JOIN f USING (ck) GROUP BY 1, 2),
+          |c AS (SELECT cohort, age_m, rev,
+          |    CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age_m
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |      AS cum_rev
+          |  FROM tri)
+          |SELECT cohort, age_m, CAST(n_custs AS BIGINT) AS n_custs, rev, cum_rev,
+          |  CAST(cum_rev * 1000 // n_custs AS BIGINT) AS ltv_x1e3
+          |FROM c JOIN cs USING (cohort) ORDER BY cohort, age_m""".stripMargin)),
+
+    // Compaction planning — the lakehouse maintenance pass that fixes
+    // the small-file problem: greedy sequential bin-packing of a file
+    // manifest into ~256 KB rewrite groups (group = exclusive-prefix
+    // size // target, so a group overflows by at most one file — the
+    // classic streaming first-fit). The manifest here derives from the
+    // documents table (100-doc buckets as pseudo-files, documented); in
+    // production the input is the table's real file listing. THE scale
+    // point: planning runs entirely on the MANIFEST (corpus-size/100
+    // rows), the corpus pays one collapse — per-source windows, no
+    // global sort.
+    "lakehouse_compaction_plan" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 262144L
+        val files = Tables.documents(s, d)
+          .groupBy(col("source"), expr("doc_id div 100").as("bucket"))
+          .agg(sum("n_chars").cast("long").as("sz"))
+        val w = Window.partitionBy("source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val planned = files
+          .withColumn("cum0", coalesce(sum("sz").over(w), lit(0L)))
+          .withColumn("grp", expr(s"cum0 div ${target}L"))
+        val groups = planned.groupBy("source", "grp")
+          .agg(sum("sz").as("gsz"))
+        planned.groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_files"),
+            sum("sz").cast("long").as("total_chars"))
+          .join(groups.groupBy("source")
+            .agg(count(lit(1)).cast("long").as("n_groups"),
+              max("gsz").cast("long").as("max_group_chars")), "source")
+          .withColumn("fill_x1e6",
+            expr(s"total_chars * 1000000L div (n_groups * ${target}L)"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH files AS (SELECT source, doc_id // 100 AS bucket,
+          |    CAST(sum(n_chars) AS BIGINT) AS sz
+          |  FROM documents GROUP BY 1, 2),
+          |p AS (SELECT source, sz,
+          |    CAST(coalesce(sum(sz) OVER (PARTITION BY source ORDER BY bucket
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          |      // 262144 AS grp
+          |  FROM files),
+          |g AS (SELECT source, grp, CAST(sum(sz) AS BIGINT) AS gsz
+          |      FROM p GROUP BY 1, 2),
+          |s AS (SELECT source, count(*) AS n_files,
+          |    CAST(sum(sz) AS BIGINT) AS total_chars FROM p GROUP BY 1),
+          |t AS (SELECT source, count(*) AS n_groups,
+          |    CAST(max(gsz) AS BIGINT) AS max_group_chars FROM g GROUP BY 1)
+          |SELECT source, n_files, total_chars, n_groups, max_group_chars,
+          |  CAST(total_chars * 1000000 // (n_groups * 262144) AS BIGINT)
+          |    AS fill_x1e6
+          |FROM s JOIN t USING (source) ORDER BY source""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
