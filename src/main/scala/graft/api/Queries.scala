@@ -7424,7 +7424,160 @@ object Queries {
           |SELECT source, n_files, total_chars, n_groups, max_group_chars,
           |  CAST(total_chars * 1000000 // (n_groups * 262144) AS BIGINT)
           |    AS fill_x1e6
-          |FROM s JOIN t USING (source) ORDER BY source""".stripMargin))
+          |FROM s JOIN t USING (source) ORDER BY source""".stripMargin)),
+
+    // Differential-privacy sensitivity audit — before adding DP noise
+    // to any per-type aggregate you must know the max single-user
+    // contribution (the L1 sensitivity scale) and how many users
+    // exceed a clipping candidate: per (type, user) collapse, then a
+    // type-level re-aggregation of that user-grain frame (two keyed
+    // shuffles, second over the user-count-sized frame). Exact cents;
+    // shares via nullif-guarded integral division.
+    "privacy_sensitivity_audit" -> Q(
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+          .groupBy("event_type", "user_id").agg(sum("c").as("uc"))
+        val t = u.groupBy("event_type")
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum("uc").cast("long").as("total_c"),
+            max("uc").cast("long").as("max_user_c"))
+        u.join(broadcast(t), "event_type")
+          .groupBy("event_type")
+          .agg(max("n_users").as("n_users"), max("total_c").as("total_c"),
+            max("max_user_c").as("max_user_c"),
+            sum(when(col("uc") * 100 > col("total_c"), 1L).otherwise(0L))
+              .cast("long").as("n_over_1pct"))
+          .withColumn("max_share_x1e6", expr(
+            "CAST(CAST(max_user_c AS DECIMAL(38,0)) * 1000000 div nullif(CAST(total_c AS DECIMAL(38,0)), 0) AS BIGINT)"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH u AS (SELECT event_type, user_id,
+          |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS uc
+          |  FROM events GROUP BY 1, 2),
+          |t AS (SELECT event_type, count(*) AS n_users,
+          |    CAST(sum(uc) AS BIGINT) AS total_c,
+          |    CAST(max(uc) AS BIGINT) AS max_user_c
+          |  FROM u GROUP BY 1)
+          |SELECT t.event_type, n_users, total_c, max_user_c,
+          |  CAST(sum(CASE WHEN u.uc * 100 > t.total_c THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_over_1pct,
+          |  CAST(CAST(max_user_c AS HUGEINT) * 1000000
+          |    // nullif(CAST(total_c AS HUGEINT), 0) AS BIGINT) AS max_share_x1e6
+          |FROM u JOIN t ON t.event_type = u.event_type
+          |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin)),
+
+    // Per-label centroid representatives — the herding/coreset
+    // selection every "pick k canonical examples per class" pipeline
+    // runs (distillation seeds, eval anchors, label auditing): the 3
+    // vectors closest to their label centroid in exact fixed-point
+    // arithmetic. dist²·n² = Σ_dim (n·q − s)² needs no division until
+    // the final per-vector readout (// n², floored identically both
+    // engines); ranking on the floored value + vec_id is
+    // engine-invariant. Corpus pays the explode collapse + one
+    // broadcast join of the labels×64 centroid frame; top-3 via a
+    // per-label window.
+    "emb_centroid_representatives" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val q = Tables.embeddings(s, d)
+          .select(col("label"), col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .withColumn("q", floor(col("x") * 1000000).cast("long"))
+        val cent = q.groupBy("label", "dim")
+          .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        val dist = q.join(broadcast(cent), Seq("label", "dim"))
+          .withColumn("t", dec(col("n")) * dec(col("q")) - dec(col("s")))
+          .groupBy("label", "vec_id")
+          .agg(graft.functions.GraftFunctions.longDiv(
+            sum(col("t") * col("t")),
+            dec(max("n")) * dec(max("n"))).as("dist_q"))
+        val w = Window.partitionBy("label").orderBy(col("dist_q"), col("vec_id"))
+        dist.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("label").cast("long").as("label"),
+            col("rk").cast("long").as("rk"),
+            col("vec_id").cast("long").as("vec_id"),
+            col("dist_q").cast("long").as("dist_q"))
+          .orderBy("label", "rk")
+      },
+      Some(
+        """WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e
+          |           FROM embeddings),
+          |q AS (SELECT label, vec_id, g.i - 1 AS dim,
+          |    CAST(floor(e[g.i] * 1000000) AS BIGINT) AS q
+          |  FROM v CROSS JOIN LATERAL
+          |    (SELECT unnest(generate_series(1, len(e))) AS i) g),
+          |cent AS (SELECT label, dim, CAST(sum(q) AS HUGEINT) AS s,
+          |    CAST(count(*) AS HUGEINT) AS n
+          |  FROM q GROUP BY 1, 2),
+          |dist AS (SELECT q.label, vec_id,
+          |    CAST(sum((n * q - s) * (n * q - s)) // (max(n) * max(n)) AS BIGINT)
+          |      AS dist_q
+          |  FROM q JOIN cent ON cent.label = q.label AND cent.dim = q.dim
+          |  GROUP BY 1, 2),
+          |r AS (SELECT label, vec_id, dist_q,
+          |    row_number() OVER (PARTITION BY label ORDER BY dist_q, vec_id) AS rk
+          |  FROM dist)
+          |SELECT CAST(label AS BIGINT) AS label, CAST(rk AS BIGINT) AS rk,
+          |  CAST(vec_id AS BIGINT) AS vec_id, dist_q
+          |FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin)),
+
+    // Late-interaction (MaxSim) retrieval over label groups — the
+    // ColBERT-style scoring where a group's relevance is the MAX inner
+    // product of any member, not the centroid (multi-vector documents;
+    // labels stand in as the vector groups): for 5 deterministic query
+    // vectors (vec_id 0-4 — their own labels score a perfect
+    // self-match, documented), rank labels by max fixed-point dot and
+    // keep the top 3. ONE corpus scan fanned ×5 by the broadcast
+    // query-dim frame; dots summed exactly (q ≤ 1e6 ⇒ products ≤
+    // 6.4e13·64, DECIMAL-safe), final window on the 5×labels frame.
+    "sim_maxsim_label" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val q = Tables.embeddings(s, d)
+          .select(col("label"), col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .withColumn("q", floor(col("x") * 1000000).cast("long"))
+        val qs = q.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("dim"), col("q").as("qq"))
+        val dots = q.join(broadcast(qs), "dim")
+          .groupBy("qid", "label", "vec_id")
+          .agg(sum(dec(col("q")) * dec(col("qq"))).as("dot"))
+        val best = dots.groupBy("qid", "label")
+          .agg(max("dot").as("maxdot"))
+        val w = Window.partitionBy("qid").orderBy(desc("maxdot"), col("label"))
+        best.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("qid").cast("long").as("qid"),
+            col("rk").cast("long").as("rk"),
+            col("label").cast("long").as("label"),
+            col("maxdot").cast("long").as("maxdot_q"))
+          .orderBy("qid", "rk")
+      },
+      Some(
+        """WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS e
+          |           FROM embeddings),
+          |q AS (SELECT label, vec_id, g.i - 1 AS dim,
+          |    CAST(floor(e[g.i] * 1000000) AS BIGINT) AS q
+          |  FROM v CROSS JOIN LATERAL
+          |    (SELECT unnest(generate_series(1, len(e))) AS i) g),
+          |qs AS (SELECT vec_id AS qid, dim, q AS qq FROM q WHERE vec_id < 5),
+          |dots AS (SELECT qid, q.label, q.vec_id,
+          |    CAST(sum(CAST(q.q AS HUGEINT) * qs.qq) AS HUGEINT) AS dot
+          |  FROM q JOIN qs ON qs.dim = q.dim
+          |  GROUP BY 1, 2, 3),
+          |best AS (SELECT qid, label, max(dot) AS maxdot FROM dots GROUP BY 1, 2),
+          |r AS (SELECT qid, label, maxdot,
+          |    row_number() OVER (PARTITION BY qid ORDER BY maxdot DESC, label) AS rk
+          |  FROM best)
+          |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
+          |  CAST(label AS BIGINT) AS label, CAST(maxdot AS BIGINT) AS maxdot_q
+          |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
