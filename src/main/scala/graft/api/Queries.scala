@@ -7577,7 +7577,180 @@ object Queries {
           |  FROM best)
           |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rk,
           |  CAST(label AS BIGINT) AS label, CAST(maxdot AS BIGINT) AS maxdot_q
-          |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin))
+          |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin)),
+
+    // Positional (U-shaped) multi-touch attribution — the 40/20/40
+    // credit model between the asof_last_click (100% last) and
+    // range_attribution (window) extremes: each purchase closes a
+    // journey of the user's touches since the previous purchase;
+    // first and last touch get 4000 bp, middles split 2000 bp evenly
+    // (floor, remainder dropped — deterministic), singleton 10000,
+    // pair 5000/5000. ONE user-keyed shuffle: the journey id (running
+    // purchase count), the per-user purchase total, and the
+    // (user, journey) position/size windows all reuse the user
+    // partitioning (subset clustering). Credit census per channel.
+    "events_attribution_positional" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wAll = Window.partitionBy("user_id")
+        val wRun = wAll.orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = Tables.events(s, d)
+          .withColumn("is_p", when(col("event_type") === "purchase", 1L)
+            .otherwise(0L))
+          .withColumn("rc", sum("is_p").over(wRun))
+          .withColumn("tp", sum("is_p").over(wAll))
+        val touches = ev.filter(col("is_p") === 0)
+          .withColumn("journey", col("rc") + 1)
+          .filter(col("journey") <= col("tp"))
+        val wj = Window.partitionBy("user_id", "journey")
+        val wjo = wj.orderBy("ts", "event_id")
+        touches
+          .withColumn("pos", row_number().over(wjo))
+          .withColumn("m", count(lit(1)).over(wj))
+          .withColumn("credit_bp",
+            when(col("m") === 1, 10000L)
+              .when(col("m") === 2, 5000L)
+              .when(col("pos") === 1 || col("pos") === col("m"), 4000L)
+              .otherwise(expr("2000L div (m - 2)")))
+          .groupBy(col("event_type").as("channel"))
+          .agg(count(lit(1)).cast("long").as("n_touches"),
+            sum("credit_bp").cast("long").as("credit_bp"))
+          .orderBy("channel")
+      },
+      Some(
+        """WITH ev AS (SELECT event_type, user_id, ts, event_id,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+          |  FROM events),
+          |r AS (SELECT event_type, user_id, ts, event_id, is_p,
+          |    sum(is_p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc,
+          |    sum(is_p) OVER (PARTITION BY user_id) AS tp
+          |  FROM ev),
+          |t AS (SELECT event_type, user_id, ts, event_id, rc + 1 AS journey
+          |      FROM r WHERE is_p = 0 AND rc + 1 <= tp),
+          |p AS (SELECT event_type,
+          |    row_number() OVER (PARTITION BY user_id, journey
+          |      ORDER BY ts, event_id) AS pos,
+          |    count(*) OVER (PARTITION BY user_id, journey) AS m
+          |  FROM t),
+          |c AS (SELECT event_type,
+          |    CASE WHEN m = 1 THEN 10000
+          |         WHEN m = 2 THEN 5000
+          |         WHEN pos = 1 OR pos = m THEN 4000
+          |         ELSE 2000 // (m - 2) END AS credit_bp
+          |  FROM p)
+          |SELECT event_type AS channel, count(*) AS n_touches,
+          |  CAST(sum(credit_bp) AS BIGINT) AS credit_bp
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Label-confusion matrix from centroid geometry — which classes
+    // the embedding space entangles: every vector scored against ALL
+    // label centroids (the corpus frame fans ×L by the broadcast
+    // labels×64 centroid frame — L-bounded, not a pair join), nearest
+    // OTHER label by engine-invariant (floored dist, label) rank;
+    // a vector is confused when that rival sits strictly closer than
+    // its own centroid. Census per (label, nearest_other).
+    "emb_label_confusion" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val q = Tables.embeddings(s, d)
+          .select(col("label").as("own"), col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .withColumn("q", floor(col("x") * 1000000).cast("long"))
+        val cent = q.groupBy(col("own").as("c"), col("dim"))
+          .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        val dists = q.join(broadcast(cent), "dim")
+          .withColumn("t", dec(col("n")) * dec(col("q")) - dec(col("s")))
+          .groupBy("own", "vec_id", "c")
+          .agg(graft.functions.GraftFunctions.longDiv(
+            sum(col("t") * col("t")), dec(max("n")) * dec(max("n")))
+            .as("dist_q"))
+        val ownD = dists.filter(col("c") === col("own"))
+          .select(col("vec_id"), col("dist_q").as("own_dist"))
+        val wr = Window.partitionBy("vec_id").orderBy(col("dist_q"), col("c"))
+        val rival = dists.filter(col("c") =!= col("own"))
+          .withColumn("rk", row_number().over(wr)).filter(col("rk") === 1)
+          .select(col("own"), col("vec_id"), col("c").as("nearest_other"),
+            col("dist_q").as("other_dist"))
+        rival.join(ownD, "vec_id")
+          .groupBy(col("own").cast("long").as("label"),
+            col("nearest_other").cast("long").as("nearest_other"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("other_dist") < col("own_dist"), 1L).otherwise(0L))
+              .cast("long").as("n_confused"))
+          .orderBy("label", "nearest_other")
+      },
+      Some(
+        """WITH v AS (SELECT label AS own, vec_id, CAST(embedding AS DOUBLE[]) AS e
+          |           FROM embeddings),
+          |q AS (SELECT own, vec_id, g.i - 1 AS dim,
+          |    CAST(floor(e[g.i] * 1000000) AS BIGINT) AS q
+          |  FROM v CROSS JOIN LATERAL
+          |    (SELECT unnest(generate_series(1, len(e))) AS i) g),
+          |cent AS (SELECT own AS c, dim, CAST(sum(q) AS HUGEINT) AS s,
+          |    CAST(count(*) AS HUGEINT) AS n
+          |  FROM q GROUP BY 1, 2),
+          |dists AS (SELECT q.own, q.vec_id, cent.c,
+          |    CAST(sum((n * q - s) * (n * q - s)) // (max(n) * max(n)) AS BIGINT)
+          |      AS dist_q
+          |  FROM q JOIN cent ON cent.dim = q.dim
+          |  GROUP BY 1, 2, 3),
+          |own_d AS (SELECT vec_id, dist_q AS own_dist FROM dists WHERE c = own),
+          |rv AS (SELECT own, vec_id, c AS nearest_other, dist_q AS other_dist,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist_q, c) AS rk
+          |  FROM dists WHERE c <> own)
+          |SELECT CAST(own AS BIGINT) AS label,
+          |  CAST(nearest_other AS BIGINT) AS nearest_other,
+          |  count(*) AS n,
+          |  CAST(sum(CASE WHEN other_dist < own_dist THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_confused
+          |FROM rv JOIN own_d USING (vec_id)
+          |WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Customer dormancy census — recency segmentation off the corpus
+    // max order date (active <90 d, lapsing <365 d, else dormant):
+    // the churn-risk panel every retention program starts from. One
+    // customer-keyed last-order collapse + broadcast nation dim +
+    // 1-row anchor; exact day arithmetic.
+    "orders_dormancy" -> Q(
+      (s, d) => {
+        val last = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(max(to_date(col("o_orderdate"))).as("ld"))
+        val anchor = Tables.orders(s, d)
+          .agg(max(to_date(col("o_orderdate"))).as("mx"))
+        last
+          .join(Tables.customer(s, d).select(col("c_custkey").as("ck"),
+            col("c_nationkey")), "ck")
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+            "c_nationkey")
+          .crossJoin(broadcast(anchor))
+          .withColumn("rec_d", datediff(col("mx"), col("ld")).cast("long"))
+          .withColumn("bucket",
+            when(col("rec_d") < 90, "0_active")
+              .when(col("rec_d") < 365, "1_lapsing").otherwise("2_dormant"))
+          .groupBy(col("n_name").as("nation"), col("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_custs"),
+            max("rec_d").cast("long").as("max_recency_d"))
+          .orderBy("nation", "bucket")
+      },
+      Some(
+        """WITH l AS (SELECT o_custkey AS ck, max(CAST(o_orderdate AS DATE)) AS ld
+          |           FROM orders GROUP BY 1),
+          |mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+          |b AS (SELECT n_name AS nation,
+          |    CAST(datediff('day', ld, mx) AS BIGINT) AS rec_d
+          |  FROM l JOIN customer ON c_custkey = ck
+          |  JOIN nation ON n_nationkey = c_nationkey
+          |  CROSS JOIN mx)
+          |SELECT nation,
+          |  CASE WHEN rec_d < 90 THEN '0_active'
+          |       WHEN rec_d < 365 THEN '1_lapsing' ELSE '2_dormant' END AS bucket,
+          |  count(*) AS n_custs, CAST(max(rec_d) AS BIGINT) AS max_recency_d
+          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
