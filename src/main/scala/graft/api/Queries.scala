@@ -7750,7 +7750,142 @@ object Queries {
           |  CASE WHEN rec_d < 90 THEN '0_active'
           |       WHEN rec_d < 365 THEN '1_lapsing' ELSE '2_dormant' END AS bucket,
           |  count(*) AS n_custs, CAST(max(rec_d) AS BIGINT) AS max_recency_d
-          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Time-to-convert distribution — how long a purchase journey runs
+    // from its FIRST touch to the purchase that closes it (the latency
+    // complement of events_attribution_positional's credit view; same
+    // journey algebra). Purchases numbered by the running count,
+    // touches assigned journey rc+1, first-touch collapse and the
+    // purchase join both reuse the user partitioning — ONE corpus
+    // shuffle. Zero-touch journeys (back-to-back purchases) have no
+    // latency and drop out of the inner join, documented. Fixed
+    // integer buckets (<1m/<1h/<1d/≥1d — no float log).
+    "events_time_to_convert" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ev = Tables.events(s, d)
+          .withColumn("is_p", when(col("event_type") === "purchase", 1L)
+            .otherwise(0L))
+          .withColumn("rc", sum("is_p").over(wRun))
+        val firstTouch = ev.filter(col("is_p") === 0)
+          .groupBy(col("user_id"), (col("rc") + 1).as("journey"))
+          .agg(min("ts").as("fts"))
+        val purch = ev.filter(col("is_p") === 1)
+          .select(col("user_id"), col("rc").as("journey"), col("ts").as("pts"))
+        firstTouch.join(purch, Seq("user_id", "journey"))
+          .withColumn("gap_s",
+            expr("(unix_micros(pts) - unix_micros(fts)) div 1000000"))
+          .groupBy(
+            when(col("gap_s") < 60, "0_lt_1m").when(col("gap_s") < 3600, "1_lt_1h")
+              .when(col("gap_s") < 86400, "2_lt_1d").otherwise("3_ge_1d")
+              .as("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_journeys"),
+            sum("gap_s").cast("long").as("total_s"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH r AS (SELECT user_id, ts, event_id, event_type,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+          |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+          |  FROM events),
+          |ft AS (SELECT user_id, rc + 1 AS journey, min(ts) AS fts
+          |       FROM r WHERE is_p = 0 GROUP BY 1, 2),
+          |p AS (SELECT user_id, rc AS journey, ts AS pts FROM r WHERE is_p = 1),
+          |g AS (SELECT CAST(epoch_us(pts) - epoch_us(fts) AS BIGINT) // 1000000
+          |        AS gap_s
+          |      FROM ft JOIN p USING (user_id, journey))
+          |SELECT CASE WHEN gap_s < 60 THEN '0_lt_1m'
+          |    WHEN gap_s < 3600 THEN '1_lt_1h'
+          |    WHEN gap_s < 86400 THEN '2_lt_1d' ELSE '3_ge_1d' END AS bucket,
+          |  count(*) AS n_journeys, CAST(sum(gap_s) AS BIGINT) AS total_s
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Process-conformance census — which observed event transitions
+    // violate the declared lifecycle model (process mining's
+    // conformance checking, the data-quality twin of
+    // events_markov_transitions' descriptive matrix). The allowed set
+    // is an explicit shared whitelist (signup opens, view/click
+    // browse, purchase closes and restarts; error is never legal);
+    // per-user lag window, transition census with the violation flag.
+    // One user-keyed shuffle, linear.
+    "events_conformance" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val allowed = Seq(
+          "signup>view", "signup>click", "view>view", "view>click",
+          "view>purchase", "click>click", "click>view", "click>purchase",
+          "purchase>view", "purchase>signup")
+        Tables.events(s, d)
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("ok",
+            when(concat(col("prev"), lit(">"), col("event_type"))
+              .isin(allowed: _*), 1L).otherwise(0L))
+          .groupBy(col("prev"), col("event_type").as("cur"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            max(lit(1L) - col("ok")).cast("long").as("is_violation"))
+          .orderBy("prev", "cur")
+      },
+      Some(
+        """WITH t AS (SELECT event_type AS cur,
+          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS prev
+          |  FROM events),
+          |f AS (SELECT prev, cur,
+          |    CASE WHEN prev || '>' || cur IN ('signup>view', 'signup>click',
+          |      'view>view', 'view>click', 'view>purchase', 'click>click',
+          |      'click>view', 'click>purchase', 'purchase>view',
+          |      'purchase>signup') THEN 0 ELSE 1 END AS viol
+          |  FROM t WHERE prev IS NOT NULL)
+          |SELECT prev, cur, count(*) AS n,
+          |  CAST(max(viol) AS BIGINT) AS is_violation
+          |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Mean segmental type-token ratio (MSTTR) per source — the
+    // length-robust lexical-diversity standard (plain TTR collapses as
+    // docs grow; fixed 10-token segments make sources comparable):
+    // distinct types per full 10-token chunk, remainder dropped,
+    // mean ×1e6 in exact integers. One explode + a (doc, chunk)
+    // distinct collapse; chunk frames are corpus-token-bounded.
+    "text_msttr" -> Q(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t != '')").as("tk"))
+        toks.select(col("doc_id"), col("source"),
+            expr("size(tk) div 10").as("full_chunks"),
+            posexplode(col("tk")).as(Seq("pos", "w")))
+          .withColumn("chunk", expr("pos div 10"))
+          .filter(col("chunk") < col("full_chunks"))
+          .groupBy("source", "doc_id", "chunk")
+          .agg(countDistinct("w").as("types"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_chunks"),
+            sum("types").cast("long").as("n_types"))
+          .withColumn("msttr_x1e6",
+            expr("n_types * 1000000L div (n_chunks * 10L)"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH t AS (SELECT doc_id, source, list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |u AS (SELECT doc_id, source, len(tk) // 10 AS full_chunks,
+          |    (g.i - 1) // 10 AS chunk, tk[g.i] AS w
+          |  FROM t CROSS JOIN LATERAL
+          |    (SELECT unnest(generate_series(1, len(tk))) AS i) g),
+          |c AS (SELECT source, doc_id, chunk, count(DISTINCT w) AS types
+          |      FROM u WHERE chunk < full_chunks GROUP BY 1, 2, 3)
+          |SELECT source, count(*) AS n_chunks,
+          |  CAST(sum(types) AS BIGINT) AS n_types,
+          |  CAST(sum(types) * 1000000 // (count(*) * 10) AS BIGINT) AS msttr_x1e6
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
