@@ -7885,7 +7885,133 @@ object Queries {
           |SELECT source, count(*) AS n_chunks,
           |  CAST(sum(types) AS BIGINT) AS n_types,
           |  CAST(sum(types) * 1000000 // (count(*) * 10) AS BIGINT) AS msttr_x1e6
-          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Pareto coverage points — the "how many customers make p% of
+    // revenue" scalars behind the 80/20 rule (the crossing-point
+    // readout of stats_lorenz_deciles' full curve). Descending
+    // cumulative revenue WITHOUT a corpus-sized sort: the two-phase
+    // bucketedPrefixSum gives the ascending inclusive prefix, and
+    // cum_desc = T − prefix + rev converts it (tie order ck ASC maps
+    // to the oracle's rev DESC, ck DESC — stated there). A customer is
+    // needed for threshold p while the revenue ABOVE it (exclusive)
+    // still sits under p·T/100 — strict integer compare, no division.
+    "orders_pareto_coverage" -> Q(
+      (s, d) => {
+        val cust = Tables.orders(s, d)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("rev"))
+        val ranked = graft.ops.Stats.bucketedPrefixSum(cust, "rev", "ck", 1000L)
+        val tot = cust.agg(sum("rev").as("t"), count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("above_excl", col("t") - col("prefix"))
+          .select(col("above_excl"), col("t"), col("n"),
+            explode(expr("array(50L, 80L, 90L)")).as("p"))
+          .groupBy("p")
+          .agg(max("n").cast("long").as("n_custs"),
+            sum(when(col("above_excl") * 100 < col("p") * col("t"), 1L)
+              .otherwise(0L)).cast("long").as("n_top"))
+          .withColumn("cust_share_x1e6", expr("n_top * 1000000L div n_custs"))
+          .orderBy("p")
+      },
+      Some(
+        """WITH cust AS (SELECT o_custkey AS ck,
+          |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+          |  FROM orders GROUP BY 1),
+          |r AS (SELECT rev,
+          |    CAST(sum(rev) OVER (ORDER BY rev DESC, ck DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |      AS cum_desc
+          |  FROM cust),
+          |t AS (SELECT CAST(sum(rev) AS BIGINT) AS t, count(*) AS n FROM cust),
+          |e AS (SELECT cum_desc - rev AS above_excl, t, n, p
+          |      FROM r CROSS JOIN t CROSS JOIN (SELECT unnest([50, 80, 90]) AS p))
+          |SELECT CAST(p AS BIGINT) AS p, CAST(max(n) AS BIGINT) AS n_custs,
+          |  CAST(sum(CASE WHEN above_excl * 100 < p * t THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_top,
+          |  CAST(sum(CASE WHEN above_excl * 100 < p * t THEN 1 ELSE 0 END)
+          |    * 1000000 // max(n) AS BIGINT) AS cust_share_x1e6
+          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // 4-4-5 fiscal calendar rollup — retail's week-aligned reporting
+    // calendar (periods of 4, 4, 5 weeks per quarter; comparable
+    // same-weekday periods, unlike Gregorian months). Fiscal epoch =
+    // the corpus min order date (broadcast 1-row anchor, documented);
+    // everything is exact integer week arithmetic off the day diff —
+    // no engine date-convention in the gate. One collapse shuffle.
+    "date_fiscal_445" -> Q(
+      (s, d) => {
+        val mn = Tables.orders(s, d)
+          .agg(min(to_date(col("o_orderdate"))).as("mnd"))
+        Tables.orders(s, d)
+          .crossJoin(broadcast(mn))
+          .withColumn("wk",
+            expr("CAST(datediff(to_date(o_orderdate), mnd) AS BIGINT) div 7"))
+          .withColumn("fy", expr("wk div 52"))
+          .withColumn("wiy", expr("wk % 52"))
+          .withColumn("fq", expr("wiy div 13 + 1"))
+          .withColumn("wiq", expr("wiy % 13"))
+          .withColumn("period",
+            when(col("wiq") < 4, 1L).when(col("wiq") < 8, 2L).otherwise(3L))
+          .groupBy("fy", "fq", "period")
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).cast("long")
+              .as("rev"))
+          .orderBy("fy", "fq", "period")
+      },
+      Some(
+        """WITH mn AS (SELECT min(CAST(o_orderdate AS DATE)) AS mnd FROM orders),
+          |w AS (SELECT CAST(datediff('day', mnd, CAST(o_orderdate AS DATE))
+          |        AS BIGINT) // 7 AS wk,
+          |    CAST(floor(o_totalprice) AS BIGINT) AS rev
+          |  FROM orders CROSS JOIN mn),
+          |f AS (SELECT wk // 52 AS fy, (wk % 52) // 13 + 1 AS fq,
+          |    CASE WHEN wk % 52 % 13 < 4 THEN 1
+          |         WHEN wk % 52 % 13 < 8 THEN 2 ELSE 3 END AS period, rev
+          |  FROM w)
+          |SELECT fy, fq, CAST(period AS BIGINT) AS period,
+          |  count(*) AS n_orders, CAST(sum(rev) AS BIGINT) AS rev
+          |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Error-budget burn — the SRE readout over the event log: daily
+    // error rate against a 1% budget (strict integer compare), with
+    // the running count of budget-violating days. The corpus collapses
+    // to the calendar-bounded day frame first; the only global window
+    // runs on that tiny frame (the stats_max_drawdown discipline).
+    "events_error_budget" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val day = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("dy"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("n_err"))
+          .withColumn("over", when(col("n_err") * 100 > col("n"), 1L)
+            .otherwise(0L))
+        val w = Window.orderBy("dy")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        day.withColumn("burn_days", sum("over").over(w).cast("long"))
+          .select(date_format(col("dy"), "yyyy-MM-dd").as("day"),
+            col("n").cast("long").as("n"),
+            col("n_err").cast("long").as("n_err"),
+            expr("n_err * 1000000L div n").as("err_rate_x1e6"),
+            col("over").cast("long").as("over_budget"), col("burn_days"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH d AS (SELECT CAST(ts AS DATE) AS dy, count(*) AS n,
+          |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS n_err
+          |  FROM events GROUP BY 1),
+          |o AS (SELECT dy, n, n_err,
+          |    CASE WHEN n_err * 100 > n THEN 1 ELSE 0 END AS over FROM d)
+          |SELECT strftime(dy, '%Y-%m-%d') AS day, n, n_err,
+          |  CAST(n_err * 1000000 // n AS BIGINT) AS err_rate_x1e6,
+          |  CAST(over AS BIGINT) AS over_budget,
+          |  CAST(sum(over) OVER (ORDER BY dy
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS burn_days
+          |FROM o ORDER BY day""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
