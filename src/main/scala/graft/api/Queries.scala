@@ -8011,7 +8011,157 @@ object Queries {
           |  CAST(sum(over) OVER (ORDER BY dy
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           |    AS burn_days
-          |FROM o ORDER BY day""".stripMargin))
+          |FROM o ORDER BY day""".stripMargin)),
+
+    // Classical additive seasonal decomposition (STL-lite): the
+    // centered 7-day moving sum is the trend (×7 so no division enters
+    // the frame), detrended = 7·y − trend_sum, and the day-of-week
+    // seasonal component is the mean detrended value per dow —
+    // sign-factored ×1e3 floors only at the final readout. dow from
+    // (epochDays+4) mod 7 (the heatmap discipline — engine date
+    // conventions never enter the gate); complete 7-day windows only.
+    // The corpus collapses to the calendar-bounded day frame first; the
+    // centered window runs on that tiny frame.
+    "date_seasonal_decompose" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val day = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("dy"))
+          .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("y"))
+        val w = Window.orderBy("dy").rowsBetween(-3, 3)
+        day
+          .withColumn("tsum", sum("y").over(w))
+          .withColumn("wn", count(lit(1)).over(w))
+          .filter(col("wn") === 7)
+          .withColumn("detr7", col("y") * 7 - col("tsum"))
+          .groupBy(expr(
+            "(datediff(dy, to_date('1970-01-01')) + 4) % 7").cast("long")
+            .as("dow"))
+          .agg(count(lit(1)).cast("long").as("n_days"),
+            sum("detr7").cast("long").as("detr7_sum"))
+          .withColumn("seasonal_x1e3",
+            when(col("detr7_sum") >= 0,
+              expr("detr7_sum * 1000L div (7L * n_days)"))
+              .otherwise(-expr("(-detr7_sum) * 1000L div (7L * n_days)"))
+              .cast("long"))
+          .orderBy("dow")
+      },
+      Some(
+        """WITH day AS (SELECT CAST(o_orderdate AS DATE) AS dy,
+          |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+          |  FROM orders GROUP BY 1),
+          |t AS (SELECT dy, y,
+          |    CAST(sum(y) OVER (ORDER BY dy ROWS BETWEEN 3 PRECEDING AND 3
+          |      FOLLOWING) AS BIGINT) AS tsum,
+          |    count(*) OVER (ORDER BY dy ROWS BETWEEN 3 PRECEDING AND 3
+          |      FOLLOWING) AS wn
+          |  FROM day),
+          |dt AS (SELECT (datediff('day', DATE '1970-01-01', dy) + 4) % 7 AS dow,
+          |    y * 7 - tsum AS detr7
+          |  FROM t WHERE wn = 7)
+          |SELECT CAST(dow AS BIGINT) AS dow, count(*) AS n_days,
+          |  CAST(sum(detr7) AS BIGINT) AS detr7_sum,
+          |  CAST(CASE WHEN sum(detr7) >= 0
+          |    THEN sum(detr7) * 1000 // (7 * count(*))
+          |    ELSE -((-sum(detr7)) * 1000 // (7 * count(*))) END AS BIGINT)
+          |    AS seasonal_x1e3
+          |FROM dt GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Quality×duplication interaction — "are duplicates lower-quality
+    // documents?", the 2×2 census that decides whether dedup and
+    // quality filtering are redundant or complementary gates (if dups
+    // were uniformly low quality, the quality gate would subsume
+    // dedup). Shares the exact-plant corpus and the SAME quality /
+    // fingerprint fragments as the dedup and curation oracles; odds
+    // ratio cross-multiplied, nullif-guarded. One scan + one fp-keyed
+    // family join.
+    "pipeline_quality_dup_matrix" -> Q(
+      (s, d) => {
+        val sf = graft.ops.TextOps.scoreFrame(plantedDocs(s, d, exact = true))
+        val t = sf.select(col("doc_id"),
+          graft.ops.TextOps.qualityFromCounts(col("n_tokens"), col("n_punct"),
+            col("s_en")).as("quality"),
+          col("fp"))
+        val fam = t.groupBy("fp").agg(count(lit(1)).as("fn"))
+        t.join(fam, "fp")
+          .select(when(col("quality") >= 7000, 1L).otherwise(0L).as("hq"),
+            when(col("fn") > 1, 1L).otherwise(0L).as("dup"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("hq") === 1 && col("dup") === 0, 1L).otherwise(0L))
+              .cast("long").as("hq_clean"),
+            sum(when(col("hq") === 1 && col("dup") === 1, 1L).otherwise(0L))
+              .cast("long").as("hq_dup"),
+            sum(when(col("hq") === 0 && col("dup") === 0, 1L).otherwise(0L))
+              .cast("long").as("lq_clean"),
+            sum(when(col("hq") === 0 && col("dup") === 1, 1L).otherwise(0L))
+              .cast("long").as("lq_dup"))
+          .withColumn("odds_x1e6", expr(
+            "CAST(CAST(hq_dup AS DECIMAL(38,0)) * lq_clean * 1000000 div nullif(CAST(hq_clean AS DECIMAL(38,0)) * lq_dup, 0) AS BIGINT)"))
+      },
+      Some(TextSql.qualityDupMatrix(minQuality = 7000))),
+
+    // Rich-club coefficient — do the highest-degree parts also
+    // co-occur with EACH OTHER (φ = realized fraction of possible
+    // rich-rich edges)? The hub-interconnection scalar complementing
+    // graph_assortativity's global correlation. Rich set = degree ≥ 8
+    // on the support-pruned co-order graph (fixed documented
+    // threshold); everything past the shared e0 derivation runs on
+    // edge-count-sized frames with the rich set broadcast.
+    "graph_rich_club" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val e0 = graft.ops.Basket.coOrderEdges(Tables.lineitem(s, d), minSupport = 2)
+          .select("pa", "pb").localCheckpoint(true)
+        val deg = e0.select(col("pa").as("v"))
+          .unionByName(e0.select(col("pb").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val rich = deg.filter(col("deg") >= 8).select("v")
+        val eRich = e0
+          .join(broadcast(rich.withColumnRenamed("v", "pa")), Seq("pa"), "left_semi")
+          .join(broadcast(rich.withColumnRenamed("v", "pb")), Seq("pb"), "left_semi")
+          .agg(count(lit(1)).as("e_rich"))
+        val tot = e0.agg(count(lit(1)).as("n_edges"))
+        val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+        val nRich = rich.agg(count(lit(1)).as("n_rich"))
+        nodes.crossJoin(broadcast(tot)).crossJoin(broadcast(nRich))
+          .crossJoin(broadcast(eRich))
+          .select(col("n_nodes").cast("long").as("n_nodes"),
+            col("n_edges").cast("long").as("n_edges"),
+            col("n_rich").cast("long").as("n_rich"),
+            col("e_rich").cast("long").as("e_rich"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(col("e_rich")) * dec(lit(2000000L)),
+              nullif(dec(col("n_rich")) * (dec(col("n_rich")) - 1),
+                dec(lit(0L)))).cast("long").as("phi_x1e6"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(col("n_edges")) * dec(lit(2000000L)),
+              nullif(dec(col("n_nodes")) * (dec(col("n_nodes")) - 1),
+                dec(lit(0L)))).cast("long").as("density_x1e6"))
+      },
+      Some(
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+          |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |deg AS (SELECT v, count(*) AS deg FROM
+          |        (SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY 1),
+          |rich AS (SELECT v FROM deg WHERE deg >= 8),
+          |er AS (SELECT count(*) AS e_rich FROM e0
+          |       WHERE pa IN (SELECT v FROM rich) AND pb IN (SELECT v FROM rich)),
+          |c AS (SELECT (SELECT count(*) FROM deg) AS n_nodes,
+          |    (SELECT count(*) FROM e0) AS n_edges,
+          |    (SELECT count(*) FROM rich) AS n_rich,
+          |    (SELECT e_rich FROM er) AS e_rich)
+          |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+          |  CAST(n_edges AS BIGINT) AS n_edges,
+          |  CAST(n_rich AS BIGINT) AS n_rich, CAST(e_rich AS BIGINT) AS e_rich,
+          |  CAST(CAST(e_rich AS HUGEINT) * 2000000
+          |    // nullif(CAST(n_rich AS HUGEINT) * (n_rich - 1), 0) AS BIGINT)
+          |    AS phi_x1e6,
+          |  CAST(CAST(n_edges AS HUGEINT) * 2000000
+          |    // nullif(CAST(n_nodes AS HUGEINT) * (n_nodes - 1), 0) AS BIGINT)
+          |    AS density_x1e6
+          |FROM c""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

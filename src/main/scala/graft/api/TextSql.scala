@@ -336,6 +336,31 @@ object TextSql {
        |  SELECT doc_id + 100000, $text, source, lang FROM documents WHERE doc_id < 50)""".stripMargin
   }
 
+  /** Quality×duplication 2×2 interaction over the exact-plant corpus
+    * (mirrors Queries `pipeline_quality_dup_matrix`): cells share the
+    * SAME quality and fingerprint fragments as stats/curation, odds
+    * ratio cross-multiplied exactly.
+    */
+  def qualityDupMatrix(minQuality: Long = 7000): String =
+    s"""WITH ${plantCte(exact = true)},
+       |s AS (SELECT doc_id, text, $scoreCols FROM docs),
+       |t AS (SELECT doc_id, $qualityExpr AS quality, $fpExpr AS fp FROM s),
+       |fam AS (SELECT fp, count(*) AS fn FROM t GROUP BY 1),
+       |cell AS (SELECT CASE WHEN quality >= $minQuality THEN 1 ELSE 0 END AS hq,
+       |    CASE WHEN fn > 1 THEN 1 ELSE 0 END AS dup
+       |  FROM t JOIN fam USING (fp)),
+       |c AS (SELECT count(*) AS n,
+       |    CAST(sum(CASE WHEN hq = 1 AND dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hq_clean,
+       |    CAST(sum(CASE WHEN hq = 1 AND dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hq_dup,
+       |    CAST(sum(CASE WHEN hq = 0 AND dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lq_clean,
+       |    CAST(sum(CASE WHEN hq = 0 AND dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lq_dup
+       |  FROM cell)
+       |SELECT n, hq_clean, hq_dup, lq_clean, lq_dup,
+       |  CAST(CAST(hq_dup AS HUGEINT) * lq_clean * 1000000
+       |    // nullif(CAST(hq_clean AS HUGEINT) * lq_dup, 0) AS BIGINT)
+       |    AS odds_x1e6
+       |FROM c""".stripMargin
+
   val dedupExact: String =
     s"""WITH ${plantCte(exact = true)}
        |SELECT fp, count(*) AS n, min(doc_id) AS canonical_id
