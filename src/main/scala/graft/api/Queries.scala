@@ -8161,7 +8161,159 @@ object Queries {
           |  CAST(CAST(n_edges AS HUGEINT) * 2000000
           |    // nullif(CAST(n_nodes AS HUGEINT) * (n_nodes - 1), 0) AS BIGINT)
           |    AS density_x1e6
-          |FROM c""".stripMargin))
+          |FROM c""".stripMargin)),
+
+    // Unicode NFC normalization audit — the canonical-composition pass
+    // every tokenizer runs first (decomposed "e"+U+0301 and precomposed
+    // "é" must not become two vocab entries). Normalization via the
+    // codegen NfcNormalizeExpr (UAX #15, mirroring DuckDB's
+    // nfc_normalize exactly); the corpus is ASCII so decomposed-accent
+    // variants of docs 0-39 are planted under doc_id+600000 (the plant
+    // discipline). Census: denormalized docs + code points saved per
+    // source. ONE codegen scan.
+    "text_unicode_nfc_audit" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val plants = base.filter(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 600000)
+          .withColumn("text", concat(lit("re\u0301sume\u0301 nai\u0308ve "),
+            substring(col("text"), 1, 40)))
+        base.unionByName(plants)
+          .select(col("source"), col("text"),
+            graft.functions.NfcNormalizeExpr(col("text")).as("nfc"))
+          .select(col("source"),
+            when(col("text") =!= col("nfc"), 1L).otherwise(0L).as("denorm"),
+            (length(col("text")) - length(col("nfc"))).cast("long").as("saved"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("denorm").cast("long").as("n_denorm"),
+            sum("saved").cast("long").as("cp_saved"))
+          .withColumn("denorm_rate_x1e6", expr("n_denorm * 1000000L div n_docs"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT source, text FROM documents
+          |  UNION ALL
+          |  SELECT source, 're' || chr(769) || 'sume' || chr(769) || ' nai'
+          |      || chr(776) || 've ' || substring(text, 1, 40) AS text
+          |  FROM documents WHERE doc_id < 40),
+          |f AS (SELECT source, text, nfc_normalize(text) AS nfc FROM docs)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN text <> nfc THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_denorm,
+          |  CAST(sum(length(text) - length(nfc)) AS BIGINT) AS cp_saved,
+          |  CAST(sum(CASE WHEN text <> nfc THEN 1 ELSE 0 END) * 1000000
+          |    // count(*) AS BIGINT) AS denorm_rate_x1e6
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Two-proportion A/B z² — THE experimentation statistic: purchase
+    // conversion of the even-user cohort vs the odd (deterministic
+    // assignment stands in for the experiment flag). z² =
+    // (a·n₂ − b·n₁)²·N / (n₁·n₂·T·(N−T)) keeps every operand integral
+    // (pooled-variance z-test, z² ~ χ²(1) so significance reads off
+    // the same table as stats_chi2_segments). One user-grain collapse
+    // then a 2-row frame.
+    "stats_ab_test" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val u = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+          .withColumn("grp", (col("user_id") % 2 === 0).cast("int"))
+        val g = u.groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum("conv").as("a"))
+        g.agg(
+            max(when(col("grp") === 1, col("n"))).as("n1"),
+            max(when(col("grp") === 1, col("a"))).as("a1"),
+            max(when(col("grp") === 0, col("n"))).as("n2"),
+            max(when(col("grp") === 0, col("a"))).as("a2"))
+          .select(col("n1").cast("long").as("n_even"),
+            col("a1").cast("long").as("conv_even"),
+            col("n2").cast("long").as("n_odd"),
+            col("a2").cast("long").as("conv_odd"),
+            graft.functions.GraftFunctions.longDiv(
+              (dec(col("a1")) * dec(col("n2")) - dec(col("a2")) * dec(col("n1")))
+                * (dec(col("a1")) * dec(col("n2")) - dec(col("a2")) * dec(col("n1")))
+                * (dec(col("n1")) + dec(col("n2"))) * dec(lit(1000000L)),
+              nullif(dec(col("n1")) * dec(col("n2"))
+                * (dec(col("a1")) + dec(col("a2")))
+                * (dec(col("n1")) + dec(col("n2")) - dec(col("a1")) - dec(col("a2"))),
+                dec(lit(0L)))).cast("long").as("z2_x1e6"))
+      },
+      Some(
+        """WITH u AS (SELECT user_id,
+          |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+          |  FROM events GROUP BY 1),
+          |g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp,
+          |    count(*) AS n, CAST(sum(conv) AS HUGEINT) AS a
+          |  FROM u GROUP BY 1),
+          |c AS (SELECT
+          |    max(CASE WHEN grp = 1 THEN n END) AS n1,
+          |    max(CASE WHEN grp = 1 THEN a END) AS a1,
+          |    max(CASE WHEN grp = 0 THEN n END) AS n2,
+          |    max(CASE WHEN grp = 0 THEN a END) AS a2
+          |  FROM g)
+          |SELECT CAST(n1 AS BIGINT) AS n_even, CAST(a1 AS BIGINT) AS conv_even,
+          |  CAST(n2 AS BIGINT) AS n_odd, CAST(a2 AS BIGINT) AS conv_odd,
+          |  CAST((a1 * n2 - a2 * n1) * (a1 * n2 - a2 * n1)
+          |      * (CAST(n1 AS HUGEINT) + n2) * 1000000
+          |    // nullif(CAST(n1 AS HUGEINT) * n2 * (a1 + a2)
+          |      * (n1 + n2 - a1 - a2), 0) AS BIGINT) AS z2_x1e6
+          |FROM c""".stripMargin)),
+
+    // Charset/ingest-artifact audit — control characters, replacement
+    // characters (U+FFFD, the mojibake tombstone), and non-ASCII share
+    // per source: the first OCR/encoding triage every crawl ingest
+    // runs. Planted artifacts under doc_id+700000 prove the counters.
+    // ONE codegen scan (regexp strips + lengths).
+    "text_charset_audit" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val plants = base.filter(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 700000)
+          .withColumn("text", concat(lit("bad\u0001ctl \ufffd\ufffd "),
+            substring(col("text"), 1, 40)))
+        base.unionByName(plants)
+          .select(col("source"),
+            (length(col("text")) - length(regexp_replace(col("text"),
+              "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""))).as("n_ctl"),
+            (length(col("text")) - length(regexp_replace(col("text"),
+              "\uFFFD", ""))).as("n_repl"),
+            (length(col("text")) - length(regexp_replace(col("text"),
+              "[^\\x00-\\x7f]", ""))).as("n_nonascii"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("n_ctl") > 0 || col("n_repl") > 0, 1L).otherwise(0L))
+              .cast("long").as("n_artifact_docs"),
+            sum("n_ctl").cast("long").as("ctl_chars"),
+            sum("n_repl").cast("long").as("repl_chars"),
+            sum("n_nonascii").cast("long").as("nonascii_chars"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT source, text FROM documents
+          |  UNION ALL
+          |  SELECT source, 'bad' || chr(1) || 'ctl ' || chr(65533) || chr(65533)
+          |      || ' ' || substring(text, 1, 40) AS text
+          |  FROM documents WHERE doc_id < 40),
+          |f AS (SELECT source,
+          |    length(text) - length(regexp_replace(text,
+          |      '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS n_ctl,
+          |    length(text) - length(regexp_replace(text, chr(65533), '', 'g'))
+          |      AS n_repl,
+          |    length(text) - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))
+          |      AS n_nonascii
+          |  FROM docs)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN n_ctl > 0 OR n_repl > 0 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_artifact_docs,
+          |  CAST(sum(n_ctl) AS BIGINT) AS ctl_chars,
+          |  CAST(sum(n_repl) AS BIGINT) AS repl_chars,
+          |  CAST(sum(n_nonascii) AS BIGINT) AS nonascii_chars
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
