@@ -8313,7 +8313,170 @@ object Queries {
           |  CAST(sum(n_ctl) AS BIGINT) AS ctl_chars,
           |  CAST(sum(n_repl) AS BIGINT) AS repl_chars,
           |  CAST(sum(n_nonascii) AS BIGINT) AS nonascii_chars
-          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bot-user detection census — the traffic-cleaning rule pair every
+    // event pipeline runs before analytics: single-hour burst (≥ 20
+    // events in one clock hour) OR type dominance (one event type ≥
+    // 90% of an n ≥ 10 user's events). The organic corpus is
+    // bot-free, so a deterministic 300-clicks-in-one-hour bot is
+    // planted as user 9000001 (epoch-micro arithmetic both engines).
+    // Three user-prefixed collapses, exact integer rules.
+    "events_bot_users" -> Q(
+      (s, d) => {
+        val planted = s.range(300).select(
+          (col("id") + 5000000L).as("event_id"),
+          expr("timestamp_micros(1704067200000000L + id * 1000000L)").as("ts"),
+          lit(9000001L).as("user_id"),
+          lit("click").as("event_type"))
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type")
+          .unionByName(planted)
+        val burst = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")))
+          .agg(count(lit(1)).as("hn"))
+          .groupBy("user_id").agg(max("hn").as("burst"))
+        val dom = ev.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("tn"))
+          .groupBy("user_id")
+          .agg(sum("tn").as("n"), max("tn").as("mx"))
+        dom.join(burst, "user_id")
+          .select(
+            when(col("burst") >= 20, 1L).otherwise(0L).as("b_rule"),
+            when(col("n") >= 10 && col("mx") * 10 >= col("n") * 9, 1L)
+              .otherwise(0L).as("d_rule"))
+          .agg(count(lit(1)).cast("long").as("n_users"),
+            sum(when(col("b_rule") + col("d_rule") > 0, 1L).otherwise(0L))
+              .cast("long").as("n_bots"),
+            sum(when(col("b_rule") === 1 && col("d_rule") === 0, 1L)
+              .otherwise(0L)).cast("long").as("burst_only"),
+            sum(when(col("b_rule") === 0 && col("d_rule") === 1, 1L)
+              .otherwise(0L)).cast("long").as("dom_only"),
+            sum(when(col("b_rule") === 1 && col("d_rule") === 1, 1L)
+              .otherwise(0L)).cast("long").as("both_rules"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT event_id, ts, user_id, event_type FROM events
+          |  UNION ALL
+          |  SELECT 5000000 + i, make_timestamp(1704067200000000 + i * 1000000),
+          |    9000001, 'click'
+          |  FROM (SELECT unnest(generate_series(0, 299)) AS i)),
+          |b AS (SELECT user_id, max(hn) AS burst FROM (
+          |    SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS hn
+          |    FROM ev GROUP BY 1, 2) GROUP BY 1),
+          |t AS (SELECT user_id, CAST(sum(tn) AS BIGINT) AS n,
+          |    CAST(max(tn) AS BIGINT) AS mx FROM (
+          |    SELECT user_id, event_type, count(*) AS tn FROM ev GROUP BY 1, 2)
+          |  GROUP BY 1),
+          |r AS (SELECT
+          |    CASE WHEN burst >= 20 THEN 1 ELSE 0 END AS b_rule,
+          |    CASE WHEN n >= 10 AND mx * 10 >= n * 9 THEN 1 ELSE 0 END AS d_rule
+          |  FROM t JOIN b USING (user_id))
+          |SELECT count(*) AS n_users,
+          |  CAST(sum(CASE WHEN b_rule + d_rule > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_bots,
+          |  CAST(sum(CASE WHEN b_rule = 1 AND d_rule = 0 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS burst_only,
+          |  CAST(sum(CASE WHEN b_rule = 0 AND d_rule = 1 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS dom_only,
+          |  CAST(sum(CASE WHEN b_rule = 1 AND d_rule = 1 THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS both_rules
+          |FROM r""".stripMargin)),
+
+    // Supplier scorecard — the procurement panel: per-supplier revenue,
+    // line volume, and 30-day on-time-ship rate, ranked within nation
+    // (top 3 per nation). One fact-fact keyed join (lineitem ⋈ orders
+    // on orderkey) + a supplier-grain collapse; the ranking window runs
+    // on the supplier-sized frame partitioned by nation.
+    "supplier_scorecard" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            to_date(col("o_orderdate")).as("od")), "l_orderkey")
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(expr("CAST(floor(l_extendedprice) AS BIGINT)")).as("rev"),
+            sum(when(datediff(to_date(col("l_shipdate")), col("od")) <= 30, 1L)
+              .otherwise(0L)).as("on_time"))
+        val sc = li.join(Tables.supplier(s, d)
+            .select(col("s_suppkey").as("suppkey"), col("s_nationkey")), "suppkey")
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+            "s_nationkey")
+        val w = Window.partitionBy("n_name").orderBy(desc("rev"), col("suppkey"))
+        sc.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("n_name").as("nation"), col("rk").cast("long").as("rk"),
+            col("suppkey").cast("long").as("suppkey"),
+            col("n_lines").cast("long").as("n_lines"),
+            col("rev").cast("long").as("rev"),
+            expr("on_time * 1000000L div n_lines").as("ontime_x1e6"))
+          .orderBy("nation", "rk")
+      },
+      Some(
+        """WITH li AS (SELECT l_suppkey AS suppkey, count(*) AS n_lines,
+          |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS rev,
+          |    CAST(sum(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+          |        CAST(l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS on_time
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          |  GROUP BY 1),
+          |sc AS (SELECT n_name, suppkey, n_lines, rev, on_time,
+          |    row_number() OVER (PARTITION BY n_name ORDER BY rev DESC, suppkey)
+          |      AS rk
+          |  FROM li JOIN supplier ON s_suppkey = suppkey
+          |  JOIN nation ON n_nationkey = s_nationkey)
+          |SELECT n_name AS nation, CAST(rk AS BIGINT) AS rk,
+          |  CAST(suppkey AS BIGINT) AS suppkey, n_lines, rev,
+          |  CAST(on_time * 1000000 // n_lines AS BIGINT) AS ontime_x1e6
+          |FROM sc WHERE rk <= 3 ORDER BY nation, rk""".stripMargin)),
+
+    // Capture–recapture vocabulary estimate (Chapman's Lincoln–Petersen)
+    // — the mark-recapture estimator applied to corpus vocabulary: the
+    // even-doc vocab "marks" words, the odd-doc vocab "recaptures"
+    // them, N̂ = (n₁+1)(n₂+1)/(m+1) − 1. At 100 TB this is how you
+    // estimate total distinct count from two partitions WITHOUT a
+    // global distinct — the estimator itself is the scale story; the
+    // exact corpus-wide count rides along here (testable at these SFs)
+    // to expose the estimator's bias. ONE explode + a word collapse.
+    "text_capture_recapture" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val w = Tables.documents(s, d)
+          .select((col("doc_id") % 2 === 0).as("even"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')"))
+              .as("w"))
+          .groupBy("w")
+          .agg(max(when(col("even"), 1L).otherwise(0L)).as("in_even"),
+            max(when(!col("even"), 1L).otherwise(0L)).as("in_odd"))
+        w.agg(sum("in_even").as("n1"), sum("in_odd").as("n2"),
+            sum(col("in_even") * col("in_odd")).as("m"),
+            count(lit(1)).as("actual"))
+          .select(col("n1").cast("long").as("n1"),
+            col("n2").cast("long").as("n2"),
+            col("m").cast("long").as("m"),
+            col("actual").cast("long").as("actual_vocab"),
+            (graft.functions.GraftFunctions.longDiv(
+              (dec(col("n1")) + 1) * (dec(col("n2")) + 1),
+              dec(col("m")) + 1) - 1).cast("long").as("chapman_est"))
+      },
+      Some(
+        """WITH w AS (SELECT w,
+          |    max(CASE WHEN even THEN 1 ELSE 0 END) AS in_even,
+          |    max(CASE WHEN even THEN 0 ELSE 1 END) AS in_odd
+          |  FROM (SELECT doc_id % 2 = 0 AS even,
+          |      unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |        x -> x <> '')) AS w
+          |    FROM documents)
+          |  GROUP BY 1)
+          |SELECT CAST(sum(in_even) AS BIGINT) AS n1,
+          |  CAST(sum(in_odd) AS BIGINT) AS n2,
+          |  CAST(sum(in_even * in_odd) AS BIGINT) AS m,
+          |  count(*) AS actual_vocab,
+          |  CAST((CAST(sum(in_even) AS HUGEINT) + 1) * (sum(in_odd) + 1)
+          |    // (sum(in_even * in_odd) + 1) - 1 AS BIGINT) AS chapman_est
+          |FROM w""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
