@@ -8476,7 +8476,129 @@ object Queries {
           |  count(*) AS actual_vocab,
           |  CAST((CAST(sum(in_even) AS HUGEINT) + 1) * (sum(in_odd) + 1)
           |    // (sum(in_even * in_odd) + 1) - 1 AS BIGINT) AS chapman_est
-          |FROM w""".stripMargin))
+          |FROM w""".stripMargin)),
+
+    // Rolling-median (median filter) of daily revenue — the robust
+    // smoother that kills single-day spikes a moving average smears
+    // (the windowed twin of stats_max_drawdown's running extremes):
+    // exact 7-day median = 4th smallest of the complete window,
+    // engine-invariant (both sides sort the same 7 integers). The
+    // corpus collapses to the day frame first; the window runs there.
+    "date_rolling_median" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val day = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("dy"))
+          .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("y"))
+        val w = Window.orderBy("dy").rowsBetween(-3, 3)
+        day
+          .withColumn("arr", collect_list("y").over(w))
+          .filter(size(col("arr")) === 7)
+          .select(date_format(col("dy"), "yyyy-MM-dd").as("day"),
+            col("y").cast("long").as("y"),
+            element_at(sort_array(col("arr")), 4).cast("long").as("med7"))
+          .withColumn("dev", (col("y") - col("med7")).cast("long"))
+          .orderBy("day")
+      },
+      Some(
+        """WITH day AS (SELECT CAST(o_orderdate AS DATE) AS dy,
+          |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+          |  FROM orders GROUP BY 1),
+          |t AS (SELECT dy, y,
+          |    array_agg(y) OVER (ORDER BY dy ROWS BETWEEN 3 PRECEDING AND 3
+          |      FOLLOWING) AS arr
+          |  FROM day)
+          |SELECT strftime(dy, '%Y-%m-%d') AS day, y,
+          |  CAST(list_sort(arr)[4] AS BIGINT) AS med7,
+          |  CAST(y - list_sort(arr)[4] AS BIGINT) AS dev
+          |FROM t WHERE len(arr) = 7 ORDER BY day""".stripMargin)),
+
+    // Top purchase paths — the 3-step sequence census behind "how do
+    // users actually reach checkout" (the path-mining readout one level
+    // deeper than events_markov_transitions' single-step matrix): for
+    // every purchase with two preceding same-user events, the
+    // (prev2 > prev1 > purchase) path string, top 10 by count. One
+    // user-keyed window shuffle.
+    "events_top_paths" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("p1", lag("event_type", 1).over(w))
+          .withColumn("p2", lag("event_type", 2).over(w))
+          .filter(col("event_type") === "purchase"
+            && col("p1").isNotNull && col("p2").isNotNull)
+          .groupBy(concat(col("p2"), lit(">"), col("p1"), lit(">purchase"))
+            .as("path"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy(desc("n"), asc("path")).limit(10)
+      },
+      Some(
+        """WITH t AS (SELECT event_type,
+          |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS p1,
+          |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS p2
+          |  FROM events)
+          |SELECT p2 || '>' || p1 || '>purchase' AS path, count(*) AS n
+          |FROM t
+          |WHERE event_type = 'purchase' AND p1 IS NOT NULL AND p2 IS NOT NULL
+          |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    // Aspect-ratio bucketing — the SDXL-style batching assignment for
+    // image training (variable-aspect images batch only within a
+    // bucket; assignment quality decides crop waste): each asset goes
+    // to the bucket minimizing the exact cross-multiplied aspect error
+    // |w·bh − h·bw|·1e6/(w·bh), ties by bucket order. The bucket set is
+    // a broadcast 5-row frame; the per-asset argmin is a window over
+    // the ×5 fan-out. Census per bucket with mean relative error.
+    "multimodal_aspect_buckets" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val assets = graft.ops.Multimodal
+          .assetsFromDocuments(Tables.documents(s, d)).toDF()
+          .select(col("asset_id"), col("meta.width").as("w"),
+            col("meta.height").as("h"))
+        val buckets = s.createDataFrame(Seq(
+          (0L, "1:1", 1L, 1L), (1L, "4:3", 4L, 3L), (2L, "3:4", 3L, 4L),
+          (3L, "16:9", 16L, 9L), (4L, "9:16", 9L, 16L)))
+          .toDF("bidx", "bucket", "bw", "bh")
+        val wr = Window.partitionBy("asset_id")
+          .orderBy(col("err_x1e6"), col("bidx"))
+        assets.crossJoin(broadcast(buckets))
+          .withColumn("err_x1e6", graft.functions.GraftFunctions.longDiv(
+            abs(dec(col("w")) * dec(col("bh")) - dec(col("h")) * dec(col("bw")))
+              * dec(lit(1000000L)),
+            dec(col("w")) * dec(col("bh"))).cast("long"))
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") === 1)
+          .groupBy("bucket")
+          .agg(count(lit(1)).cast("long").as("n_assets"),
+            sum("err_x1e6").cast("long").as("err_sum_x1e6"))
+          .withColumn("mean_err_x1e6", expr("err_sum_x1e6 div n_assets"))
+          .orderBy("bucket")
+      },
+      Some(
+        """WITH a AS (SELECT doc_id AS asset_id,
+          |    CAST(doc_id % 640 + 16 AS BIGINT) AS w,
+          |    CAST(doc_id % 480 + 16 AS BIGINT) AS h
+          |  FROM documents),
+          |b AS (SELECT * FROM (VALUES (0, '1:1', 1, 1), (1, '4:3', 4, 3),
+          |    (2, '3:4', 3, 4), (3, '16:9', 16, 9), (4, '9:16', 9, 16))
+          |  AS t(bidx, bucket, bw, bh)),
+          |e AS (SELECT asset_id, bucket, bidx,
+          |    CAST(abs(CAST(w AS HUGEINT) * bh - CAST(h AS HUGEINT) * bw)
+          |      * 1000000 // (CAST(w AS HUGEINT) * bh) AS BIGINT) AS err_x1e6
+          |  FROM a CROSS JOIN b),
+          |r AS (SELECT bucket, err_x1e6,
+          |    row_number() OVER (PARTITION BY asset_id
+          |      ORDER BY err_x1e6, bidx) AS rk
+          |  FROM e)
+          |SELECT bucket, count(*) AS n_assets,
+          |  CAST(sum(err_x1e6) AS BIGINT) AS err_sum_x1e6,
+          |  CAST(sum(err_x1e6) // count(*) AS BIGINT) AS mean_err_x1e6
+          |FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
