@@ -8598,7 +8598,117 @@ object Queries {
           |SELECT bucket, count(*) AS n_assets,
           |  CAST(sum(err_x1e6) AS BIGINT) AS err_sum_x1e6,
           |  CAST(sum(err_x1e6) // count(*) AS BIGINT) AS mean_err_x1e6
-          |FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Gibberish / keyboard-mash detector — the quality rule family
+    // neither Gopher's length/stopword rules nor langid covers: a doc
+    // with ≥20 letters is gibberish when vowels are under 20% of
+    // letters (vowels·5 < letters, strict integer) OR a 6+ consonant
+    // run appears. Mash plants under doc_id+900000 prove the census.
+    // ONE codegen scan (regex strips + lengths).
+    "text_gibberish_detect" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d)
+        val plants = base.filter(col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 900000)
+          .withColumn("text", lit("zxqwv bnmkl pfftj rrghw dszxc qwrtp"))
+        base.unionByName(plants)
+          .select(col("source"),
+            length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+              .as("letters"),
+            length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
+              .as("vowels"),
+            when(lower(col("text"))
+              .rlike("[bcdfghjklmnpqrstvwxz]{6,}"), 1L).otherwise(0L)
+              .as("has_run"))
+          .withColumn("gib",
+            when(col("letters") >= 20 &&
+              (col("vowels") * 5 < col("letters") || col("has_run") === 1), 1L)
+              .otherwise(0L))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("gib").cast("long").as("n_gibberish"))
+          .withColumn("gib_rate_x1e6", expr("n_gibberish * 1000000L div n_docs"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH docs AS (
+          |  SELECT source, text FROM documents
+          |  UNION ALL
+          |  SELECT source, 'zxqwv bnmkl pfftj rrghw dszxc qwrtp' AS text
+          |  FROM documents WHERE doc_id < 40),
+          |f AS (SELECT source,
+          |    length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS letters,
+          |    length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS vowels,
+          |    CASE WHEN regexp_matches(lower(text), '[bcdfghjklmnpqrstvwxz]{6,}')
+          |      THEN 1 ELSE 0 END AS has_run
+          |  FROM docs),
+          |g AS (SELECT source,
+          |    CASE WHEN letters >= 20 AND (vowels * 5 < letters OR has_run = 1)
+          |      THEN 1 ELSE 0 END AS gib
+          |  FROM f)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(gib) AS BIGINT) AS n_gibberish,
+          |  CAST(sum(gib) * 1000000 // count(*) AS BIGINT) AS gib_rate_x1e6
+          |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Simpson's-paradox audit — does the even-vs-odd customer cohort
+    // comparison of mean order value REVERSE inside priority strata vs
+    // the aggregate? The classic aggregation trap every metrics
+    // platform must surface before anyone trusts a topline delta. Mean
+    // comparison by exact cross-multiplication (sign(sA·nB − sB·nA) —
+    // no division anywhere); per-stratum rows plus the __ALL__
+    // aggregate row from one grouping-sets-style union of the SAME
+    // collapsed frame.
+    "stats_simpson_check" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val o = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("stratum"),
+            (col("o_custkey") % 2 === 0).as("ea"),
+            expr("CAST(floor(o_totalprice) AS BIGINT)").as("x"))
+        val g = o.groupBy("stratum")
+          .agg(sum(when(col("ea"), 1L).otherwise(0L)).as("n_even"),
+            sum(when(col("ea"), col("x")).otherwise(0L)).as("s_even"),
+            sum(when(!col("ea"), 1L).otherwise(0L)).as("n_odd"),
+            sum(when(!col("ea"), col("x")).otherwise(0L)).as("s_odd"))
+          .localCheckpoint(true)
+        val all = g.agg(sum("n_even").as("n_even"), sum("s_even").as("s_even"),
+            sum("n_odd").as("n_odd"), sum("s_odd").as("s_odd"))
+          .withColumn("stratum", lit("__ALL__"))
+          .select("stratum", "n_even", "s_even", "n_odd", "s_odd")
+        g.select("stratum", "n_even", "s_even", "n_odd", "s_odd")
+          .unionByName(all)
+          .withColumn("sign_diff",
+            signum((dec(col("s_even")) * dec(col("n_odd"))
+              - dec(col("s_odd")) * dec(col("n_even"))).cast("double"))
+              .cast("long"))
+          .select(col("stratum"), col("n_even").cast("long").as("n_even"),
+            col("s_even").cast("long").as("s_even"),
+            col("n_odd").cast("long").as("n_odd"),
+            col("s_odd").cast("long").as("s_odd"), col("sign_diff"))
+          .orderBy("stratum")
+      },
+      Some(
+        """WITH o AS (SELECT o_orderpriority AS stratum,
+          |    o_custkey % 2 = 0 AS ea,
+          |    CAST(floor(o_totalprice) AS BIGINT) AS x
+          |  FROM orders),
+          |g AS (SELECT stratum,
+          |    CAST(sum(CASE WHEN ea THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+          |    CAST(sum(CASE WHEN ea THEN x ELSE 0 END) AS BIGINT) AS s_even,
+          |    CAST(sum(CASE WHEN ea THEN 0 ELSE 1 END) AS BIGINT) AS n_odd,
+          |    CAST(sum(CASE WHEN ea THEN 0 ELSE x END) AS BIGINT) AS s_odd
+          |  FROM o GROUP BY 1),
+          |u AS (SELECT * FROM g
+          |      UNION ALL
+          |      SELECT '__ALL__', CAST(sum(n_even) AS BIGINT),
+          |        CAST(sum(s_even) AS BIGINT), CAST(sum(n_odd) AS BIGINT),
+          |        CAST(sum(s_odd) AS BIGINT) FROM g)
+          |SELECT stratum, n_even, s_even, n_odd, s_odd,
+          |  CAST(sign(CAST(s_even AS HUGEINT) * n_odd
+          |    - CAST(s_odd AS HUGEINT) * n_even) AS BIGINT) AS sign_diff
+          |FROM u ORDER BY stratum""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

@@ -707,4 +707,22 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum("w").cast("long").as("wsum"),
         sum(expr("w * cents")).cast("long").as("wxsum"))
+
+  /** Streaming twin of `events_error_budget`'s per-day counters — the
+    * live SRE error-budget feed. Works UNCHANGED on a batch frame or a
+    * stream in complete mode: state is one (n, n_err) row per
+    * calendar day FOREVER (horizon-bounded), both counters commutative
+    * sums, so the twin is disorder-IMMUNE (no watermark, no
+    * monotone-batch assumption) and ADDITIVE across arbitrary batch
+    * splits. The reader derives the rate, the strict >1% flag, and the
+    * cumulative burn from the day frame exactly as the batch query
+    * does — those are presentation windows over a span-bounded frame,
+    * not state.
+    */
+  def errorBudgetDaily(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("dy"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .cast("long").as("n_err"))
 }

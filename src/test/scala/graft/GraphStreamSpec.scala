@@ -1058,6 +1058,48 @@ class GraphStreamSpec extends SparkSpecBase {
         s"replica $rep sums not additive")
     }
   }
+
+  test("streaming error budget: complete-mode day counters == batch, disorder-immune, additive") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, dir)
+    def days(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      EventStream.errorBudgetDaily(df).collect()
+        .map(r => r.getAs[java.sql.Date]("dy").toString ->
+          (r.getAs[Long]("n"), r.getAs[Long]("n_err"))).toMap
+    val batch = days(batchEv)
+    assert(batch.nonEmpty && batch.values.exists(_._2 > 0))
+
+    // NOT-time-ordered parity split: both counters are commutative
+    // sums, so the stream must land bit-equal to batch with zero
+    // disorder caveats
+    val stage = java.nio.file.Files.createTempDirectory("graft-budget")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100)
+    raw.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val in = EventStream.readEvents(spark, stage.toString + "/*/")
+    val q = EventStream.errorBudgetDaily(in)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_budget").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_budget").collect()
+        .map(r => r.getAs[java.sql.Date]("dy").toString ->
+          (r.getAs[Long]("n"), r.getAs[Long]("n_err"))).toMap
+      assert(streamed == batch, "streamed error-budget days diverged from batch")
+    } finally q.stop()
+
+    // additivity per day — the incremental-ingest identity
+    val a = days(batchEv.filter(col("event_id") % 2 === 1))
+    val bb = days(batchEv.filter(col("event_id") % 2 === 0))
+    batch.foreach { case (dy, (n, e)) =>
+      val (n1, e1) = a.getOrElse(dy, (0L, 0L))
+      val (n2, e2) = bb.getOrElse(dy, (0L, 0L))
+      assert(n1 + n2 == n && e1 + e2 == e, s"day $dy counters not additive")
+    }
+  }
 }
 
 /** Local filesystem whose rename REFUSES any destination named like this
