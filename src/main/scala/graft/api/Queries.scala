@@ -8708,7 +8708,131 @@ object Queries {
           |SELECT stratum, n_even, s_even, n_odd, s_odd,
           |  CAST(sign(CAST(s_even AS HUGEINT) * n_odd
           |    - CAST(s_odd AS HUGEINT) * n_even) AS BIGINT) AS sign_diff
-          |FROM u ORDER BY stratum""".stripMargin))
+          |FROM u ORDER BY stratum""".stripMargin)),
+
+    // Pseudo-relevance-feedback term expansion (Rocchio-style PRF) —
+    // the classic retrieval loop: run BM25, mine the top-10 documents
+    // for terms over-represented vs the corpus, expand the query. The
+    // BM25 stage is the shared hash-green machinery; the expansion is
+    // EXACT integers (lift = (df_top/10)/(df_corpus/N) ×1e6, df_top ≥ 3
+    // floor, query terms excluded). Top-10 ids broadcast back into one
+    // token scan; candidate frame is vocab-of-10-docs-sized.
+    "search_prf_terms" -> Q(
+      (s, d) => {
+        val terms = Seq("spark", "join", "vector")
+        val docs = Tables.documents(s, d)
+        val top10 = graft.ops.TextOps.bm25TopK(docs, terms, k = 10)
+          .select("doc_id")
+        val toks = docs
+          .select(col("doc_id"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')"))
+              .as("w"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val cdf = toks.groupBy("w").agg(countDistinct("doc_id").as("dfc"))
+        val tdf = toks.join(broadcast(top10), "doc_id")
+          .filter(!col("w").isin(terms: _*))
+          .groupBy("w").agg(countDistinct("doc_id").as("dft"))
+          .filter(col("dft") >= 3)
+        tdf.join(cdf, "w")
+          .crossJoin(broadcast(n))
+          .select(col("w").as("term"), col("dft").cast("long").as("df_top"),
+            col("dfc").cast("long").as("df_corpus"),
+            expr("dft * n_docs * 1000000L div (10L * dfc)").as("lift_x1e6"))
+          .orderBy(desc("lift_x1e6"), asc("term")).limit(5)
+      },
+      Some(TextSql.prfTerms(Seq("spark", "join", "vector")))),
+
+    // Freeman degree centralization — how star-like the co-order graph
+    // is as ONE number (1 = perfect star, 0 = regular): Σ(dmax − d_i)
+    // normalized by the star's maximum, (n−1)(n−2). Complements
+    // graph_assortativity (correlation) and graph_rich_club (hub
+    // interconnection) with the network-level concentration scalar.
+    // Everything past the shared e0 derivation is one tiny aggregate.
+    "graph_centralization" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val e0 = graft.ops.Basket.coOrderEdges(Tables.lineitem(s, d), minSupport = 2)
+          .select("pa", "pb")
+        val deg = e0.select(col("pa").as("v"))
+          .unionByName(e0.select(col("pb").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        deg.agg(count(lit(1)).as("n"), max("deg").as("dmax"),
+            sum("deg").as("dsum"))
+          .select(col("n").cast("long").as("n_nodes"),
+            col("dmax").cast("long").as("max_degree"),
+            (col("dsum") / 2).cast("long").as("n_edges"),
+            graft.functions.GraftFunctions.longDiv(
+              (dec(col("n")) * dec(col("dmax")) - dec(col("dsum")))
+                * dec(lit(1000000L)),
+              nullif((dec(col("n")) - 1) * (dec(col("n")) - 2), dec(lit(0L))))
+              .cast("long").as("centralization_x1e6"))
+      },
+      Some(
+        """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e0 AS MATERIALIZED (SELECT a.pk AS pa, b.pk AS pb
+          |      FROM op a JOIN op b ON b.ok = a.ok AND a.pk < b.pk
+          |      GROUP BY 1, 2 HAVING count(*) >= 2),
+          |deg AS (SELECT v, count(*) AS deg FROM
+          |        (SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY 1),
+          |c AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          |    CAST(max(deg) AS HUGEINT) AS dmax,
+          |    CAST(sum(deg) AS HUGEINT) AS dsum FROM deg)
+          |SELECT CAST(n AS BIGINT) AS n_nodes, CAST(dmax AS BIGINT) AS max_degree,
+          |  CAST(dsum // 2 AS BIGINT) AS n_edges,
+          |  CAST((n * dmax - dsum) * 1000000
+          |    // nullif((n - 1) * (n - 2), 0) AS BIGINT) AS centralization_x1e6
+          |FROM c""".stripMargin)),
+
+    // Business-day shipping lag — calendar arithmetic the engine must
+    // own (finance and logistics SLAs count working days): lag_bd =
+    // g(ship) − g(order) where g(d) = business days before d since a
+    // Monday anchor, in PURE integer arithmetic ((days div 7)·5 +
+    // least(days mod 7, 5) — no engine weekday convention in the
+    // gate). Per-priority histogram + exact mean ×1e3 from one
+    // fact-fact keyed join.
+    "date_business_days" -> Q(
+      (s, d) => {
+        val j = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority").as("prio"),
+            to_date(col("o_orderdate")).as("od")), "l_orderkey")
+          .withColumn("d1",
+            expr("CAST(datediff(od, to_date('1970-01-05')) AS BIGINT)"))
+          .withColumn("d2",
+            expr("CAST(datediff(to_date(l_shipdate), to_date('1970-01-05')) AS BIGINT)"))
+          .withColumn("bd", expr(
+            "(d2 div 7) * 5 + least(d2 % 7, 5) - ((d1 div 7) * 5 + least(d1 % 7, 5))"))
+        j.groupBy("prio")
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum("bd").cast("long").as("bd_sum"),
+            sum(when(col("bd") <= 5, 1L).otherwise(0L)).cast("long")
+              .as("n_le_5"),
+            sum(when(col("bd") > 5 && col("bd") <= 20, 1L).otherwise(0L))
+              .cast("long").as("n_6_20"),
+            sum(when(col("bd") > 20, 1L).otherwise(0L)).cast("long")
+              .as("n_gt_20"))
+          .withColumn("mean_bd_x1e3", expr("bd_sum * 1000L div n_lines"))
+          .orderBy("prio")
+      },
+      Some(
+        """WITH j AS (SELECT o_orderpriority AS prio,
+          |    CAST(datediff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE))
+          |      AS BIGINT) AS d1,
+          |    CAST(datediff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE))
+          |      AS BIGINT) AS d2
+          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+          |b AS (SELECT prio,
+          |    (d2 // 7) * 5 + least(d2 % 7, 5)
+          |      - ((d1 // 7) * 5 + least(d1 % 7, 5)) AS bd
+          |  FROM j)
+          |SELECT prio, count(*) AS n_lines,
+          |  CAST(sum(bd) AS BIGINT) AS bd_sum,
+          |  CAST(sum(CASE WHEN bd <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_le_5,
+          |  CAST(sum(CASE WHEN bd > 5 AND bd <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_6_20,
+          |  CAST(sum(CASE WHEN bd > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_20,
+          |  CAST(sum(bd) * 1000 // count(*) AS BIGINT) AS mean_bd_x1e3
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

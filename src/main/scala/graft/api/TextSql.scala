@@ -1407,6 +1407,51 @@ object TextSql {
        |FROM p ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Pseudo-relevance-feedback expansion mirror of `search_prf_terms`:
+    * the bm25Topk CTE chain LIMIT 10 feeds an exact-integer term-lift
+    * computation ((df_top/10)/(df_corpus/N) ×1e6), query terms
+    * excluded, df_top ≥ 3 floor, top 5 by (lift DESC, term).
+    */
+  def prfTerms(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN w = '$t' THEN s END) AS s$i"
+    }.mkString(",\n        ")
+    val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    s"""WITH $docTokensCte,
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ($inList) GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT t.doc_id, t.w,
+       |    ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |      * (t.tf * ($k1 + 1.0))
+       |      / (t.tf + $k1 * ((1.0 - $b) + $b * l.dl / (CAST(c.tok_total AS DOUBLE) / c.n_docs))) AS s
+       |  FROM tf t
+       |  JOIN df d ON d.w = t.w
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN corpus c),
+       |p AS (SELECT doc_id,
+       |        $pivots
+       |      FROM scored GROUP BY doc_id),
+       |top10 AS (SELECT doc_id FROM (
+       |    SELECT doc_id, round($total, 6) AS bm25 FROM p
+       |    ORDER BY bm25 DESC, doc_id LIMIT 10)),
+       |cdf AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc
+       |        FROM toks GROUP BY 1),
+       |tdf AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS dft
+       |        FROM toks JOIN top10 USING (doc_id)
+       |        WHERE w NOT IN ($inList) GROUP BY 1)
+       |SELECT w AS term, dft AS df_top, dfc AS df_corpus,
+       |  CAST(dft * (SELECT n_docs FROM corpus) * 1000000
+       |    // (10 * dfc) AS BIGINT) AS lift_x1e6
+       |FROM tdf JOIN cdf USING (w)
+       |WHERE dft >= 3
+       |ORDER BY lift_x1e6 DESC, term LIMIT 5""".stripMargin
+  }
+
   /** Reciprocal-rank-fusion mirror of `search_hybrid_rrf`: the bm25Topk
     * CTE chain (same op order) ranked, the sim_cosine_topk scoring for
     * ONE query vector ranked, fused with integer 1e6 // (60 + rank).
