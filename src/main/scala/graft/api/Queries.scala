@@ -8832,7 +8832,150 @@ object Queries {
           |    AS n_6_20,
           |  CAST(sum(CASE WHEN bd > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_20,
           |  CAST(sum(bd) * 1000 // count(*) AS BIGINT) AS mean_bd_x1e3
-          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Difference-in-differences — the workhorse causal panel estimator:
+    // treatment = even customers, cutoff = the corpus midpoint date
+    // (broadcast 1-row anchor), effect = (T_post − T_pre) −
+    // (C_post − C_pre) over mean order value. Each cell mean is
+    // floored ×1e3 (dollars are non-negative so floor = truncate both
+    // engines, documented quantization); the DiD combines the four
+    // FLOORED means so both engines agree bit-for-bit. One collapse to
+    // a 4-cell frame.
+    "stats_did_estimator" -> Q(
+      (s, d) => {
+        val mid = Tables.orders(s, d)
+          .agg(expr("CAST(min(to_date(o_orderdate)) AS DATE)").as("mn"),
+            expr("CAST(max(to_date(o_orderdate)) AS DATE)").as("mx"))
+          .select(expr("date_add(mn, CAST(datediff(mx, mn) div 2 AS INT))")
+            .as("cut"))
+        val cell = Tables.orders(s, d)
+          .crossJoin(broadcast(mid))
+          .groupBy((col("o_custkey") % 2 === 0).as("treat"),
+            (to_date(col("o_orderdate")) >= col("cut")).as("post"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("sx"))
+          .withColumn("mean_x1e3", expr("sx * 1000L div n"))
+        cell.agg(
+            max(when(col("treat") && col("post"), col("mean_x1e3"))).as("tp"),
+            max(when(col("treat") && !col("post"), col("mean_x1e3"))).as("tr"),
+            max(when(!col("treat") && col("post"), col("mean_x1e3"))).as("cp"),
+            max(when(!col("treat") && !col("post"), col("mean_x1e3"))).as("cr"),
+            sum("n").as("n_orders"))
+          .select(col("n_orders").cast("long").as("n_orders"),
+            col("tp").cast("long").as("treat_post_x1e3"),
+            col("tr").cast("long").as("treat_pre_x1e3"),
+            col("cp").cast("long").as("ctrl_post_x1e3"),
+            col("cr").cast("long").as("ctrl_pre_x1e3"),
+            ((col("tp") - col("tr")) - (col("cp") - col("cr"))).cast("long")
+              .as("did_x1e3"))
+      },
+      Some(
+        """WITH mid AS (SELECT date_add(min(CAST(o_orderdate AS DATE)),
+          |    CAST(datediff('day', min(CAST(o_orderdate AS DATE)),
+          |      max(CAST(o_orderdate AS DATE))) // 2 AS INT)) AS cut
+          |  FROM orders),
+          |cell AS (SELECT o_custkey % 2 = 0 AS treat,
+          |    CAST(o_orderdate AS DATE) >= cut AS post,
+          |    count(*) AS n,
+          |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sx
+          |  FROM orders CROSS JOIN mid GROUP BY 1, 2),
+          |m AS (SELECT treat, post, n, sx * 1000 // n AS mean_x1e3 FROM cell),
+          |c AS (SELECT
+          |    max(CASE WHEN treat AND post THEN mean_x1e3 END) AS tp,
+          |    max(CASE WHEN treat AND NOT post THEN mean_x1e3 END) AS tr,
+          |    max(CASE WHEN NOT treat AND post THEN mean_x1e3 END) AS cp,
+          |    max(CASE WHEN NOT treat AND NOT post THEN mean_x1e3 END) AS cr,
+          |    CAST(sum(n) AS BIGINT) AS n_orders
+          |  FROM m)
+          |SELECT n_orders, CAST(tp AS BIGINT) AS treat_post_x1e3,
+          |  CAST(tr AS BIGINT) AS treat_pre_x1e3,
+          |  CAST(cp AS BIGINT) AS ctrl_post_x1e3,
+          |  CAST(cr AS BIGINT) AS ctrl_pre_x1e3,
+          |  CAST((tp - tr) - (cp - cr) AS BIGINT) AS did_x1e3
+          |FROM c""".stripMargin)),
+
+    // New-vs-returning revenue split per month — the growth-accounting
+    // panel every subscription/commerce report leads with: an order is
+    // "new" when it falls in its customer's first-order month. Reuses
+    // the cohort algebra (customer-keyed first-order collapse + one
+    // keyed join back); the month frame is calendar-bounded.
+    "date_new_vs_returning" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey").as("ck"), to_date(col("o_orderdate")).as("od"),
+            expr("CAST(floor(o_totalprice) AS BIGINT)").as("rev"))
+        val first = o.groupBy("ck").agg(min("od").as("fd"))
+        o.join(first, "ck")
+          .withColumn("is_new",
+            when(date_format(col("od"), "yyyy-MM")
+              === date_format(col("fd"), "yyyy-MM"), 1L).otherwise(0L))
+          .groupBy(date_format(col("od"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).cast("long").as("n_orders"),
+            sum(when(col("is_new") === 1, col("rev")).otherwise(0L))
+              .cast("long").as("new_rev"),
+            sum(when(col("is_new") === 0, col("rev")).otherwise(0L))
+              .cast("long").as("returning_rev"))
+          .withColumn("new_share_x1e6", expr(
+            "new_rev * 1000000L div nullif(new_rev + returning_rev, 0L)"))
+          .orderBy("month")
+      },
+      Some(
+        """WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+          |    CAST(floor(o_totalprice) AS BIGINT) AS rev FROM orders),
+          |f AS (SELECT ck, min(od) AS fd FROM o GROUP BY 1),
+          |j AS (SELECT strftime(od, '%Y-%m') AS month,
+          |    CASE WHEN strftime(od, '%Y-%m') = strftime(fd, '%Y-%m')
+          |      THEN 1 ELSE 0 END AS is_new, rev
+          |  FROM o JOIN f USING (ck))
+          |SELECT month, count(*) AS n_orders,
+          |  CAST(sum(CASE WHEN is_new = 1 THEN rev ELSE 0 END) AS BIGINT)
+          |    AS new_rev,
+          |  CAST(sum(CASE WHEN is_new = 0 THEN rev ELSE 0 END) AS BIGINT)
+          |    AS returning_rev,
+          |  CAST(sum(CASE WHEN is_new = 1 THEN rev ELSE 0 END) * 1000000
+          |    // nullif(sum(rev), 0) AS BIGINT) AS new_share_x1e6
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Power analysis — how many observations per arm to detect a 5%
+    // lift in mean event value at α=0.05 / power 0.80 (two-sided
+    // z-test): n = 2σ²(z_α/2+z_β)²/δ² with δ = μ/20 collapses to the
+    // PURE INTEGER form n = 6272·(nΣx²−S²) div S² + 1 (the constant
+    // 2·(1.96+0.84)²·400 rounds to the shared integer 6272 — both
+    // engines use the literal, so no float enters the gate; +1 after
+    // the floor stands in for the ceil). The experiment-design
+    // complement of stats_ab_test. One collapse to a k-row frame.
+    "stats_power_analysis" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("x"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+            sum(dec(col("x")) * dec(col("x"))).as("qx"))
+          .select(col("event_type"), col("n").cast("long").as("n_obs"),
+            graft.functions.GraftFunctions.longDiv(
+              dec(col("sx")) * dec(lit(100L)), dec(col("n")))
+              .cast("long").as("mean_c_x100"),
+            (graft.functions.GraftFunctions.longDiv(
+              dec(lit(6272L)) * (dec(col("n")) * col("qx") - col("sx") * col("sx")),
+              nullif(col("sx") * col("sx"), dec(lit(0L))))
+              .cast("long") + 1).as("n_per_arm"))
+          .orderBy("event_type")
+      },
+      Some(
+        """WITH g AS (SELECT event_type, count(*) AS n,
+          |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+          |      AS sx,
+          |    sum(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT)
+          |        * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS qx
+          |  FROM events GROUP BY 1)
+          |SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+          |  CAST(sx * 100 // n AS BIGINT) AS mean_c_x100,
+          |  CAST(6272 * (n * qx - sx * sx) // nullif(sx * sx, 0) + 1
+          |    AS BIGINT) AS n_per_arm
+          |FROM g ORDER BY 1""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under
