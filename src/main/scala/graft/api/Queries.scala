@@ -30,6 +30,11 @@ object Queries {
 
   private def withCte(sql: String): String = s"WITH ${StarTriples.sqlCte}\n$sql"
 
+  // Single source of truth for graph_k_truss's k: the Spark call and the
+  // oracle's unrolled support threshold (sup >= k - 2) must move together
+  // (ADVICE r9: a hardcoded 'sup >= 1' silently desyncs if k changes).
+  private val kTrussK = 3
+
   val registry: scala.collection.immutable.ListMap[String, Q] = scala.collection.immutable.ListMap(
     // ===== Reference parity: triple patterns + ArrayOp algebra =====
     // Operator #8/#10 (triple-pattern match, pattern query execute)
@@ -2547,7 +2552,7 @@ object Queries {
         val top = tf.orderBy(desc("tf"), asc("w")).limit(15)
           .agg(sum("tf").as("top_tf"), count(lit(1)).as("k"))
         val tot = tf.agg(sum("tf").as("total_tf"))
-        top.crossJoin(tot)
+        top.crossJoin(broadcast(tot))
           .select(col("k"),
             col("top_tf"), col("total_tf"),
             floor(col("top_tf") * lit(1000000L) / col("total_tf")).cast("long")
@@ -3620,7 +3625,7 @@ object Queries {
             .groupBy(pmod(graft.functions.GraftFunctions.md5Hash60(col("k")), lit(32L)).as("bkt"))
             .agg(count(lit(1)).as("bn"))
             .agg(max("bn").as("max_bucket"))
-          keyAgg.crossJoin(bktAgg)
+          keyAgg.crossJoin(broadcast(bktAgg))
             .select(lit(keyCol).as("key_name"), col("n").cast("long").as("n"),
               col("n_distinct"),
               expr("max_key * 1000000L div n").cast("long").as("top_key_share_x1e6"),
@@ -6729,7 +6734,7 @@ object Queries {
     // would gate nothing. The oracle unrolls the identical rounds with
     // MATERIALIZED CTEs (the graph_kcore discipline).
     "graph_k_truss" -> Q(
-      (s, d) => graft.ops.Basket.kTruss(Tables.lineitem(s, d), k = 3,
+      (s, d) => graft.ops.Basket.kTruss(Tables.lineitem(s, d), k = kTrussK,
         rounds = 5, minSupport = 2),
       Some {
         val base =
@@ -6747,7 +6752,7 @@ object Queries {
              |      SELECT a AS pa, b AS pb FROM t$i
              |      UNION ALL SELECT b, c FROM t$i
              |      UNION ALL SELECT a, c FROM t$i)
-             |    GROUP BY 1, 2) WHERE sup >= 1),
+             |    GROUP BY 1, 2) WHERE sup >= ${kTrussK - 2}),
              |e$i AS MATERIALIZED (SELECT e.pa, e.pb FROM e${i - 1} e
              |  JOIN s$i s ON s.pa = e.pa AND s.pb = e.pb)""".stripMargin
         }.mkString(",\n")
@@ -6773,9 +6778,12 @@ object Queries {
     "stats_cramers_v" -> Q(
       (s, d) => {
         def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        // no broadcast hint on part: the dim scales with the corpus (the
+        // graph_modularity_brands discipline — at 100 TB part is the big
+        // side); AQE picks broadcast at test SFs on its own
         val j = Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d)
-            .select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand"))),
+          .join(Tables.part(s, d)
+            .select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand")),
             "l_partkey")
           .select(col("brand"), col("l_returnflag").as("flag"))
         val obs = j.groupBy("brand", "flag").agg(count(lit(1)).as("obs0"))
@@ -6862,13 +6870,16 @@ object Queries {
         val uni = toks.select(explode(col("tk")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cw"))
         val nu = uni.agg(sum("cw").as("nu"))
-        val bi = toks.filter(size(col("tk")) >= 2)
+        val biAll = toks.filter(size(col("tk")) >= 2)
           .select(explode(expr(
             "transform(slice(tk, 1, size(tk) - 1), (w, i) -> struct(w AS w1, tk[i + 1] AS w2))")).as("b"))
           .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
           .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 20)
-        val nb = bi.agg(sum("n").as("nb"))
+        // nb = total bigram mass BEFORE the count floor (ADVICE r9): the
+        // ratio is PMI against the full bigram distribution, not the
+        // filtered subset — the floor only limits which pairs are RANKED
+        val nb = biAll.agg(sum("n").as("nb"))
+        val bi = biAll.filter(col("n") >= 20)
         bi
           .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
           .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
@@ -6889,10 +6900,10 @@ object Queries {
           |nu AS (SELECT CAST(sum(cw) AS HUGEINT) AS nu FROM uni),
           |u AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
           |      FROM t WHERE len(tk) >= 2),
-          |bi AS (SELECT w1, w2, n FROM (
-          |    SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS n
-          |    FROM u GROUP BY 1, 2) WHERE n >= 20),
-          |nb AS (SELECT CAST(sum(n) AS HUGEINT) AS nb FROM bi)
+          |bi_all AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS n
+          |    FROM u GROUP BY 1, 2),
+          |nb AS (SELECT CAST(sum(n) AS HUGEINT) AS nb FROM bi_all),
+          |bi AS (SELECT w1, w2, n FROM bi_all WHERE n >= 20)
           |SELECT w1, w2, CAST(n AS BIGINT) AS n,
           |  CAST(CAST(n AS HUGEINT) * nu * nu * 1000000
           |    // (nb * CAST(c1.cw AS HUGEINT) * c2.cw) AS BIGINT) AS pmi_ratio_x1e6
@@ -8727,7 +8738,10 @@ object Queries {
           .select(col("doc_id"),
             explode(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')"))
               .as("w"))
-        val n = docs.agg(count(lit(1)).as("n_docs"))
+        // n_docs from the TOKENIZED frame (docs with >= 1 token), the
+        // same basis the oracle's corpus CTE and bm25TopK use (ADVICE
+        // r9): docs.count() diverges if any document tokenizes to zero
+        val n = toks.agg(countDistinct("doc_id").as("n_docs"))
         val cdf = toks.groupBy("w").agg(countDistinct("doc_id").as("dfc"))
         val tdf = toks.join(broadcast(top10), "doc_id")
           .filter(!col("w").isin(terms: _*))
