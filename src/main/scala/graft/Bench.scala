@@ -199,26 +199,108 @@ object Bench {
             .iterator.flatMap { case (_, f) => queriesOf(f) }
             .nextOption()
         }
-    val reprobes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    prior.foreach { case (pname, pq) =>
-      val flagged = raw.flatMap { case (name, rs) =>
+    // ---- Anchor-free triggers (round-9 verdict #1). The prior-artifact
+    // trigger above cannot see NEW-this-round queries (no prior entry):
+    // round 9's driver rerun shipped seven physically impossible
+    // sf0.1-slower-than-10x values, all new queries, none reprobed.
+    //
+    // (a) Cross-SF sanity: a query running SLOWER on LESS data is
+    // physically impossible — once a same-round artifact on a >=2x
+    // larger corpus exists (the quiet 10x close runs before the
+    // driver's sf0.1 run), any current min exceeding its own
+    // bigger-corpus value is contention by construction, no prior
+    // round needed. Explicit SPARK_GRAFT_CROSS_SF path wins; else the
+    // same-round BENCH*_r{N}.json in cwd with the largest lineitem
+    // rowcount >= 2x this run's.
+    def corpusLineitemRows(f: java.io.File): Long =
+      try om.readTree(f).path("corpus").path("lineitem").path("rows").asLong(-1)
+      catch { case _: Throwable => -1L }
+    def queriesOfAny(f: java.io.File): Option[(String, Map[String, Double])] =
+      try {
+        val root = om.readTree(f)
+        if (root.has("queries")) {
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          val qn = root.path("queries")
+          val it = qn.fieldNames()
+          while (it.hasNext) { val k = it.next(); m(k) = qn.path(k).asDouble(-1) }
+          Some(f.getName -> m.toMap)
+        } else None
+      } catch { case _: Throwable => None }
+    val myRows = corpus.get("lineitem").map(_._1).getOrElse(-1L)
+    val crossSf: Option[(String, Map[String, Double])] =
+      sys.env.get("SPARK_GRAFT_CROSS_SF").map(new java.io.File(_)).filter(_.isFile)
+        .flatMap(queriesOfAny)
+        .orElse {
+          currentRound.flatMap { r =>
+            val pat = f"_r$r%02d.json"
+            Option(new java.io.File(".").listFiles).getOrElse(Array.empty).toSeq
+              .filter(f => f.getName.startsWith("BENCH") && f.getName.endsWith(pat))
+              .map(f => (corpusLineitemRows(f), f))
+              .filter { case (rows, _) => myRows > 0 && rows >= 2 * myRows }
+              .sortBy(-_._1)
+              .iterator.flatMap { case (_, f) => queriesOfAny(f) }
+              .nextOption()
+          }
+        }
+    val crossFlags: Seq[String] = crossSf.toSeq.flatMap { case (_, bq) =>
+      raw.flatMap { case (name, rs) =>
+        val cur = rs.min
+        bq.get(name).filter(b => b > 0 && cur > b && cur - b > 0.25).map(_ => name)
+      }
+    }.sorted
+    // (b) Control-window correlation: a query bracketed by a control
+    // reading >3x the run's per-class median (and >0.25 s absolute) sat
+    // inside a measured contention window — reprobe it regardless of
+    // anchors. Brackets are the controls at floor(qi/15)*15 and the
+    // next control point.
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+    val scanMed = median(controlSeries.map(_._2).toSeq)
+    val joinMed = median(controlSeries.map(_._3).toSeq)
+    val hotControls: Set[Int] = controlSeries.collect {
+      case (i, sc, jn)
+          if (sc > 3 * scanMed && sc - scanMed > 0.25) ||
+            (jn > 3 * joinMed && jn - joinMed > 0.25) => i
+    }.toSet
+    val controlFlags: Seq[String] =
+      if (hotControls.isEmpty) Seq.empty
+      else raw.zipWithIndex.collect {
+        case ((name, rs), qi)
+            if rs.min > 0.25 &&
+              (hotControls.contains((qi / controlEvery) * controlEvery) ||
+                hotControls.contains(math.min((qi / controlEvery + 1) * controlEvery,
+                  selected.size))) => name
+      }
+    val priorFlags: Seq[String] = prior.toSeq.flatMap { case (_, pq) =>
+      raw.flatMap { case (name, rs) =>
         val cur = rs.min
         pq.get(name).filter(p => p > 0 && cur > 2 * p && cur - p > 0.25)
           .map(_ => name)
-      }.sorted.take(20)
-      if (flagged.nonEmpty) {
-        System.err.println(s"[bench] re-probing ${flagged.size} >2x outliers vs $pname: " +
-          flagged.mkString(", "))
-        runControl(selected.size + 1)
-        flagged.foreach { name =>
-          selected.get(name).foreach { fn =>
-            val orig = raw.collectFirst { case (`name`, rs) => rs.min }.getOrElse(-1.0)
-            val rep = timeQuery(name + "#reprobe", fn).min
-            if (rep >= 0) reprobes(name) = (orig, rep)
-          }
-        }
-        runControl(selected.size + 2)
       }
+    }.sorted
+    // Priority: impossible inversions first, then prior-anchor >2x, then
+    // contention-window residents; cap keeps a systemically-slow host
+    // from doubling the sweep.
+    val reprobeTriggers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    crossFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "cross_sf"))
+    priorFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "prior"))
+    controlFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "control_window"))
+    val flagged = reprobeTriggers.keys.take(40).toSeq
+    val reprobes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    if (flagged.nonEmpty) {
+      System.err.println(s"[bench] re-probing ${flagged.size} outliers " +
+        s"(cross_sf=${crossFlags.size} vs ${crossSf.map(_._1).getOrElse("-")}, " +
+        s"prior=${priorFlags.size} vs ${prior.map(_._1).getOrElse("-")}, " +
+        s"control_window=${controlFlags.size}): " + flagged.mkString(", "))
+      runControl(selected.size + 1)
+      flagged.foreach { name =>
+        selected.get(name).foreach { fn =>
+          val orig = raw.collectFirst { case (`name`, rs) => rs.min }.getOrElse(-1.0)
+          val rep = timeQuery(name + "#reprobe", fn).min
+          if (rep >= 0) reprobes(name) = (orig, rep)
+        }
+      }
+      runControl(selected.size + 2)
     }
     val results = raw.map { case (name, rs) =>
       name -> reprobes.get(name).map { case (o, r) => math.min(o, r) }.getOrElse(rs.min)
@@ -260,7 +342,11 @@ object Bench {
     val reprobesJson = reprobes
       .map { case (k, (o, r)) => jstr(k) + s":[${r3(o)},${r3(r)}]" }
       .mkString("{", ",", "}")
+    val triggersJson = reprobes.keys
+      .map(k => jstr(k) + ":" + jstr(reprobeTriggers.getOrElse(k, "?")))
+      .mkString("{", ",", "}")
     val priorJson = prior.map(p => jstr(p._1)).getOrElse("null")
+    val crossSfJson = crossSf.map(p => jstr(p._1)).getOrElse("null")
     // corpus seed travels with scaled corpora via make_sf.py's
     // MANIFEST.json; absent manifest (the driver's own testdata dirs) the
     // field is omitted rather than guessed
@@ -276,7 +362,8 @@ object Bench {
     val sidecarJson = json.dropRight(1) +
       s""","runs":$runsJson,"errors":$errorsJson,"control_series":$controlJson,""" +
       s""""storage_series":$storageJson,"reprobes":$reprobesJson,""" +
-      s""""prior_artifact":$priorJson$seedJson}"""
+      s""""reprobe_triggers":$triggersJson,"prior_artifact":$priorJson,""" +
+      s""""cross_sf_artifact":$crossSfJson$seedJson}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sidecar),
