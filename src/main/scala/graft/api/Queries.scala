@@ -1931,6 +1931,47 @@ object Queries {
       },
       Some(TextSql.dedupWinnow())),
 
+    // Exact duplicated-substring census (Lee et al. 2021,
+    // arXiv:2107.06499 — the ExactSubstr family, as distributed
+    // shingle-diagonal merging, Dedup.exactSubstringRuns): maximal
+    // verbatim token runs >= 15 between doc pairs, rolled up to
+    // span-level duplication mass per source. The one canonical
+    // LLM-dedup operator the near-dup family cannot substitute for:
+    // the planted split-copy sibling (400000+id = first-40(id) ⧺
+    // first-40(id+12), source 'planted') sits at ~0.5 whole-doc
+    // Jaccard to each parent — under MinHash banding recall — yet
+    // carries two ~40-token verbatim runs this operator reports
+    // (DedupSpec pins both runs per plant). Cost model is
+    // containment's capped inverted index at the SAME corpus-scheduled
+    // stop-shingle cap, replayed by the oracle; the diagonal
+    // gap-islands window is per match-group (cap-bounded), never
+    // corpus-sized.
+    "dedup_exact_substring" -> Q(
+      (s, d) => {
+        val base = Tables.documents(s, d).select("doc_id", "source", "text")
+        val pref = base.filter(col("doc_id") < 24)
+          .select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 40)).as("p40"))
+        val planted = pref.filter(col("doc_id") < 12)
+          .select(col("doc_id").as("ida"), col("p40").as("pa"))
+          .join(pref.select((col("doc_id") - 12).as("ida"), col("p40").as("pb")), "ida")
+          .select((col("ida") + 400000L).as("doc_id"),
+            lit("planted").as("source"),
+            concat_ws(" ", col("pa"), col("pb")).as("text"))
+        val all = base.unionByName(planted)
+        val runs = graft.ops.Dedup.exactSubstringRunsAuto(all, n = 5, minRunTokens = 15)
+        val perDoc = runs.select(col("a").as("doc_id"), col("run_tokens"))
+          .unionByName(runs.select(col("b").as("doc_id"), col("run_tokens")))
+        perDoc.join(all.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(countDistinct("doc_id").cast("long").as("n_docs_dup"),
+            count(lit(1)).as("n_doc_runs"),
+            max("run_tokens").as("max_run_tokens"),
+            sum("run_tokens").as("dup_tokens"))
+          .orderBy("source")
+      },
+      Some(TextSql.dedupExactSubstring(n = 5, minRunTokens = 15, plantMax = 12L))),
+
     // THE declared embedding near-dup runs at Dedup.lshSchedule(n)
     // knobs — the corpus-size-aware bits/tables that keep the bucket
     // self-join bounded as n grows (a fixed bits=6 was measured

@@ -698,6 +698,73 @@ object TextSql {
        |  JOIN sizes sb ON sb.doc_id = b)
        |WHERE containment >= $threshold ORDER BY a, b""".stripMargin
 
+  /** Oracle mirror of Dedup.exactSubstringRunsAuto + the per-source
+    * span-mass rollup, over a planted split-copy fixture: docs
+    * `doc_id < plantMax` get a planted sibling `doc_id + 400000` with
+    * source 'planted' and text = first-40-tokens(doc_id) ⧺
+    * first-40-tokens(doc_id + plantMax) — each planted doc shares one
+    * ~40-token verbatim run with EACH parent while its whole-doc
+    * Jaccard to either stays ~0.5 (below MinHash-banding recall at the
+    * declared thresholds), the configuration where only span-level
+    * exact matching reports the duplication. The CTEs replay the exact
+    * pipeline: positioned n-gram 60-bit md5 hashes, the
+    * containmentSchedule stop-shingle cap on DISTINCT-doc df, the
+    * h-keyed inverted self-join, diagonal gap-islands
+    * (grp = pa − row_number over (a, b, diag)), the run-length floor,
+    * and the both-sides per-source rollup. Registration must pass the
+    * SAME (n, minRunTokens) to the Scala operator or the compare
+    * silently diverges.
+    */
+  def dedupExactSubstring(n: Int = 5, minRunTokens: Int = 15,
+      plantMax: Long = 12L): String = {
+    val gram = (0 until n).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    s"""WITH pref AS (
+       |  SELECT doc_id, array_to_string(
+       |    list_slice(regexp_split_to_array(text, '\\s+'), 1, 40), ' ') AS p40
+       |  FROM documents WHERE doc_id < ${2 * plantMax}),
+       |docs AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT a.doc_id + 400000, 'planted', a.p40 || ' ' || b.p40
+       |  FROM pref a JOIN pref b ON b.doc_id = a.doc_id + $plantMax
+       |  WHERE a.doc_id < $plantMax),
+       |capv AS (
+       |  SELECT greatest(CAST(8 AS BIGINT), least(CAST(128 AS BIGINT),
+       |    ${graft.ops.Dedup.ContainmentDfBudget} // count(*))) AS cap
+       |  FROM docs),
+       |toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM docs),
+       |pos AS (
+       |  SELECT doc_id, i AS pos, ${GraphSql.md5Hash60(gram)} AS h
+       |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - ${n - 1})) AS i
+       |        FROM toks WHERE len(tk) >= $n)),
+       |keph AS (
+       |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM pos GROUP BY h)
+       |  WHERE df <= (SELECT cap FROM capv)),
+       |kept AS (SELECT pos.* FROM pos JOIN keph USING (h)),
+       |m AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, l.pos AS pa, r.pos AS pb
+       |  FROM kept l JOIN kept r ON r.h = l.h AND l.doc_id < r.doc_id),
+       |runs AS (
+       |  SELECT a, b, count(*) + ${n - 1} AS run_tokens
+       |  FROM (
+       |    SELECT a, b, diag,
+       |      pa - row_number() OVER (PARTITION BY a, b, diag ORDER BY pa) AS grp
+       |    FROM (SELECT a, b, pa, pb, pa - pb AS diag FROM m))
+       |  GROUP BY a, b, diag, grp
+       |  HAVING count(*) + ${n - 1} >= $minRunTokens),
+       |perdoc AS (
+       |  SELECT a AS doc_id, run_tokens FROM runs
+       |  UNION ALL SELECT b, run_tokens FROM runs)
+       |SELECT d.source,
+       |  CAST(count(DISTINCT p.doc_id) AS BIGINT) AS n_docs_dup,
+       |  CAST(count(*) AS BIGINT) AS n_doc_runs,
+       |  CAST(max(p.run_tokens) AS BIGINT) AS max_run_tokens,
+       |  CAST(sum(p.run_tokens) AS BIGINT) AS dup_tokens
+       |FROM perdoc p JOIN docs d USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Oracle mirror of Dedup.winnowPairs over a planted split-copy
     * fixture: docs `doc_id < plantMax` get a planted sibling
     * `doc_id + 300000` whose text is first-30-tokens(doc_id) ⧺

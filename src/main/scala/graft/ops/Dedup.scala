@@ -684,6 +684,83 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Exact duplicated-substring runs (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * the suffix-array ExactSubstr family, re-expressed as keyed joins):
+    * find every MAXIMAL run of >= `minRunTokens` consecutive tokens
+    * shared verbatim between two documents. This is the detector the
+    * near-dup family structurally under-reports: a doc spliced from
+    * halves of two parents sits at ~0.5 whole-doc Jaccard to each
+    * (below MinHash banding recall at common thresholds) yet carries
+    * long verbatim runs — the span-level signal benchmark
+    * decontamination and memorization audits need.
+    *
+    * Spark shape (no suffix array — that is a single-node construction;
+    * the distributed equivalent is shingle-diagonal merging):
+    *  1. POSITIONED n-token shingles (doc_id, pos, h) — one codegen'd
+    *     projection per doc, h = portable 60-bit md5
+    *     ([[GraftFunctions.md5Hash60]]), positions 1-indexed, NOT
+    *     distinct (positions are the payload here, unlike
+    *     [[shingleRows]]).
+    *  2. Stop-shingle guard: shingles present in more than
+    *     `maxShingleDf` DISTINCT docs are dropped before the join —
+    *     the containment-cap argument verbatim (a boilerplate shingle
+    *     fans out O(df²) position pairs); cost bound cap · |pos rows|.
+    *     Dropping a hot shingle can SPLIT a run crossing it — the
+    *     standard capped-index trade, mirrored exactly by the oracle.
+    *  3. Inverted-index self-join on h across docs (a < b) →
+    *     (a, b, pa, pb) match points.
+    *  4. Diagonal gap-islands: consecutive matches of a shared run sit
+    *     on one diagonal (pa − pb constant) at consecutive pa, so
+    *     grp = pa − row_number() over (a, b, diag ORDER BY pa) is
+    *     constant exactly within a maximal run (the window is per
+    *     match-group, bounded by the cap — never corpus-sized).
+    *     A run of L shared tokens is L − n + 1 shingle matches →
+    *     run_tokens = count + n − 1.
+    *
+    * Output: (a, b, start_a, start_b, run_tokens), one row per maximal
+    * run with run_tokens >= minRunTokens.
+    */
+  def exactSubstringRuns(docs: DataFrame, n: Int = 5, minRunTokens: Int = 15,
+      maxShingleDf: Int = DefaultBandCap): DataFrame = {
+    val pos0 = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(
+        when(size(col("tk")) >= n,
+          transform(sequence(lit(1), size(col("tk")) - n + 1),
+            i => struct(i.as("pos"),
+              GraftFunctions.md5Hash60(concat_ws(" ",
+                (0 until n).map(j => element_at(col("tk"), i + j)): _*)).as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
+    val keptH = pos0.groupBy("h").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= maxShingleDf).select("h")
+    val kept = pos0.join(keptH, "h")
+    val la = kept.select(col("doc_id").as("a"), col("pos").as("pa"), col("h"))
+    val rb = kept.select(col("doc_id").as("b"), col("pos").as("pb"), col("h"))
+    val w = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    la.join(rb, "h")
+      .filter(col("a") < col("b"))
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy("a", "b", "diag", "grp")
+      .agg(count(lit(1)).as("len_sh"),
+        min("pa").as("start_a"), min("pb").as("start_b"))
+      .select(col("a"), col("b"),
+        col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"),
+        (col("len_sh") + lit(n - 1)).cast("long").as("run_tokens"))
+      .filter(col("run_tokens") >= minRunTokens)
+  }
+
+  /** [[exactSubstringRuns]] at the [[containmentSchedule]] stop-shingle
+    * cap — the declared corpus-size-aware path (same budget: the two
+    * operators share the capped-inverted-index cost model).
+    */
+  def exactSubstringRunsAuto(docs: DataFrame, n: Int = 5,
+      minRunTokens: Int = 15): DataFrame =
+    exactSubstringRuns(docs, n, minRunTokens, containmentSchedule(docs.count()))
+
   /** Brute-force O(n²) embedding near-dup baseline — the recall oracle
     * for [[embeddingNearDups]] in tests; never the declared query's plan.
     */

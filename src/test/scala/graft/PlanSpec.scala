@@ -120,6 +120,12 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in dedup_containment plan:\n${p.take(2000)}")
   }
 
+  test("exact-substring plan is keyed joins only (positioned shingle index, no all-pairs)") {
+    val p = plan("dedup_exact_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in dedup_exact_substring plan:\n${p.take(2000)}")
+  }
+
   test("banded minhash self-join evaluates the signature subtree once (exchange reuse)") {
     val p = plan("dedup_minhash")
     // both sides of the (band, key) self-join descend from the SAME
