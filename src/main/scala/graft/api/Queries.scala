@@ -3568,11 +3568,17 @@ object Queries {
           |FROM q GROUP BY seg, r_q, f_q, m_q
           |ORDER BY seg, r_q, f_q, m_q""".stripMargin)),
 
-    // One-pass column profiling of `orders` (the data-quality readout a
-    // pipeline runs before trusting a new drop): per column — nulls,
-    // exact distinct count, min/max as canonical strings. One scan, six
-    // distinct aggregates (Catalyst expands), money in cents so no
-    // float formatting crosses engines.
+    // Column profiling of `orders` (the data-quality readout a pipeline
+    // runs before trusting a new drop): per column — nulls, exact
+    // distinct count, min/max as canonical strings. TWO aggregates, not
+    // one: a single combined agg forces Catalyst's distinct-rewrite
+    // Expand (×7 input rows, each carrying every non-distinct agg
+    // input) — measured 16.1 s at 10×. Split, the distinct-free base
+    // agg partial-aggregates to one row per task (no Expand, ~free)
+    // and the distinct-only agg's Expand emits NARROW (gid, value)
+    // rows that map-side dedup before the shuffle — identical output,
+    // 5× less wall at 10× (3.1 s). The two 1-row frames meet in a
+    // broadcast cross.
     "profile_columns" -> Q(
       (s, d) => {
         val p = Tables.orders(s, d).select(
@@ -3581,15 +3587,16 @@ object Queries {
           col("o_orderdate"), col("o_orderpriority"))
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
           "o_totalprice_c", "o_orderdate", "o_orderpriority")
-        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+        val baseAggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
           count(col(c)).as(s"${c}_nn"),
-          countDistinct(col(c)).as(s"${c}_nd"),
           min(col(c)).cast("string").as(s"${c}_min"),
           max(col(c)).cast("string").as(s"${c}_max")) }
+        val distAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_nd"))
         val stackExpr = "stack(" + cols.size + ", " + cols.map { c =>
           s"'$c', n_rows - ${c}_nn, ${c}_nd, ${c}_min, ${c}_max"
         }.mkString(", ") + ") as (column_name, n_nulls, n_distinct, min_s, max_s)"
-        p.agg(aggs.head, aggs.tail: _*)
+        p.agg(baseAggs.head, baseAggs.tail: _*)
+          .crossJoin(broadcast(p.agg(distAggs.head, distAggs.tail: _*)))
           .select(expr(stackExpr))
           .orderBy("column_name")
       },

@@ -120,6 +120,23 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in dedup_containment plan:\n${p.take(2000)}")
   }
 
+  test("profile_columns: distinct Expand is split from the base profile agg") {
+    // One combined agg would rewrite to a single Expand carrying every
+    // min/max/count input at 7x the rows (measured 16.1 s at 10x); the
+    // split shape keeps exactly one NARROW Expand (distinct counts
+    // only) and joins the two scalar frames by broadcast (3.1 s).
+    // AQE prints Final + Initial sections — pin the FINAL plan only
+    val p = plan("profile_columns").split("== Initial Plan ==").head
+    val expands = p.linesIterator.count(_.contains("Expand"))
+    assert(expands == 1, s"expected exactly one Expand, got $expands:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"split aggs should meet in a broadcast of a 1-row frame:\n${p.take(2000)}")
+    // the Expand must not carry the base profile's min/max partials
+    val expandLine = p.linesIterator.find(_.contains("Expand")).getOrElse("")
+    assert(!expandLine.contains("min(") && !expandLine.contains("max("),
+      s"Expand still carries base-agg inputs:\n$expandLine")
+  }
+
   test("exact-substring plan is keyed joins only (positioned shingle index, no all-pairs)") {
     val p = plan("dedup_exact_substring")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
