@@ -1717,15 +1717,19 @@ object Queries {
     // candidates (bucket = floor(j·10)) — pick the dedup threshold by
     // looking at where the mass sits instead of guessing. Same plan as
     // dedup_ngram_jaccard minus the threshold filter; the histogram
-    // adds one tiny aggregate over the verified pairs.
+    // adds one tiny aggregate over the verified pairs. Runs at
+    // Dedup.containmentSchedule(n)'s band cap (the corpus-scheduled
+    // knob — this family was the last with a fixed skew cap, 12.7 s at
+    // 10× the round-9 family max); the oracle replays the same integer
+    // schedule off the same count.
     "dedup_jaccard_histogram" -> Q(
-      (s, d) => graft.ops.Dedup.ngramJaccardPairs(
+      (s, d) => graft.ops.Dedup.ngramJaccardPairsAuto(
           plantedDocs(s, d, exact = false), threshold = 0.0)
         .withColumn("j_bucket",
           least(lit(9L), floor(col("jaccard") * 10).cast("long")).as("j_bucket"))
         .groupBy("j_bucket").agg(count(lit(1)).as("n_pairs"))
         .orderBy("j_bucket"),
-      Some(TextSql.dedupJaccardHistogram)),
+      Some(TextSql.dedupJaccardHistogramAuto)),
 
     // In-engine prefilter evaluation: recall and precision of the capped
     // banded-MinHash candidate set against the TRUE jaccard>=0.5 pairs,
@@ -1834,11 +1838,15 @@ object Queries {
         .orderBy("a", "b"),
       None),
 
+    // Exact-verified Jaccard over the banded candidates, at the same
+    // corpus-scheduled band cap as dedup_jaccard_histogram (the oracle
+    // replays the schedule, so this is hash-gated at exactly the knobs
+    // a 100 TB run would use — the dedup_containment discipline).
     "dedup_ngram_jaccard" -> Q(
-      (s, d) => graft.ops.Dedup.ngramJaccardPairs(
+      (s, d) => graft.ops.Dedup.ngramJaccardPairsAuto(
           plantedDocs(s, d, exact = false), n = 3, threshold = 0.5)
         .orderBy("a", "b"),
-      Some(TextSql.dedupNgramJaccard)),
+      Some(TextSql.dedupNgramJaccardAuto)),
 
     // Asymmetric-overlap containment: catches a short quote fully
     // embedded in a long doc, which Jaccard-estimating detectors miss

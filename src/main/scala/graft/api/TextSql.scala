@@ -419,6 +419,27 @@ object TextSql {
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)""".stripMargin
 
+  /** Banded candidate chain at the SCHEDULE-chosen frequent-band cap —
+    * replays Dedup.containmentSchedule in SQL exactly as
+    * [[dedupContainmentAuto]] does for the stop-shingle cap: cap =
+    * clamp(8, 128, budget // n) over the SAME planted-corpus count the
+    * Scala side reads (BIGINT floor division of non-negative values,
+    * exact on both engines). Everything besides the QUALIFY bound is
+    * [[minhashCandCtes]]'s text.
+    */
+  private def minhashCandCtesScheduled: String =
+    s"""$minhashSigBandCtes,
+       |capv AS (
+       |  SELECT greatest(CAST(8 AS BIGINT), least(CAST(128 AS BIGINT),
+       |    ${graft.ops.Dedup.ContainmentDfBudget} // count(*))) AS cap
+       |  FROM docs),
+       |bands AS (
+       |  SELECT doc_id, band, key FROM bands0
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= (SELECT cap FROM capv)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)""".stripMargin
+
   val dedupMinhash: String =
     s"""WITH ${plantCte(exact = false)},
        |$shinglesCte,
@@ -601,6 +622,28 @@ object TextSql {
        |  count(*) AS n_pairs
        |FROM jac GROUP BY 1 ORDER BY j_bucket""".stripMargin
 
+  /** [[dedupJaccardHistogram]] at the schedule-chosen band cap — the
+    * declared `dedup_jaccard_histogram` mirror (Spark side:
+    * Dedup.ngramJaccardPairsAuto). Only the candidate chain differs.
+    */
+  def dedupJaccardHistogramAuto: String =
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |$minhashCandCtesScheduled,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS i
+       |  FROM cand c JOIN sh l ON l.doc_id = c.a JOIN sh r ON r.doc_id = c.b AND r.s = l.s
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b)
+       |SELECT least(9, CAST(floor(jaccard * 10) AS BIGINT)) AS j_bucket,
+       |  count(*) AS n_pairs
+       |FROM jac GROUP BY 1 ORDER BY j_bucket""".stripMargin
+
   /** Jaccard over MinHash-banded candidates only — mirrors the Spark
     * plan's prefilter (candidates from the capped bands, exact Jaccard
     * verified by joining the pair list back on the shingle rows).
@@ -609,6 +652,26 @@ object TextSql {
     s"""WITH ${plantCte(exact = false)},
        |$shinglesCte,
        |$minhashCandCtes,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS i
+       |  FROM cand c JOIN sh l ON l.doc_id = c.a JOIN sh r ON r.doc_id = c.b AND r.s = l.s
+       |  GROUP BY 1, 2)
+       |SELECT a, b, jaccard FROM (
+       |  SELECT a, b, round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a
+       |  JOIN sizes sb ON sb.doc_id = b)
+       |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin
+
+  /** [[dedupNgramJaccard]] at the schedule-chosen band cap — the
+    * declared `dedup_ngram_jaccard` mirror (Spark side:
+    * Dedup.ngramJaccardPairsAuto). Only the candidate chain differs.
+    */
+  def dedupNgramJaccardAuto: String =
+    s"""WITH ${plantCte(exact = false)},
+       |$shinglesCte,
+       |$minhashCandCtesScheduled,
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT c.a, c.b, count(*) AS i

@@ -361,6 +361,24 @@ object Dedup {
       threshold: Double = 0.8): DataFrame =
     containmentPairs(docs, n, threshold, containmentSchedule(docs.count()))
 
+  /** Corpus-size-aware [[ngramJaccardPairs]] with the frequent-band cap
+    * on [[containmentSchedule]] — the declared audit-family path
+    * (`dedup_ngram_jaccard` / `dedup_jaccard_histogram`). The fixed
+    * cap 128 was the last unscheduled knob in the dedup family (the
+    * position containment held before round 9): the exact-verify join
+    * costs O(candidates · shingles-per-doc) and candidates are bounded
+    * by cap · band rows, so holding the cap flat lets the verify
+    * volume outgrow the corpus on df growth (12.7 s at 10×, the round
+    * family's heaviest). Scheduled (cap 128 at the declared SFs —
+    * outputs unchanged — then 41 at 10×, 13 at 30×), the bound's cap
+    * term shrinks as n grows, same argument as [[containmentSchedule]];
+    * the oracle replays the schedule off the same count.
+    */
+  def ngramJaccardPairsAuto(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, k: Int = 8, bands: Int = 4): DataFrame =
+    ngramJaccardPairs(docs, n, threshold, k, bands,
+      containmentSchedule(docs.count()))
+
   /** Prefix-filtered containment variant — the classic lossless
     * candidate optimization (PPJoin-family): probe the inverted index
     * with only each doc's df-ascending prefix of ⌊(1-t)·sz⌋+1 kept

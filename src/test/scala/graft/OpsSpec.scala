@@ -106,6 +106,25 @@ class OpsSpec extends SparkSpecBase {
       .forall(_.getAs[Double]("jaccard") > 0.8))
   }
 
+  test("ngramJaccardPairsAuto: schedule clamps to 128 below the knee (same output), shrinks past it") {
+    // below the budget/128 knee (~16k docs) the schedule returns exactly
+    // the fixed cap, so the Auto path must be row-identical to the base
+    // operator — the property that makes switching the registrations a
+    // no-op at the declared SFs
+    val docs = planted(exact = false)
+    assert(Dedup.containmentSchedule(docs.count()) == 128)
+    val auto = Dedup.ngramJaccardPairsAuto(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val base = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(auto == base)
+    // past the knee the cap shrinks (the 10×/30× probe values the
+    // Scaladoc declares), monotonically, never below the floor
+    assert(Dedup.containmentSchedule(50000L) == 41)
+    assert(Dedup.containmentSchedule(150000L) == 13)
+    assert(Dedup.containmentSchedule(10000000L) == 8)
+  }
+
   test("dropHotBands: hot (band,key) groups refused, cold bands keep pairing") {
     import spark.implicits._
     val banded = ((0 until 300).map(i => (i.toLong, 0, "HOT")) ++
