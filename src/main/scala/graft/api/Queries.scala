@@ -5305,39 +5305,16 @@ object Queries {
     // in LOG space as exact integers: per-day terms
     // floor(ln((r−e)/r)·1e6) summed cumulatively (order-free — the
     // entropy/PSI discipline), so the gate never hashes an exp().
+    // Batch member of the KM family: the SAME survivalUserState →
+    // survivalKmFromState derivation as the streaming twin (one code
+    // path, zero drift; per-user min/min/max state is commutative, so
+    // the twin is disorder-immune — GraphStreamSpec pins equality on a
+    // disordered split). The horizon mx = max(last_day) over users
+    // equals max(day) over events: every event row enters exactly one
+    // user group.
     "events_survival_km" -> Q(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
-        val per = ev.groupBy("user_id")
-          .agg(min("day").as("t0"),
-            min(when(col("event_type") === "purchase", col("day"))).as("conv"))
-        val maxDay = ev.agg(max("day").as("mx"))
-        val durs = per.crossJoin(broadcast(maxDay))
-          .withColumn("converted", col("conv").isNotNull)
-          .withColumn("dur", when(col("converted"),
-            datediff(col("conv"), col("t0"))).otherwise(datediff(col("mx"), col("t0")))
-            .cast("long"))
-        val byDay = durs.groupBy("dur")
-          .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("e"),
-            sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
-        val wc = Window.orderBy("dur")
-        byDay
-          .withColumn("at_risk",
-            sum(col("e") + col("c")).over(wc.rowsBetween(Window.currentRow,
-              Window.unboundedFollowing)))
-          .withColumn("term", when(col("at_risk") > col("e"),
-            floor(log((col("at_risk") - col("e")).cast("double") /
-              col("at_risk").cast("double")) * lit(1000000.0)).cast("long")))
-          .withColumn("log_surv_x1e6", sum("term").over(wc))
-          .select(col("dur").cast("long").as("day_offset"),
-            col("e").cast("long").as("n_conv"),
-            col("c").cast("long").as("n_censored"),
-            col("at_risk").cast("long").as("at_risk"),
-            col("log_surv_x1e6").cast("long").as("log_surv_x1e6"))
-          .orderBy("day_offset")
-      },
+      (s, d) => graft.streaming.EventStream.survivalKmFromState(
+        graft.streaming.EventStream.survivalUserState(Tables.events(s, d))),
       Some(
         """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
           |per AS (SELECT user_id, min(day) AS t0,

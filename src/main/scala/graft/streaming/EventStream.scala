@@ -725,4 +725,63 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .cast("long").as("n_err"))
+
+  /** Streaming twin of `events_survival_km`'s per-user survival state —
+    * the live cohort/KM feed. Works UNCHANGED on a batch frame or a
+    * stream in complete mode: state is one (first day, first purchase
+    * day, last day) row per user FOREVER, all three commutative
+    * min/max, so the twin is disorder-IMMUNE (no watermark, no
+    * monotone-batch assumption) and MERGEABLE across arbitrary batch
+    * splits (min of mins / max of maxes) — a 100 TB pipeline maintains
+    * live survival curves without re-scanning history. The KM curve
+    * itself is [[survivalKmFromState]] over this user-bounded frame —
+    * a presentation derivation, not state (the errorBudgetDaily
+    * discipline); the batch query runs the SAME derivation, so the two
+    * cannot drift.
+    */
+  def survivalUserState(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("conv"),
+        max(to_date(col("ts"))).as("last_day"))
+
+  /** Kaplan-Meier day-grain curve from [[survivalUserState]]'s frame:
+    * duration = conversion lag (converted) or observation span to the
+    * frame horizon (censored); per-duration event/censor counts; at-risk
+    * via the suffix window; per-day ln-term floored ×1e6 BEFORE the
+    * cumulative sum (order-free integer aggregation — the PSI
+    * discipline; boundary margins pinned in FloatGateSpec). Every window
+    * runs on the duration-grain frame (span-bounded), never the corpus.
+    * This IS the declared `events_survival_km` derivation — the
+    * registered query calls it on the batch user frame.
+    */
+  def survivalKmFromState(per: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = per.agg(max("last_day").as("mx"))
+    val byDay = per.crossJoin(broadcast(mx))
+      .withColumn("converted", col("conv").isNotNull)
+      .withColumn("dur", when(col("converted"),
+        datediff(col("conv"), col("t0"))).otherwise(datediff(col("mx"), col("t0")))
+        .cast("long"))
+      .groupBy("dur")
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("e"),
+        sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+    val wc = Window.orderBy("dur")
+    byDay
+      .withColumn("at_risk",
+        sum(col("e") + col("c")).over(wc.rowsBetween(Window.currentRow,
+          Window.unboundedFollowing)))
+      .withColumn("term", when(col("at_risk") > col("e"),
+        floor(log((col("at_risk") - col("e")).cast("double") /
+          col("at_risk").cast("double")) * lit(1000000.0)).cast("long")))
+      .withColumn("log_surv_x1e6", sum("term").over(wc))
+      .select(col("dur").cast("long").as("day_offset"),
+        col("e").cast("long").as("n_conv"),
+        col("c").cast("long").as("n_censored"),
+        col("at_risk").cast("long").as("at_risk"),
+        col("log_surv_x1e6").cast("long").as("log_surv_x1e6"))
+      .orderBy("day_offset")
+  }
 }

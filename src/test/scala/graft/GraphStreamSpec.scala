@@ -1100,6 +1100,67 @@ class GraphStreamSpec extends SparkSpecBase {
       assert(n1 + n2 == n && e1 + e2 == e, s"day $dy counters not additive")
     }
   }
+
+  test("streaming KM survival: complete-mode user state == batch query, disorder-immune, mergeable") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, dir)
+    def km(per: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Long)] =
+      EventStream.survivalKmFromState(per).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    // the registered query IS survivalKmFromState(survivalUserState(·));
+    // pin against the registry so the twin tracks the declared surface
+    val declared = graft.api.Queries.registry("events_survival_km").fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(declared.nonEmpty && declared == km(EventStream.survivalUserState(batchEv)))
+
+    // NOT-time-ordered parity split: all three state columns are
+    // commutative min/max, so the streamed user frame — and the KM
+    // curve derived from it — must land bit-equal to batch with zero
+    // disorder caveats
+    val stage = java.nio.file.Files.createTempDirectory("graft-km")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100)
+    raw.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val in = EventStream.readEvents(spark, stage.toString + "/*/")
+    val q = EventStream.survivalUserState(in)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_km").start()
+    try {
+      q.processAllAvailable()
+      assert(km(spark.table("stream_km")) == declared,
+        "KM curve from streamed user state diverged from the declared batch query")
+    } finally q.stop()
+
+    // mergeability: per-user state from disjoint splits merges by
+    // min-of-mins / max-of-maxes into exactly the full-corpus state
+    def st(df: org.apache.spark.sql.DataFrame): Map[Long, (String, String, String)] =
+      EventStream.survivalUserState(df).collect().map(r =>
+        r.getAs[Long]("user_id") -> (
+          String.valueOf(r.getAs[java.sql.Date]("t0")),
+          String.valueOf(r.getAs[java.sql.Date]("conv")),
+          String.valueOf(r.getAs[java.sql.Date]("last_day")))).toMap
+    val full = st(batchEv)
+    val s1 = st(batchEv.filter(col("event_id") % 2 === 1))
+    val s2 = st(batchEv.filter(col("event_id") % 2 === 0))
+    def minD(a: String, b: String): String =
+      if (a == "null") b else if (b == "null") a else if (a <= b) a else b
+    def maxD(a: String, b: String): String = if (a >= b) a else b
+    val merged = (s1.keySet ++ s2.keySet).map { u =>
+      (s1.get(u), s2.get(u)) match {
+        case (Some((a0, ac, al)), Some((b0, bc, bl))) =>
+          u -> (minD(a0, b0), minD(ac, bc), maxD(al, bl))
+        case (Some(x), None) => u -> x
+        case (None, Some(y)) => u -> y
+        case _ => throw new IllegalStateException
+      }
+    }.toMap
+    assert(merged == full, "split user states did not merge to the full-corpus state")
+  }
 }
 
 /** Local filesystem whose rename REFUSES any destination named like this
