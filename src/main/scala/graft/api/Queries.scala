@@ -9022,7 +9022,126 @@ object Queries {
           |  CAST(sx * 100 // n AS BIGINT) AS mean_c_x100,
           |  CAST(6272 * (n * qx - sx * sx) // nullif(sx * sx, 0) + 1
           |    AS BIGINT) AS n_per_arm
-          |FROM g ORDER BY 1""".stripMargin))
+          |FROM g ORDER BY 1""".stripMargin)),
+
+    // ===== Extension wave 23: replayable sketches, ranking eval, =====
+    // ===== conformal calibration, LM retrieval                   =====
+
+    // Deterministic mergeable HyperLogLog — unlike approx_count_distinct
+    // (HLL++ registers not replayable in SQL → agg_approx_stats is
+    // rows-only), every bit here is engine-exact, so the sketch itself
+    // HASH-GATES: register index/rank from the shared md5-60 hash via
+    // minimal-binary-string length (no float log2), raw estimate in
+    // exact integer arithmetic off ONE shared alpha literal, and the
+    // linear-counting small-range term as a floored ln (margin-audited
+    // in FloatGateSpec). Exact countDistinct rides along as the
+    // accuracy readout; merge across shards/batches is per-register max
+    // (the streaming twin's identity). See ops/Hll.scala for the scale
+    // notes.
+    "agg_hll_distinct" -> Q(
+      (s, d) => graft.ops.Hll.distinctSketch(
+        Tables.events(s, d), "event_type", col("event_id")),
+      Some(graft.ops.Hll.oracleSql)),
+
+    // nDCG@10 of the BM25 ranking against term-overlap graded relevance
+    // — the ranking-quality evaluation closing the retrieval loop
+    // (rank → judge). The ideal is the TRUE corpus-wide top-k (a missed
+    // relevant doc costs the ranker), taken via distributed sort-limit;
+    // the position-discount vector is k precomputed ×1e9 literals
+    // shared with the oracle, so the whole readout is exact BIGINT.
+    "search_ndcg_eval" -> Q(
+      (s, d) => graft.ops.TextOps.ndcgEval(
+        Tables.documents(s, d), terms = Seq("spark", "join", "vector"), k = 10),
+      Some(TextSql.searchNdcgEval(Seq("spark", "join", "vector"), k = 10))),
+
+    // Dirichlet-smoothed query likelihood (Zhai & Lafferty SIGIR'01) —
+    // the language-model retrieval scorer next to BM25: every doc
+    // scores on every query term (absent terms contribute the smoothed
+    // background mass). Per-term floor(ln(int/int)·1e6) before the
+    // integer sum — the PSI discipline, margin-audited in FloatGateSpec.
+    "search_ql_dirichlet" -> Q(
+      (s, d) => graft.ops.TextOps.qlDirichletTopK(
+        Tables.documents(s, d), terms = Seq("spark", "join", "vector"),
+        mu = 2000L, k = 20),
+      Some(TextSql.searchQlDirichlet(Seq("spark", "join", "vector"),
+        mu = 2000L, k = 20))),
+
+    // Split-conformal calibration (Vovk et al.; the distribution-free
+    // coverage machinery behind selective curation): a deterministic
+    // 20% hash split calibrates the n_chars score, the threshold is the
+    // ceil((n+1)(1−α))-th smallest calibration score — an EXPLICIT rank
+    // selected via Stats.bucketedRank (two-phase, no corpus-sized
+    // SinglePartition window), all arithmetic exact integers — and the
+    // held-out coverage ×1e6 rides along per alpha.
+    "stats_conformal_threshold" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val md5 = graft.functions.GraftFunctions.md5Hash60 _
+        val docs = Tables.documents(s, d)
+        val cal = docs.filter(pmod(md5(col("doc_id")), lit(5L)) === 0)
+          .select(col("doc_id"), col("n_chars").cast("long").as("score"))
+        val test = docs.filter(pmod(md5(col("doc_id")), lit(5L)) =!= 0)
+          .select(col("n_chars").cast("long").as("score"))
+        val ranked = graft.ops.Stats.bucketedRank(cal, "score", "doc_id", 256L)
+        val nCal = cal.agg(count(lit(1)).as("n_cal"))
+        val thr = Seq(10L, 5L, 1L).toDF("alpha_pct")
+          .crossJoin(broadcast(nCal))
+          .withColumn("cal_rank",
+            expr("((n_cal + 1) * (100 - alpha_pct) + 99) div 100"))
+          // keyed join, 3-row probe side — the CALIBRATION frame scales
+          // with the corpus, so it must never be the broadcast side.
+          // rank > n_cal (alpha too small for the calibration size)
+          // means the conformal set is the whole space: threshold = +inf,
+          // encoded as Long.MaxValue so both engines stay integer
+          // (a NULL would also go float64 through the pandas compare)
+          .join(ranked.select(col("rank").as("cal_rank"),
+            col("score").as("threshold")), Seq("cal_rank"), "left")
+          .withColumn("threshold",
+            coalesce(col("threshold"), lit(Long.MaxValue)))
+        val nTest = test.agg(count(lit(1)).as("n_test"))
+        val cov = test
+          .crossJoin(broadcast(thr.select("alpha_pct", "threshold")))
+          .groupBy("alpha_pct")
+          .agg(sum(when(col("score") <= col("threshold"), 1L).otherwise(0L))
+            .as("n_cov"))
+        thr.join(cov, "alpha_pct").crossJoin(broadcast(nTest))
+          .select(col("alpha_pct").cast("long").as("alpha_pct"),
+            col("n_cal").cast("long").as("n_cal"),
+            col("cal_rank").cast("long").as("cal_rank"),
+            col("threshold").cast("long").as("threshold"),
+            col("n_test").cast("long").as("n_test"),
+            expr("n_cov * 1000000L div n_test").cast("long").as("coverage_x1e6"))
+          .orderBy("alpha_pct")
+      },
+      Some(
+        s"""WITH cal AS (
+           |  SELECT doc_id, CAST(n_chars AS BIGINT) AS score FROM documents
+           |  WHERE ${GraphSql.md5Hash60("CAST(doc_id AS VARCHAR)")} % 5 = 0),
+           |tst AS (
+           |  SELECT CAST(n_chars AS BIGINT) AS score FROM documents
+           |  WHERE ${GraphSql.md5Hash60("CAST(doc_id AS VARCHAR)")} % 5 <> 0),
+           |rk AS (SELECT score,
+           |    row_number() OVER (ORDER BY score, doc_id) AS cal_rank FROM cal),
+           |nc AS (SELECT count(*) AS n_cal FROM cal),
+           |nt AS (SELECT count(*) AS n_test FROM tst),
+           |a AS (SELECT unnest([10, 5, 1]) AS alpha_pct),
+           |th AS (
+           |  SELECT alpha_pct, n_cal,
+           |    ((n_cal + 1) * (100 - alpha_pct) + 99) // 100 AS cal_rank
+           |  FROM a CROSS JOIN nc),
+           |j AS (SELECT th.alpha_pct, th.n_cal, th.cal_rank,
+           |        coalesce(rk.score, 9223372036854775807) AS threshold
+           |      FROM th LEFT JOIN rk ON rk.cal_rank = th.cal_rank),
+           |cov AS (
+           |  SELECT j.alpha_pct,
+           |    sum(CASE WHEN t.score <= j.threshold THEN 1 ELSE 0 END) AS n_cov
+           |  FROM j CROSS JOIN tst t GROUP BY 1)
+           |SELECT CAST(j.alpha_pct AS BIGINT) AS alpha_pct,
+           |  CAST(n_cal AS BIGINT) AS n_cal, CAST(cal_rank AS BIGINT) AS cal_rank,
+           |  threshold, CAST(n_test AS BIGINT) AS n_test,
+           |  CAST(n_cov * 1000000 // n_test AS BIGINT) AS coverage_x1e6
+           |FROM j JOIN cov ON cov.alpha_pct = j.alpha_pct CROSS JOIN nt
+           |ORDER BY alpha_pct""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

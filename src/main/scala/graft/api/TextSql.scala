@@ -1654,6 +1654,85 @@ object TextSql {
        |SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM r
        |WHERE rnk <= $perDoc ORDER BY doc_id, rnk""".stripMargin
 
+  /** nDCG@k mirror of TextOps.ndcgEval: the bm25Topk ranking chain (same
+    * double op order) LIMIT k, graded term-overlap relevance, and the
+    * SAME position-discount literals (TextOps.ndcgDiscX1e9 — the one
+    * float op happens in the driver; everything here is exact BIGINT).
+    */
+  def searchNdcgEval(terms: Seq[String], k: Int = 10): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN w = '$t' THEN s END) AS s$i"
+    }.mkString(",\n        ")
+    val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    val disc = graft.ops.TextOps.ndcgDiscX1e9(k)
+    val discCase = disc.zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i + 1} THEN CAST($v AS BIGINT)"
+    }.mkString(" ")
+    s"""WITH $docTokensCte,
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ($inList) GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT t.doc_id, t.w,
+       |    ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |      * (t.tf * (1.2 + 1.0))
+       |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (CAST(c.tok_total AS DOUBLE) / c.n_docs))) AS s
+       |  FROM tf t
+       |  JOIN df d ON d.w = t.w
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN corpus c),
+       |p AS (SELECT doc_id, $pivots FROM scored GROUP BY doc_id),
+       |ranked0 AS (SELECT doc_id, round($total, 6) AS bm25
+       |            FROM p ORDER BY bm25 DESC, doc_id LIMIT $k),
+       |ranked AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos FROM ranked0),
+       |rel AS (SELECT doc_id, count(DISTINCT w) AS rel FROM toks
+       |        WHERE w IN ($inList) GROUP BY doc_id),
+       |dcg AS (
+       |  SELECT CAST(sum(((CAST(1 AS BIGINT) << CAST(coalesce(l.rel, 0) AS INT)) - 1)
+       |    * (CASE r.pos $discCase END)) AS BIGINT) AS dcg_x1e9
+       |  FROM ranked r LEFT JOIN rel l ON l.doc_id = r.doc_id),
+       |ideal0 AS (SELECT rel,
+       |    row_number() OVER (ORDER BY rel DESC, doc_id) AS pos FROM rel),
+       |ideal AS (
+       |  SELECT CAST(sum(((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1)
+       |    * (CASE pos $discCase END)) AS BIGINT) AS idcg_x1e9,
+       |    CAST(count(*) AS BIGINT) AS n_ideal
+       |  FROM ideal0 WHERE pos <= $k)
+       |SELECT dcg_x1e9, idcg_x1e9, n_ideal,
+       |  CAST(dcg_x1e9 * 1000000 // idcg_x1e9 AS BIGINT) AS ndcg_x1e6
+       |FROM dcg CROSS JOIN ideal""".stripMargin
+  }
+
+  /** Dirichlet query-likelihood mirror of TextOps.qlDirichletTopK: the
+    * ln argument is the SAME single integer-ratio division, terms
+    * floored ×1e6 before the integer sum.
+    */
+  def searchQlDirichlet(terms: Seq[String], mu: Long = 2000L, k: Int = 20): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $docTokensCte,
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |cf AS (SELECT w, count(*) AS cf FROM toks WHERE w IN ($inList) GROUP BY w),
+       |ct AS (SELECT count(*) AS c_total FROM toks),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ($inList) GROUP BY doc_id, w),
+       |grid AS (
+       |  SELECT l.doc_id, l.dl, f.w, f.cf, c.c_total, coalesce(t.tf, 0) AS tf
+       |  FROM dl l CROSS JOIN cf f CROSS JOIN ct c
+       |  LEFT JOIN tf t ON t.doc_id = l.doc_id AND t.w = f.w),
+       |terms AS (
+       |  SELECT doc_id,
+       |    CAST(floor(ln(CAST(tf * c_total + $mu * cf AS DOUBLE)
+       |      / CAST(c_total * (dl + $mu) AS DOUBLE)) * 1e6) AS BIGINT) AS term_x1e6
+       |  FROM grid)
+       |SELECT doc_id, CAST(sum(term_x1e6) AS BIGINT) AS ql_x1e6
+       |FROM terms GROUP BY doc_id
+       |ORDER BY ql_x1e6 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Anomalous-hours mirror: exact integer sum / sum-of-squares per
     * type, identical double op order for mean / variance / the 2σ
     * filter and the scaled z score.

@@ -238,6 +238,100 @@ object TextOps {
       .limit(k)
   }
 
+  /** Discount vector for [[ndcgEval]]: floor(1e9 / log2(pos + 1)) for
+    * positions 1..k — position-indexed CONSTANTS, so the graded-gain DCG
+    * below is pure integer arithmetic on both engines (the one float op
+    * happens once here, in the driver, and the SAME literals are
+    * interpolated into the SQL mirror — a log2 evaluated per-row would
+    * be another float-gated family).
+    */
+  def ndcgDiscX1e9(k: Int): Seq[Long] =
+    (1 to k).map(i => (1e9 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** nDCG@k of the BM25 ranking against term-overlap graded relevance
+    * (rel(d) = number of distinct query terms present in d; gain =
+    * 2^rel − 1). The ideal ranking is the TRUE corpus-wide ideal — the
+    * top-k relevance grades over every document, not just the retrieved
+    * set — so a ranker that misses a relevant doc is penalized.
+    *
+    * Scale shape: relevance is one corpus aggregation filtered to the
+    * query terms BEFORE the shuffle (the bm25TopK tf discipline); the
+    * ideal top-k is a k-row orderBy-limit over the |relevant docs|
+    * frame; DCG joins the k-row ranking to the relevance frame keyed on
+    * doc_id. With the constant discount vector the whole readout is
+    * exact BIGINT arithmetic — hash-gated, no float in sight.
+    */
+  def ndcgEval(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    val disc = ndcgDiscX1e9(k)
+    val discCol = expr(s"element_at(array(${disc.mkString("L, ")}L), CAST(pos AS INT))")
+    // gain = 2^rel - 1, reading the in-scope "rel" column
+    val gainCol = expr("shiftleft(1L, CAST(rel AS INT))") - 1
+    val rel = tokenRows(docs)
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id").agg(countDistinct("w").as("rel"))
+    val ranked = bm25TopK(docs, terms, k = k)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("bm25"), asc("doc_id"))).cast("long").as("pos"))
+    val dcg = ranked.join(rel, Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .agg(sum(gainCol * discCol).cast("long").as("dcg_x1e9"))
+    // top-k first via distributed sort-limit (TakeOrderedAndProject);
+    // the row_number window then runs on a ≤k-row frame, never on the
+    // corpus-fraction-sized relevance frame
+    val ideal = rel.orderBy(desc("rel"), asc("doc_id")).limit(k)
+      .select(col("rel"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("rel"), asc("doc_id"))).cast("long").as("pos"))
+      .agg(sum(gainCol * discCol).cast("long").as("idcg_x1e9"),
+        count(lit(1)).cast("long").as("n_ideal"))
+    dcg.crossJoin(broadcast(ideal))
+      .select(col("dcg_x1e9"), col("idcg_x1e9"), col("n_ideal"),
+        expr("dcg_x1e9 * 1000000L div idcg_x1e9").cast("long").as("ndcg_x1e6"))
+  }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    * SIGIR'01): score(d) = Σ_t ln((tf + μ·cf_t/|C|) / (|d| + μ)) over
+    * the query terms, μ the Dirichlet prior. Every document scores on
+    * every query term (absent terms contribute the smoothed background
+    * mass — that is the point of the LM approach vs BM25's
+    * matched-terms-only sum). Per-(doc, term) terms are floored ×1e6
+    * BEFORE the integer sum (order-free — the PSI discipline; boundary
+    * margins in FloatGateSpec); to keep the ln argument a fixed IEEE op
+    * sequence on both engines it is evaluated as
+    * ln((tf·|C| + μ·cf_t) / (|C|·(dl + μ))) — all-integer numerator and
+    * denominator, ONE division, one ln.
+    *
+    * Scale shape: per-doc lengths and the |terms|-row cf frame are the
+    * only corpus aggregations; the score frame is dl × |terms| rows
+    * (corpus-linear for a fixed query), built by a broadcast of the
+    * term frame, then tf left-joined keyed on (doc_id, w) from a
+    * term-filtered pre-shuffle aggregate. Top-k by (score desc, doc_id).
+    */
+  def qlDirichletTopK(docs: DataFrame, terms: Seq[String], mu: Long = 2000L,
+      k: Int = 20): DataFrame = {
+    val toks = tokenRows(docs)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val cf = toks.filter(col("w").isin(terms: _*))
+      .groupBy("w").agg(count(lit(1)).as("cf"))
+    val ctotal = toks.agg(count(lit(1)).as("c_total"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // every doc × every query term (docs with no query term score too)
+    val termFrame = cf.crossJoin(broadcast(ctotal))
+    dl.crossJoin(broadcast(termFrame))
+      .join(tf, Seq("doc_id", "w"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .withColumn("term_x1e6", floor(log(
+        (col("tf") * col("c_total") + lit(mu) * col("cf")).cast("double") /
+          (col("c_total") * (col("dl") + lit(mu))).cast("double")) * lit(1e6))
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("term_x1e6").cast("long").as("ql_x1e6"))
+      .orderBy(desc("ql_x1e6"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Top `perDoc` TF-IDF terms for each doc in a target id range, with
     * document frequencies taken over the FULL corpus. The corpus-wide
     * (doc, term) tf aggregate is the inherent cost (partial-agg'd

@@ -726,6 +726,19 @@ object EventStream {
         sum(when(col("event_type") === "error", 1L).otherwise(0L))
           .cast("long").as("n_err"))
 
+  /** Streaming twin of `agg_hll_distinct`'s register state — the live
+    * mergeable distinct-count feed. Works UNCHANGED on a batch frame or
+    * a stream in complete mode: state is one max-rank row per used
+    * (event_type, register), ≤ types × 1024 rows FOREVER, max is
+    * commutative + idempotent, so the twin is disorder-IMMUNE (even
+    * duplicate redelivery is absorbed — max of a replay is a no-op, a
+    * property the counting twins don't have) and MERGEABLE across
+    * arbitrary splits by per-register max. The estimate readout is
+    * Hll.estimate over this bounded frame — presentation, not state.
+    */
+  def hllEventRegisters(events: DataFrame): DataFrame =
+    graft.ops.Hll.registers(events, "event_type", col("event_id"))
+
   /** Streaming twin of `events_survival_km`'s per-user survival state —
     * the live cohort/KM feed. Works UNCHANGED on a batch frame or a
     * stream in complete mode: state is one (first day, first purchase

@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   *   - pipeline_dsir_sample    floor((Δln)·1e6)               per bucket
   *   - text_zipf_slope         floor(ln(rnk)·1e6), floor(ln(cnt)·1e6)
   *   - events_type_entropy     floor(c·ln c·1e6) + day combine
+  *   - search_ql_dirichlet     floor(ln(int/int)·1e6)           per cell
+  *   - agg_hll_distinct        floor(m·ln(m/V)·1e3) LC term     per group
   *   - text_tfidf_topterms     round(tf·ln(nd/df), 6) — a ROUND gate;
   *                             its boundary is the half-integer of x·1e6
   * (text_bigram_surprisal, named alongside these in round-9 review, is
@@ -138,6 +140,39 @@ class FloatGateSpec extends SparkSpecBase {
       .select(((log(col("n").cast("double")) * col("n").cast("double") *
         lit(1000000.0) - col("s").cast("double")) / col("n").cast("double")).as("x"))
     assertFloorMargin("events_type_entropy combine", combine)
+  }
+
+  test("search_ql_dirichlet: per-term log-likelihood margins clear the boundary") {
+    val terms = Seq("spark", "join", "vector")
+    val mu = 2000L
+    val docs = graft.api.Tables.documents(spark, sf)
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val cf = toks.filter(col("w").isin(terms: _*))
+      .groupBy("w").agg(count(lit(1)).as("cf"))
+    val ct = toks.agg(count(lit(1)).as("c_total"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val grid = dl.crossJoin(broadcast(cf.crossJoin(broadcast(ct))))
+      .join(tf, Seq("doc_id", "w"), "left")
+      .withColumn("tf", coalesce(col("tf"), lit(0L)))
+      .select((log(
+        (col("tf") * col("c_total") + lit(mu) * col("cf")).cast("double") /
+          (col("c_total") * (col("dl") + lit(mu))).cast("double")) * lit(1e6)).as("x"))
+    assertFloorMargin("search_ql_dirichlet", grid)
+  }
+
+  test("agg_hll_distinct: linear-counting term margins clear the boundary") {
+    val regs = graft.ops.Hll.registers(
+      graft.api.Tables.events(spark, sf), "event_type", col("event_id"))
+    val terms = regs.groupBy("event_type").agg(count(lit(1)).as("m_used"))
+      .withColumn("v_zero", lit(graft.ops.Hll.M) - col("m_used"))
+      .filter(col("v_zero") > 0)
+      .select((log(lit(graft.ops.Hll.M.toDouble) / col("v_zero").cast("double")) *
+        lit(graft.ops.Hll.M.toDouble) * lit(1000.0)).as("x"))
+    assertFloorMargin("agg_hll_distinct lc", terms)
   }
 
   test("text_tfidf_topterms: round-gate margins clear the half-integer boundary") {

@@ -1101,6 +1101,39 @@ class GraphStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming HLL registers: complete-mode state == batch, disorder- and replay-immune") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, dir)
+    def regMap(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+      df.collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("idx")) ->
+        r.getAs[Long]("rho")).toMap
+    val batch = regMap(EventStream.hllEventRegisters(batchEv))
+    assert(batch.nonEmpty)
+
+    // NOT-time-ordered parity split, PLUS a full replay of split 1 as a
+    // third batch: max-register state must absorb the duplicate delivery
+    // (idempotence — the immunity additive counting twins lack)
+    val stage = java.nio.file.Files.createTempDirectory("graft-hll")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100)
+    raw.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    Thread.sleep(1100)
+    raw.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(stage.resolve("b3").toString)
+    val in = EventStream.readEvents(spark, stage.toString + "/*/")
+    val q = EventStream.hllEventRegisters(in)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_hll").start()
+    try {
+      q.processAllAvailable()
+      assert(regMap(spark.table("stream_hll")) == batch,
+        "streamed HLL registers diverged from batch (with replayed batch)")
+    } finally q.stop()
+  }
+
   test("streaming KM survival: complete-mode user state == batch query, disorder-immune, mergeable") {
     val dir = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, dir)

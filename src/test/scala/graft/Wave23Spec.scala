@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.{Queries, Tables}
+import graft.ops.{Hll, TextOps}
+
+/** Wave 23 semantics: replayable HLL, nDCG ranking eval, conformal
+  * calibration, Dirichlet query likelihood. */
+class Wave23Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hll: corrected estimate within 10% of exact at two SFs") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Hll.distinctSketch(Tables.events(spark, d),
+        "event_type", col("event_id")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val est = r.getAs[Long]("est_x1e3")
+        val exact = r.getAs[Long]("exact")
+        // the standard regime rule: linear counting below 2.5m (est and
+        // the cutoff both ×1e3)
+        val corrected =
+          if (est < 2500L * Hll.M && !r.isNullAt(r.fieldIndex("lc_x1e3")))
+            r.getAs[Long]("lc_x1e3")
+          else est
+        val relErr = math.abs(corrected / 1000.0 - exact) / exact.toDouble
+        assert(relErr < 0.10,
+          s"$d ${r.getString(0)}: corrected $corrected vs exact $exact (err $relErr)")
+      }
+    }
+  }
+
+  test("hll: split registers merge by max to the full state; replay is a no-op") {
+    val ev = Tables.events(spark, dir)
+    def regs(df: DataFrame): Map[(String, Long), Long] =
+      Hll.registers(df, "event_type", col("event_id")).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("idx")) ->
+          r.getAs[Long]("rho")).toMap
+    val full = regs(ev)
+    val s1 = regs(ev.filter(col("event_id") % 2 === 1))
+    val s2 = regs(ev.filter(col("event_id") % 2 === 0))
+    val merged = (s1.keySet ++ s2.keySet).map { k =>
+      k -> math.max(s1.getOrElse(k, 0L), s2.getOrElse(k, 0L))
+    }.toMap
+    assert(merged == full, "per-register max merge diverged from full-corpus registers")
+    // idempotence: replaying the whole corpus on top of itself changes
+    // nothing — the dup-redelivery immunity counting sketches lack
+    assert(regs(ev.unionByName(ev)) == full)
+  }
+
+  test("ndcg: perfect single-relevant ranking scores exactly 1e6; corpus value bounded") {
+    val docs = Seq((1L, "spark join vector"), (2L, "aa bb aa"), (3L, "cc dd"))
+      .toDF("doc_id", "text")
+    val perfect = TextOps.ndcgEval(docs, Seq("spark", "join", "vector"), k = 10).head
+    assert(perfect.getAs[Long]("ndcg_x1e6") == 1000000L)
+    assert(perfect.getAs[Long]("n_ideal") == 1L)
+    val c = TextOps.ndcgEval(Tables.documents(spark, dir),
+      Seq("spark", "join", "vector"), k = 10).head
+    val v = c.getAs[Long]("ndcg_x1e6")
+    assert(v > 0 && v <= 1000000L, s"corpus ndcg_x1e6 $v out of (0, 1e6]")
+    // discount vector: position 1 is exactly 1e9 (log2(2) = 1), strictly
+    // decreasing after
+    val disc = TextOps.ndcgDiscX1e9(10)
+    assert(disc.head == 1000000000L)
+    assert(disc.sliding(2).forall(p => p(0) > p(1)))
+  }
+
+  test("conformal: thresholds/coverage monotone in alpha, coverage near target") {
+    val rows = Queries.registry("stats_conformal_threshold")
+      .fn(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getAs[Long]("alpha_pct"), r.getAs[Long]("threshold"),
+        r.getAs[Long]("coverage_x1e6"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 5L, 10L))
+    // smaller alpha → higher rank → higher (or equal) threshold → more
+    // coverage
+    assert(rows.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+    assert(rows.sliding(2).forall(p => p(0)._3 >= p(1)._3))
+    // the distribution-free guarantee is on-average 1−α; allow 10pp of
+    // finite-sample slack on the held-out measurement
+    rows.foreach { case (a, _, cov) =>
+      assert(cov >= (100 - a) * 10000L - 100000L && cov <= 1000000L,
+        s"alpha $a%: coverage_x1e6 $cov far from ${(100 - a) * 10000L}")
+    }
+  }
+
+  test("ql dirichlet: matching term raises score at equal length; smoothing scores term-free docs") {
+    val docs = Seq((1L, "spark xx"), (2L, "yy xx"), (3L, "yy")).toDF("doc_id", "text")
+    val out = TextOps.qlDirichletTopK(docs, Seq("spark"), mu = 2000L, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ql_x1e6")).toMap
+    // every doc scores (the smoothed background mass covers docs 2 and 3)
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) > out(2L), "tf presence must beat pure background at equal dl")
+    assert(out(3L) > out(2L), "shorter doc must beat longer at equal tf=0 (length normalization)")
+  }
+}
