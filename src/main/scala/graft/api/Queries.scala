@@ -9141,7 +9141,106 @@ object Queries {
            |  threshold, CAST(n_test AS BIGINT) AS n_test,
            |  CAST(n_cov * 1000000 // n_test AS BIGINT) AS coverage_x1e6
            |FROM j JOIN cov ON cov.alpha_pct = j.alpha_pct CROSS JOIN nt
-           |ORDER BY alpha_pct""".stripMargin))
+           |ORDER BY alpha_pct""".stripMargin)),
+
+    // t-closeness (Li et al., ICDE'07) — the distributional member of
+    // the privacy battery next to privacy_k_anonymity's k/l counts: per
+    // quasi-identifier group (nation, segment), the total-variation
+    // distance between the group's sensitive-value (acctbal band)
+    // distribution and the GLOBAL band distribution, as an exact
+    // rational ×1e6 (TVD = Σ|c_gv·N − c_v·N_g| over 2·N_g·N — the
+    // stats_psi_sources tvd discipline, DECIMAL(38,0) products). A
+    // group whose band mix mirrors the corpus leaks nothing even at
+    // small k; one at t > 0.3 reveals its members' balance band. One
+    // corpus groupBy to the (group × 3-band) frame; the global band
+    // frame broadcasts.
+    "privacy_t_closeness" -> Q(
+      (s, d) => {
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val band = when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 4500, "mid").otherwise("high")
+        val cust = Tables.customer(s, d)
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"), band.as("band"))
+        val cell = cust.groupBy("nation", "segment", "band")
+          .agg(count(lit(1)).as("cgv"))
+        val grp = cust.groupBy("nation", "segment").agg(count(lit(1)).as("ng"))
+        val glob = cust.groupBy("band").agg(count(lit(1)).as("cv"))
+        val n = cust.agg(count(lit(1)).as("nn"))
+        grp.crossJoin(broadcast(glob)).crossJoin(broadcast(n))
+          .join(cell, Seq("nation", "segment", "band"), "left")
+          .withColumn("cgv", coalesce(col("cgv"), lit(0L)))
+          .withColumn("num", abs(dec(col("cgv")) * dec(col("nn")) -
+            dec(col("cv")) * dec(col("ng"))))
+          .groupBy("nation", "segment")
+          .agg(max("ng").cast("long").as("n"),
+            expr("CAST(sum(num) * 1000000 div (2 * CAST(max(ng) AS DECIMAL(38,0)) * max(nn)) AS BIGINT)")
+              .as("tvd_x1e6"))
+          .withColumn("t_risk", when(col("tvd_x1e6") > 300000L, 1L).otherwise(0L))
+          .orderBy("nation", "segment")
+      },
+      Some(
+        """WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+          |    c_mktsegment AS segment,
+          |    CASE WHEN c_acctbal < 0 THEN 'neg'
+          |         WHEN c_acctbal < 4500 THEN 'mid' ELSE 'high' END AS band
+          |  FROM customer),
+          |cell AS (SELECT nation, segment, band, count(*) AS cgv
+          |         FROM cust GROUP BY 1, 2, 3),
+          |grp AS (SELECT nation, segment, count(*) AS ng FROM cust GROUP BY 1, 2),
+          |gband AS (SELECT band, count(*) AS cv FROM cust GROUP BY 1),
+          |n AS (SELECT count(*) AS nn FROM cust),
+          |t AS (SELECT g.nation, g.segment, g.ng, n.nn,
+          |    abs(CAST(coalesce(c.cgv, 0) AS HUGEINT) * n.nn
+          |        - CAST(gl.cv AS HUGEINT) * g.ng) AS num
+          |  FROM grp g CROSS JOIN gband gl CROSS JOIN n
+          |  LEFT JOIN cell c ON c.nation = g.nation AND c.segment = g.segment
+          |    AND c.band = gl.band)
+          |SELECT nation, segment, CAST(max(ng) AS BIGINT) AS n,
+          |  CAST(sum(num) * 1000000 // (2 * CAST(max(ng) AS HUGEINT) * max(nn))
+          |    AS BIGINT) AS tvd_x1e6,
+          |  CASE WHEN sum(num) * 1000000
+          |         // (2 * CAST(max(ng) AS HUGEINT) * max(nn)) > 300000
+          |    THEN 1 ELSE 0 END AS t_risk
+          |FROM t GROUP BY 1, 2 ORDER BY nation, segment""".stripMargin)),
+
+    // Leave-one-source-out data valuation: the cheapest member of the
+    // influence family — for each source, how the corpus-level length
+    // and quality-proxy means move when that source is removed, purely
+    // algebraic from per-source totals (LOO mean = (T − T_s)/(N − N_s)
+    // — NO second corpus pass, no per-source re-aggregation; the whole
+    // readout derives from ONE groupBy). Exact integers: means ×100
+    // by integral division, deltas in the same fixed-point. The screen
+    // a curation pass runs before dropping or upweighting a source.
+    "stats_loo_source_impact" -> Q(
+      (s, d) => {
+        val per = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("ns"), sum("n_chars").as("ts"))
+        val tot = per.agg(sum("ns").as("n"), sum("ts").as("t"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("mean_all_x100", expr("t * 100 div n"))
+          .withColumn("mean_loo_x100",
+            expr("(t - ts) * 100 div (n - ns)"))
+          .select(col("source"), col("ns").cast("long").as("n_docs"),
+            col("mean_all_x100").cast("long").as("mean_all_x100"),
+            col("mean_loo_x100").cast("long").as("mean_loo_x100"),
+            (col("mean_loo_x100") - col("mean_all_x100")).cast("long")
+              .as("loo_delta_x100"))
+          .orderBy("source")
+      },
+      Some(
+        """WITH per AS (SELECT source, count(*) AS ns,
+          |    CAST(sum(n_chars) AS BIGINT) AS ts
+          |  FROM documents GROUP BY 1),
+          |tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n,
+          |    CAST(sum(ts) AS BIGINT) AS t FROM per)
+          |SELECT source, CAST(ns AS BIGINT) AS n_docs,
+          |  CAST(t * 100 // n AS BIGINT) AS mean_all_x100,
+          |  CAST((t - ts) * 100 // (n - ns) AS BIGINT) AS mean_loo_x100,
+          |  CAST((t - ts) * 100 // (n - ns) - t * 100 // n AS BIGINT)
+          |    AS loo_delta_x100
+          |FROM per CROSS JOIN tot ORDER BY source""".stripMargin))
   )
 
   /** Planted near-duplicates: docs with doc_id < 50 re-appended under

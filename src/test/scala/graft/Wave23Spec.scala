@@ -87,6 +87,65 @@ class Wave23Spec extends SparkSpecBase {
     }
   }
 
+  test("t-closeness: valid TVD range and risk flag; groups mirroring the global mix score 0") {
+    val rows = Queries.registry("privacy_t_closeness").fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every tvd is a valid TVD: in [0, 1e6], and risk flag == (> 0.3)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("tvd_x1e6")
+      assert(t >= 0 && t <= 1000000L)
+      assert(r.getAs[Long]("t_risk") == (if (t > 300000L) 1L else 0L))
+    }
+    // planted fixture: both groups carry the exact global 1/3-1/3-1/3
+    // band mix, so both TVDs must be exactly 0
+    val fix = Seq(
+      (0L, "A", -10.0), (1L, "A", -20.0), (2L, "A", 100.0), (3L, "A", 200.0),
+      (4L, "A", 9000.0), (5L, "A", 9100.0),
+      (6L, "B", -1.0), (7L, "B", -2.0), (8L, "B", 50.0), (9L, "B", 60.0),
+      (10L, "B", 9200.0), (11L, "B", 9300.0)
+    ).toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .withColumn("c_nationkey", lit(7L))
+    // both groups have the SAME 1/3-1/3-1/3 mix == global → tvd 0 for both
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val band = when(col("c_acctbal") < 0, "neg")
+      .when(col("c_acctbal") < 4500, "mid").otherwise("high")
+    val cust = fix.select(col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"), band.as("band"))
+    val cell = cust.groupBy("nation", "segment", "band").agg(count(lit(1)).as("cgv"))
+    val grp = cust.groupBy("nation", "segment").agg(count(lit(1)).as("ng"))
+    val g = cust.groupBy("band").agg(count(lit(1)).as("cv"))
+    val n = cust.agg(count(lit(1)).as("nn"))
+    val tv = grp.crossJoin(broadcast(g)).crossJoin(broadcast(n))
+      .join(cell, Seq("nation", "segment", "band"), "left")
+      .withColumn("cgv", coalesce(col("cgv"), lit(0L)))
+      .withColumn("num", abs(dec(col("cgv")) * dec(col("nn")) -
+        dec(col("cv")) * dec(col("ng"))))
+      .groupBy("segment")
+      .agg(expr("CAST(sum(num) * 1000000 div (2 * CAST(max(ng) AS DECIMAL(38,0)) * max(nn)) AS BIGINT)")
+        .as("tvd_x1e6"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tv("A") == 0L && tv("B") == 0L)
+  }
+
+  test("loo source impact: removing a source reproduces the direct mean over the rest") {
+    val docs = Tables.documents(spark, dir)
+    val out = Queries.registry("stats_loo_source_impact").fn(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("mean_loo_x100"), r.getAs[Long]("loo_delta_x100"))).toMap
+    val some = out.keySet.take(3)
+    some.foreach { src =>
+      val rest = docs.filter(col("source") =!= src)
+        .agg((sum("n_chars") * 100).cast("long").as("t"), count(lit(1)).as("n")).head
+      val direct = rest.getLong(0) / rest.getLong(1)
+      assert(out(src)._1 == direct, s"$src: LOO algebra ${out(src)._1} != direct $direct")
+    }
+    // deltas sum-check: a source with above-average docs must have a
+    // negative-or-zero... (sign consistency): delta sign == sign(mean_all − source mean)
+    val full = docs.agg((sum("n_chars") * 100).cast("long"), count(lit(1))).head
+    val meanAll = full.getLong(0) / full.getLong(1)
+    out.foreach { case (_, (loo, delta)) => assert(delta == loo - meanAll) }
+  }
+
   test("ql dirichlet: matching term raises score at equal length; smoothing scores term-free docs") {
     val docs = Seq((1L, "spark xx"), (2L, "yy xx"), (3L, "yy")).toDF("doc_id", "text")
     val out = TextOps.qlDirichletTopK(docs, Seq("spark"), mu = 2000L, k = 10)
