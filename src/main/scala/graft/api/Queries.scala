@@ -9143,6 +9143,19 @@ object Queries {
            |FROM j JOIN cov ON cov.alpha_pct = j.alpha_pct CROSS JOIN nt
            |ORDER BY alpha_pct""".stripMargin)),
 
+    // Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
+    // ADDITIVE mergeable sketch completing the shelf next to the
+    // replayable HLL (max-merge) and Misra-Gries (counter-merge):
+    // per-cell sums, never-undercount point estimates, and — like the
+    // HLL — every bit engine-replayable (md5("j:key") row hashes), so
+    // the 4×1024 counter table itself hash-gates against DuckDB. One
+    // map-side-combined aggregation into 4096 cells; probes are k·D
+    // rows. See ops/CountMin.scala.
+    "agg_countmin_users" -> Q(
+      (s, d) => graft.ops.CountMin.pointEstimates(
+        Tables.events(s, d), col("user_id"), topK = 10),
+      Some(graft.ops.CountMin.oracleSql(topK = 10))),
+
     // t-closeness (Li et al., ICDE'07) — the distributional member of
     // the privacy battery next to privacy_k_anonymity's k/l counts: per
     // quasi-identifier group (nation, segment), the total-variation

@@ -739,6 +739,17 @@ object EventStream {
   def hllEventRegisters(events: DataFrame): DataFrame =
     graft.ops.Hll.registers(events, "event_type", col("event_id"))
 
+  /** Streaming twin of `agg_countmin_users`' counter table — the live
+    * additive frequency sketch. Works UNCHANGED on a batch frame or a
+    * stream in complete mode: state is ≤ 4×1024 commutative-sum cells
+    * FOREVER, disorder-immune and ADDITIVE across arbitrary splits
+    * (cell-wise sum — the [[bootstrapSums]] identity with a fixed-size
+    * table). Point estimates are the k·D-probe readout over this
+    * bounded frame — presentation, not state.
+    */
+  def cmUserCounters(events: DataFrame): DataFrame =
+    graft.ops.CountMin.counters(events, col("user_id"))
+
   /** Streaming twin of `events_survival_km`'s per-user survival state —
     * the live cohort/KM feed. Works UNCHANGED on a batch frame or a
     * stream in complete mode: state is one (first day, first purchase

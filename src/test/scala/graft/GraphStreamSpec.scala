@@ -1134,6 +1134,32 @@ class GraphStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming count-min counters: complete-mode cells == batch, disorder-immune") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEv = Tables.events(spark, dir)
+    def cellMap(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      df.collect().map(r => (r.getAs[Int]("j"), r.getAs[Long]("cell")) ->
+        r.getAs[Long]("c")).toMap
+    val batch = cellMap(EventStream.cmUserCounters(batchEv))
+    assert(batch.nonEmpty)
+    val stage = java.nio.file.Files.createTempDirectory("graft-cm")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100)
+    raw.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val in = EventStream.readEvents(spark, stage.toString + "/*/")
+    val q = EventStream.cmUserCounters(in)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_cm").start()
+    try {
+      q.processAllAvailable()
+      assert(cellMap(spark.table("stream_cm")) == batch,
+        "streamed count-min cells diverged from batch")
+    } finally q.stop()
+  }
+
   test("streaming KM survival: complete-mode user state == batch query, disorder-immune, mergeable") {
     val dir = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, dir)

@@ -146,6 +146,36 @@ class Wave23Spec extends SparkSpecBase {
     out.foreach { case (_, (loo, delta)) => assert(delta == loo - meanAll) }
   }
 
+  test("count-min: never undercounts, exact without collisions, additive merge") {
+    import graft.ops.CountMin
+    // corpus: 150 users over 4096 cells — collision-free, so every
+    // estimate must be EXACT
+    val ev = Tables.events(spark, dir)
+    val out = CountMin.pointEstimates(ev, col("user_id"), topK = 10).collect()
+    assert(out.length == 10)
+    out.foreach(r => assert(r.getAs[Long]("overcount") == 0L,
+      s"collision at 150 keys/4096 cells: $r"))
+    // forced collisions: 5000 distinct keys >> 1024 cells per row — the
+    // guarantee degrades to est >= exact, never below
+    val many = spark.range(0, 20000).selectExpr("id % 5000 AS user_id")
+    val est = CountMin.pointEstimates(many, col("user_id"), topK = 20).collect()
+    est.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact"),
+        s"CM undercounted: $r")
+    }
+    // additive merge: counters over a parity split sum cell-wise to the
+    // full table
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      CountMin.counters(df, col("user_id")).collect()
+        .map(r => (r.getAs[Int]("j"), r.getAs[Long]("cell")) -> r.getAs[Long]("c")).toMap
+    val full = cells(ev)
+    val a = cells(ev.filter(col("event_id") % 2 === 1))
+    val b = cells(ev.filter(col("event_id") % 2 === 0))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == full)
+  }
+
   test("ql dirichlet: matching term raises score at equal length; smoothing scores term-free docs") {
     val docs = Seq((1L, "spark xx"), (2L, "yy xx"), (3L, "yy")).toDF("doc_id", "text")
     val out = TextOps.qlDirichletTopK(docs, Seq("spark"), mu = 2000L, k = 10)
