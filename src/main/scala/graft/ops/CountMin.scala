@@ -26,18 +26,24 @@ object CountMin {
   /** Counters per row. */
   val Width = 1024L
 
-  /** Cell index of `key` in hash row `j` — md5("j:key") mod width, the
-    * engine-portable family (GraphSql mirrors it verbatim). */
-  private def cellOf(j: Column, key: Column): Column =
-    pmod(GraftFunctions.md5Hash60(concat_ws(":", j, key)), lit(Width))
+  /** Cell index of the pre-hashed key in row `j`: the j-th disjoint
+    * 10-bit slice of the 60-bit md5 — ONE md5 per row instead of D
+    * (measured 2.4× on the hot stage at 10×, where the single-file
+    * test corpus gives the scan stage one task); disjoint slices of an
+    * ideal hash are independent uniform hashes, so each row keeps the
+    * CM pairwise-independence requirement. Same bit arithmetic in the
+    * oracle (`>>`/`&` on BIGINT).
+    */
+  private def cellOf(j: Column, h: Column): Column =
+    expr(s"(h >> (10 * j)) & ${Width - 1}")
 
   /** The D×Width counter table as (j, cell, c) rows — additive,
     * mergeable, and streaming-safe (complete-mode state is ≤ 4096
     * rows of commutative sums FOREVER). */
   def counters(rows: DataFrame, keyCol: Column): DataFrame =
-    rows.select(keyCol.as("k"))
+    rows.select(GraftFunctions.md5Hash60(keyCol).as("h"))
       .withColumn("j", explode(expr(s"sequence(0, ${D - 1})")))
-      .withColumn("cell", cellOf(col("j"), col("k")))
+      .withColumn("cell", cellOf(col("j"), col("h")))
       .groupBy("j", "cell").agg(count(lit(1)).as("c"))
 
   /** Point-estimate readout for the exact top-k keys: est =
@@ -51,8 +57,9 @@ object CountMin {
     val top = rows.groupBy(keyCol.as("k")).agg(count(lit(1)).as("exact"))
       .orderBy(desc("exact"), asc("k")).limit(topK)
     top
+      .withColumn("h", GraftFunctions.md5Hash60(col("k")))
       .withColumn("j", explode(expr(s"sequence(0, ${D - 1})")))
-      .withColumn("cell", cellOf(col("j"), col("k")))
+      .withColumn("cell", cellOf(col("j"), col("h")))
       .join(ctr, Seq("j", "cell"))
       .groupBy("k")
       .agg(max("exact").cast("long").as("exact"),
@@ -64,22 +71,19 @@ object CountMin {
 
   /** DuckDB mirror of [[pointEstimates]] over events/user_id. */
   def oracleSql(topK: Int = 10): String = {
-    def h60(e: String) = graft.api.GraphSql.md5Hash60(e)
+    val h60 = graft.api.GraphSql.md5Hash60("CAST(user_id AS VARCHAR)")
     val jlist = (0 until D).mkString(", ")
-    s"""WITH rj AS (
-       |  SELECT user_id, unnest([$jlist]) AS j FROM events),
+    s"""WITH rh AS (SELECT $h60 AS h FROM events),
        |cells AS (
-       |  SELECT j, ${h60("CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")}
-       |      % $Width AS cell,
-       |    count(*) AS c
-       |  FROM rj GROUP BY 1, 2),
+       |  SELECT j, (h >> (10 * j)) & ${Width - 1} AS cell, count(*) AS c
+       |  FROM rh CROSS JOIN (SELECT unnest([$jlist]) AS j) j GROUP BY 1, 2),
        |topu AS (
-       |  SELECT user_id, count(*) AS exact FROM events GROUP BY 1
+       |  SELECT user_id, count(*) AS exact,
+       |    ${graft.api.GraphSql.md5Hash60("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events GROUP BY 1
        |  ORDER BY exact DESC, user_id LIMIT $topK),
        |probes AS (
-       |  SELECT t.user_id, t.exact, j.j,
-       |    ${h60("CAST(j.j AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)")}
-       |      % $Width AS cell
+       |  SELECT t.user_id, t.exact, j.j, (t.h >> (10 * j.j)) & ${Width - 1} AS cell
        |  FROM topu t CROSS JOIN (SELECT unnest([$jlist]) AS j) j)
        |SELECT p.user_id, CAST(max(p.exact) AS BIGINT) AS exact,
        |  CAST(min(c.c) AS BIGINT) AS cm_est,
