@@ -9143,6 +9143,28 @@ object Queries {
            |FROM j JOIN cov ON cov.alpha_pct = j.alpha_pct CROSS JOIN nt
            |ORDER BY alpha_pct""".stripMargin)),
 
+    // Sparse TF-IDF cosine similarity pairs — the LEXICAL sibling of
+    // the embedding-cosine detectors: inverted-index candidates (only
+    // docs sharing a kept term pair; stop-term df cap at the corpus
+    // schedule, replayed by the oracle), exact-integer cosine² verify
+    // (floored ×1e3 weights — margins in FloatGateSpec — then
+    // DECIMAL(38,0) dot/norm sums; cos²·1e6 is a rational, no float
+    // sqrt). Role: discriminative-term similar-pair discovery, NOT
+    // near-dup recall — on the vocab-saturated corpus the df cap drops
+    // the common tokens, so tail-perturbed plants mostly fall below
+    // the threshold (measured 1/50; the shingle detectors own that
+    // signal), while exact-vector pairs score exactly 1e6 (Wave23Spec).
+    // BIGINT/DECIMAL headroom: num² ≤ ‖a‖²·‖b‖² < 10³⁸ up to ~10¹⁶
+    // weight-mass per doc (tf·ln ≈ 3·10⁸ per term) — the
+    // temperature_mix DECIMAL wall, far past any real document.
+    "sim_tfidf_sparse" -> Q(
+      (s, d) => {
+        val p = plantedDocs(s, d, exact = false)
+        graft.ops.TextOps.tfidfCosinePairs(p, threshold2X1e6 = 640000L,
+          maxTermDf = graft.ops.Dedup.containmentSchedule(p.count()))
+      },
+      Some(TextSql.simTfidfSparse())),
+
     // Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
     // ADDITIVE mergeable sketch completing the shelf next to the
     // replayable HLL (max-merge) and Misra-Gries (counter-merge):

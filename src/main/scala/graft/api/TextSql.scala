@@ -1654,6 +1654,46 @@ object TextSql {
        |SELECT doc_id, w, tfidf, CAST(rnk AS INT) AS rnk FROM r
        |WHERE rnk <= $perDoc ORDER BY doc_id, rnk""".stripMargin
 
+  /** Sparse TF-IDF cosine mirror of TextOps.tfidfCosinePairs over the
+    * planted near-dup corpus: same floored ×1e3 weights (identical ln
+    * op order), schedule-chosen stop-term df cap (the capv discipline),
+    * exact-integer cosine² rational.
+    */
+  def simTfidfSparse(threshold2X1e6: Long = 640000L): String =
+    s"""WITH ${plantCte(exact = false)},
+       |toks AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+       |    FROM docs)
+       |  WHERE w <> ''),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n_docs FROM docs),
+       |capv AS (
+       |  SELECT greatest(CAST(8 AS BIGINT), least(CAST(128 AS BIGINT),
+       |    ${graft.ops.Dedup.ContainmentDfBudget} // count(*))) AS cap
+       |  FROM docs),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1
+       |       HAVING count(*) <= (SELECT cap FROM capv)),
+       |wts0 AS (
+       |  SELECT t.doc_id, t.w,
+       |    CAST(floor(t.tf * ln(CAST(c.n_docs AS DOUBLE) / d.df) * 1000.0)
+       |      AS BIGINT) AS wt
+       |  FROM tf t JOIN df d USING (w) CROSS JOIN nd c),
+       |wts AS (SELECT * FROM wts0 WHERE wt > 0),
+       |norms AS (SELECT doc_id, sum(CAST(wt AS HUGEINT) * wt) AS n2
+       |          FROM wts GROUP BY 1),
+       |num AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b,
+       |    sum(CAST(l.wt AS HUGEINT) * r.wt) AS num
+       |  FROM wts l JOIN wts r ON r.w = l.w AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, cos2_x1e6 FROM (
+       |  SELECT a, b,
+       |    CAST(num * num * 1000000 // (na.n2 * nb.n2) AS BIGINT) AS cos2_x1e6
+       |  FROM num
+       |  JOIN norms na ON na.doc_id = a
+       |  JOIN norms nb ON nb.doc_id = b)
+       |WHERE cos2_x1e6 >= $threshold2X1e6 ORDER BY a, b""".stripMargin
+
   /** nDCG@k mirror of TextOps.ndcgEval: the bm25Topk ranking chain (same
     * double op order) LIMIT k, graded term-overlap relevance, and the
     * SAME position-discount literals (TextOps.ndcgDiscX1e9 — the one

@@ -355,6 +355,52 @@ object TextOps {
       .select(col("doc_id"), col("w"), col("tfidf"), col("rnk").cast("int").as("rnk"))
   }
 
+  /** Sparse TF-IDF cosine similarity — the LEXICAL near-dup/similarity
+    * signal next to the embedding-cosine family: candidates from the
+    * term-keyed inverted-index self-join (only docs sharing a kept term
+    * can pair — no all-pairs anywhere), verified by an EXACT-INTEGER
+    * cosine²: per-(doc, term) weights are floor(tf·ln(N/df)·1000)
+    * BIGINT (one floored ln per cell — the PSI discipline, margins in
+    * FloatGateSpec), so dot products and norms are order-free
+    * DECIMAL(38,0) sums and cos²·1e6 = num²·1e6 div (‖a‖²·‖b‖²) is a
+    * rational — no float sqrt, and ranking by cos² ≡ ranking by cos.
+    *
+    * Stop-term guard: terms with df > `maxTermDf` are dropped BEFORE
+    * pairing (the containment discipline — a ubiquitous term otherwise
+    * fans out O(df²) pairs), and norms run over the SAME kept-term
+    * space so the ratio stays consistent. Σ_t df² ≤ cap·|doc-term rows|
+    * bounds the join. Pass `containmentSchedule(n)` for the
+    * corpus-scheduled cap.
+    */
+  def tfidfCosinePairs(docs: DataFrame, threshold2X1e6: Long = 640000L,
+      maxTermDf: Int = 128): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val tf = tokenRows(docs).groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxTermDf)
+    val wts = tf.join(df, "w").crossJoin(broadcast(ndocs))
+      .withColumn("wt", floor(col("tf") *
+        log(col("n_docs").cast("double") / col("df")) * lit(1000.0)).cast("long"))
+      .filter(col("wt") > 0)
+      .select("doc_id", "w", "wt")
+    val norms = wts.groupBy("doc_id")
+      .agg(sum(dec(col("wt")) * dec(col("wt"))).as("n2"))
+    val num = wts.select(col("doc_id").as("a"), col("w"), col("wt").as("wa"))
+      .join(wts.select(col("doc_id").as("b"), col("w"), col("wt").as("wb")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(dec(col("wa")) * dec(col("wb"))).as("num"))
+    num
+      .join(norms.select(col("doc_id").as("a"), col("n2").as("na2")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("n2").as("nb2")), "b")
+      .withColumn("cos2_x1e6",
+        expr("CAST(num * num * 1000000 div (na2 * nb2) AS BIGINT)"))
+      .filter(col("cos2_x1e6") >= threshold2X1e6)
+      .select(col("a"), col("b"), col("cos2_x1e6"))
+      .orderBy("a", "b")
+  }
+
   /** In-engine linear-probe training: full-batch gradient descent on a
     * 4-feature language probe (length, punctuation ratio, English
     * stopword signal, bias → does the doc read as English), entirely in

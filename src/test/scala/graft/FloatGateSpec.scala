@@ -164,6 +164,20 @@ class FloatGateSpec extends SparkSpecBase {
     assertFloorMargin("search_ql_dirichlet", grid)
   }
 
+  test("sim_tfidf_sparse: per-cell weight margins clear the boundary") {
+    val docs = graft.api.Tables.documents(spark, sf)
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") <= 128)
+    val terms = tf.join(dfc, "w").crossJoin(broadcast(nd))
+      .select((col("tf") * log(col("n_docs").cast("double") / col("df")) *
+        lit(1000.0)).as("x"))
+    assertFloorMargin("sim_tfidf_sparse", terms)
+  }
+
   test("agg_hll_distinct: linear-counting term margins clear the boundary") {
     val regs = graft.ops.Hll.registers(
       graft.api.Tables.events(spark, sf), "event_type", col("event_id"))

@@ -146,6 +146,53 @@ class Wave23Spec extends SparkSpecBase {
     out.foreach { case (_, (loo, delta)) => assert(delta == loo - meanAll) }
   }
 
+  test("tfidf sparse cosine: exact copies score exactly 1e6, disjoint docs never pair") {
+    import graft.ops.TextOps
+    // an identical-token pair (cos² exactly 1 — the integer rational is
+    // (Σw²)²/(Σw²·Σw²)), one disjoint doc, plus filler establishing df
+    // — and a pair sharing NO kept term cannot appear at all (inverted
+    // index, not all-pairs). A single extra RARE token is enough to
+    // deflate cosine hard (its idf weight dominates), which is correct
+    // TF-IDF behavior — hence the exact-copy fixture here.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "omega psi chi phi"),
+      (4L, "alpha omega beta psi"),
+      (5L, "filler tokens here nothing shared")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfCosinePairs(docs, threshold2X1e6 = 0L, maxTermDf = 128)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("cos2_x1e6")).toMap
+    assert(out((1L, 2L)) == 1000000L, s"identical pair scored ${out.get((1L, 2L))}")
+    assert(!out.contains((1L, 3L)) && !out.contains((3L, 5L)),
+      "term-disjoint docs must not pair")
+    // cos² is a valid squared cosine: bounded by 1e6 (Cauchy-Schwarz on
+    // the integer weights)
+    out.values.foreach(v => assert(v >= 0 && v <= 1000000L))
+    // corpus with EXACT copies: an identical token vector gives cos² =
+    // 1e6 exactly, so every (i, i+100000) pair the operator reports
+    // must sit at exactly 1e6 — and at least some must appear (docs
+    // whose kept-term set is nonempty). Perturbed plants are NOT
+    // asserted: on the vocab-saturated corpus the df cap drops the
+    // common tokens, so 3 extra kept-tail tokens deflate cosine below
+    // 0.64 for most pairs (measured 1/50) — near-dup recall there is
+    // the shingle detectors' job; this operator's role is
+    // discriminative-term similarity.
+    val base = Tables.documents(spark, dir)
+    val exactPlants = base.unionByName(base.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 100000))
+    val cp = TextOps.tfidfCosinePairs(exactPlants, threshold2X1e6 = 640000L,
+      maxTermDf = graft.ops.Dedup.containmentSchedule(exactPlants.count()))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("cos2_x1e6")).toMap
+    val plantPairs = cp.filter { case ((a, b), _) => b == a + 100000L && a < 50L }
+    assert(plantPairs.nonEmpty)
+    plantPairs.foreach { case (p, v) =>
+      assert(v == 1000000L, s"exact copy $p scored $v != 1e6")
+    }
+  }
+
   test("count-min: never undercounts, exact without collisions, additive merge") {
     import graft.ops.CountMin
     // corpus: 150 users over 4096 cells — collision-free, so every
