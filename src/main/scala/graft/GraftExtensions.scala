@@ -11,10 +11,14 @@ import graft.functions.{DeflateSizeExpr, DoubleDotProduct, Murmur64Expr}
   * `.withExtensions(new GraftExtensions)` (or
   * `spark.sql.extensions=graft.GraftExtensions`), so pure-SQL users get
   * `graft_murmur64` / `graft_dot` with full codegen — no Scala API
-  * required.
+  * required — and injects the plan-time
+  * [[graft.plans.CartesianGuardRule]], which refuses unguarded cross
+  * joins before they can run (the 100 TB guardrail; every legitimate
+  * cross in the engine is a scalar frame or an explicit broadcast).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(graft.plans.CartesianGuardRule.apply)
     ext.injectFunction((
       FunctionIdentifier("graft_murmur64"),
       new ExpressionInfo(classOf[Murmur64Expr].getName, "graft_murmur64"),

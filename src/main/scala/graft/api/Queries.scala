@@ -6827,8 +6827,10 @@ object Queries {
         // cell basis = rows × columns (cross of the two TINY margin
         // frames), not the observed combos — a zero cell still
         // contributes rn·cn/tn to chi2 (a crafted perfect-association
-        // fixture reads V² = 1 only with zero cells counted)
-        val cells = rn.crossJoin(cn)
+        // fixture reads V² = 1 only with zero cells counted). The
+        // broadcast hint is the CartesianGuard opt-in: margin frames
+        // are domain-bounded (distinct brands × flags), never corpus
+        val cells = rn.crossJoin(broadcast(cn))
           .join(obs, Seq("brand", "flag"), "left")
           .withColumn("obs", coalesce(col("obs0"), lit(0L)))
           .crossJoin(broadcast(tn))
@@ -9053,6 +9055,16 @@ object Queries {
       (s, d) => graft.ops.TextOps.ndcgEval(
         Tables.documents(s, d), terms = Seq("spark", "join", "vector"), k = 10),
       Some(TextSql.searchNdcgEval(Seq("spark", "join", "vector"), k = 10))),
+
+    // Recall@k / MRR of the BM25 list against binary term-overlap
+    // relevance — the set-based IR evaluation next to search_ndcg_eval's
+    // graded one; exact integer rationals, no floats beyond the ranking
+    // itself.
+    "search_recall_mrr" -> Q(
+      (s, d) => graft.ops.TextOps.recallMrrEval(
+        Tables.documents(s, d), terms = Seq("spark", "join", "vector"),
+        k = 20, minRel = 2),
+      Some(TextSql.searchRecallMrr(Seq("spark", "join", "vector"), k = 20, minRel = 2))),
 
     // Dirichlet-smoothed query likelihood (Zhai & Lafferty SIGIR'01) —
     // the language-model retrieval scorer next to BM25: every doc

@@ -32,4 +32,28 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(SparkSpecBase.session)
     }
   }
+
+  test("CartesianGuard: unguarded cross join refused at plan time; scalar and broadcast crosses pass") {
+    // the suite-shared session carries GraftExtensions (SparkSpecBase),
+    // so the guard is live for every spec in the build — this test pins
+    // the contract explicitly
+    val spark = SparkSpecBase.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, count, lit, sum}
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("y")
+    // unguarded cross of two multi-row frames → refused before execution
+    val e = intercept[Exception] { a.crossJoin(b).collect() }
+    assert(e.getMessage.contains("CartesianGuard"), e.getMessage)
+    // broadcast records intent → allowed
+    assert(a.crossJoin(broadcast(b)).count() == 6)
+    // a 1-row aggregate side is structurally safe → allowed unhinted
+    val scalar = b.agg(sum("y").as("s"))
+    assert(a.crossJoin(scalar).count() == 3)
+    // conditionless INNER join is the same hazard → refused too
+    val e2 = intercept[Exception] { a.join(b).collect() }
+    assert(e2.getMessage.contains("CartesianGuard"), e2.getMessage)
+    // and a keyed join is untouched
+    assert(a.join(b.withColumnRenamed("y", "x"), "x").count() == 0)
+  }
 }
