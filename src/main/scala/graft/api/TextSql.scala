@@ -1747,6 +1747,55 @@ object TextSql {
        |FROM dcg CROSS JOIN ideal""".stripMargin
   }
 
+  /** Recall@k / MRR mirror of TextOps.recallMrrEval: bm25Topk chain
+    * LIMIT k, binary relevance at >= minRel distinct query terms, exact
+    * integer rationals throughout.
+    */
+  def searchRecallMrr(terms: Seq[String], k: Int = 20, minRel: Int = 2): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN w = '$t' THEN s END) AS s$i"
+    }.mkString(",\n        ")
+    val total = terms.indices.map(i => s"coalesce(s$i, 0.0)").mkString(" + ")
+    s"""WITH $docTokensCte,
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS tok_total FROM dl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ($inList) GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT t.doc_id, t.w,
+       |    ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+       |      * (t.tf * (1.2 + 1.0))
+       |      / (t.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / (CAST(c.tok_total AS DOUBLE) / c.n_docs))) AS s
+       |  FROM tf t
+       |  JOIN df d ON d.w = t.w
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN corpus c),
+       |p AS (SELECT doc_id, $pivots FROM scored GROUP BY doc_id),
+       |ranked0 AS (SELECT doc_id, round($total, 6) AS bm25
+       |            FROM p ORDER BY bm25 DESC, doc_id LIMIT $k),
+       |ranked AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos FROM ranked0),
+       |rel AS (SELECT doc_id FROM toks WHERE w IN ($inList)
+       |        GROUP BY doc_id HAVING count(DISTINCT w) >= $minRel),
+       |nr AS (SELECT count(*) AS n_relevant FROM rel),
+       |j AS (SELECT r.pos, CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+       |      FROM ranked r LEFT JOIN rel l ON l.doc_id = r.doc_id),
+       |a AS (SELECT min(CASE WHEN is_rel = 1 THEN pos END) AS frr,
+       |        CAST(sum(CASE WHEN is_rel = 1 AND pos <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+       |        CAST(sum(CASE WHEN is_rel = 1 AND pos <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10,
+       |        CAST(sum(CASE WHEN is_rel = 1 AND pos <= $k THEN 1 ELSE 0 END) AS BIGINT) AS hk
+       |      FROM j)
+       |SELECT CAST(n_relevant AS BIGINT) AS n_relevant,
+       |  CAST(coalesce(frr, 0) AS BIGINT) AS first_rel_rank,
+       |  CAST(coalesce(1000000 // frr, 0) AS BIGINT) AS mrr_x1e6,
+       |  CAST(h5 * 1000000 // nullif(n_relevant, 0) AS BIGINT) AS recall5_x1e6,
+       |  CAST(h10 * 1000000 // nullif(n_relevant, 0) AS BIGINT) AS recall10_x1e6,
+       |  CAST(hk * 1000000 // nullif(n_relevant, 0) AS BIGINT) AS recall${k}_x1e6
+       |FROM a CROSS JOIN nr""".stripMargin
+  }
+
   /** Dirichlet query-likelihood mirror of TextOps.qlDirichletTopK: the
     * ln argument is the SAME single integer-ratio division, terms
     * floored ×1e6 before the integer sum.

@@ -290,6 +290,43 @@ object TextOps {
         expr("dcg_x1e9 * 1000000L div idcg_x1e9").cast("long").as("ndcg_x1e6"))
   }
 
+  /** Recall@k / MRR of the BM25 ranking against binary relevance
+    * (relevant = doc contains ≥ `minRel` distinct query terms) — the
+    * set-based evaluation pair to [[ndcgEval]]'s graded one. All exact
+    * integers: MRR×1e6 is 1e6 div first-relevant-rank (0 when the list
+    * holds no relevant doc), recall@k is an integer rational over the
+    * corpus-wide relevant count. Same scale shape as ndcgEval — the
+    * relevance aggregate is term-filtered before its shuffle, the list
+    * is k rows.
+    */
+  def recallMrrEval(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      minRel: Int = 2): DataFrame = {
+    val rel = tokenRows(docs)
+      .filter(col("w").isin(terms: _*))
+      .groupBy("doc_id").agg(countDistinct("w").as("nterms"))
+      .filter(col("nterms") >= minRel)
+      .select(col("doc_id"), lit(1L).as("is_rel"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    val ranked = bm25TopK(docs, terms, k = k)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("bm25"), asc("doc_id"))).cast("long").as("pos"))
+    ranked.join(rel, Seq("doc_id"), "left")
+      .withColumn("is_rel", coalesce(col("is_rel"), lit(0L)))
+      .agg(min(when(col("is_rel") === 1, col("pos"))).as("first_rel_rank"),
+        sum(when(col("is_rel") === 1 && col("pos") <= 5, 1L).otherwise(0L)).as("h5"),
+        sum(when(col("is_rel") === 1 && col("pos") <= 10, 1L).otherwise(0L)).as("h10"),
+        sum(when(col("is_rel") === 1 && col("pos") <= k, 1L).otherwise(0L)).as("hk"))
+      .crossJoin(broadcast(nRel))
+      .select(
+        col("n_relevant").cast("long").as("n_relevant"),
+        coalesce(col("first_rel_rank"), lit(0L)).cast("long").as("first_rel_rank"),
+        coalesce(expr("1000000L div first_rel_rank"), lit(0L)).cast("long").as("mrr_x1e6"),
+        expr("h5 * 1000000L div n_relevant").cast("long").as("recall5_x1e6"),
+        expr("h10 * 1000000L div n_relevant").cast("long").as("recall10_x1e6"),
+        expr("hk * 1000000L div n_relevant").cast("long").as(s"recall${k}_x1e6"))
+  }
+
   /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
     * SIGIR'01): score(d) = Σ_t ln((tf + μ·cf_t/|C|) / (|d| + μ)) over
     * the query terms, μ the Dirichlet prior. Every document scores on
