@@ -146,6 +146,29 @@ class Wave23Spec extends SparkSpecBase {
     out.foreach { case (_, (loo, delta)) => assert(delta == loo - meanAll) }
   }
 
+  test("recall/mrr: known relevance fixture recovers exact ranks and rationals") {
+    val docs = Seq(
+      (1L, "spark join vector extra words"),
+      (2L, "spark join other words"),
+      (3L, "spark alone here"),
+      (4L, "nothing matching at all")
+    ).toDF("doc_id", "text")
+    val r = TextOps.recallMrrEval(docs, Seq("spark", "join", "vector"),
+      k = 20, minRel = 2).head
+    // docs 1 and 2 are relevant (≥2 distinct terms); both rank in the
+    // list, first at position 1
+    assert(r.getAs[Long]("n_relevant") == 2L)
+    assert(r.getAs[Long]("first_rel_rank") == 1L)
+    assert(r.getAs[Long]("mrr_x1e6") == 1000000L)
+    assert(r.getAs[Long]("recall20_x1e6") == 1000000L)
+    // corpus invariants: recall monotone in k, bounded by 1e6
+    val c = Queries.registry("search_recall_mrr").fn(spark, dir).head
+    val (r5, r10, r20) = (c.getAs[Long]("recall5_x1e6"),
+      c.getAs[Long]("recall10_x1e6"), c.getAs[Long]("recall20_x1e6"))
+    assert(r5 <= r10 && r10 <= r20 && r20 <= 1000000L)
+    assert(c.getAs[Long]("mrr_x1e6") <= 1000000L)
+  }
+
   test("tfidf sparse cosine: exact copies score exactly 1e6, disjoint docs never pair") {
     import graft.ops.TextOps
     // an identical-token pair (cos² exactly 1 — the integer rational is
