@@ -780,7 +780,9 @@ object Dedup {
     exactSubstringRuns(docs, n, minRunTokens, containmentSchedule(docs.count()))
 
   /** Brute-force O(n²) embedding near-dup baseline — the recall oracle
-    * for [[embeddingNearDups]] in tests; never the declared query's plan.
+    * for [[embeddingNearDups]] in tests; never the declared query's
+    * plan. The broadcast hint is the CartesianGuard opt-in (this is a
+    * deliberate test-scale all-pairs).
     */
   private[graft] def embeddingNearDupsExact(embs: DataFrame, threshold: Double): DataFrame = {
     val v = embs
@@ -788,7 +790,7 @@ object Dedup {
       .withColumn("nrm", Similarity.norm(col("v")))
     val l = v.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val r = v.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    l.crossJoin(r)
+    l.crossJoin(broadcast(r))
       .filter(col("a") < col("b"))
       .withColumn("cos", round(
         Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
