@@ -705,19 +705,34 @@ object Similarity {
     * update). `v` must be the cached [[fpQuantized]] frame; returns
     * (assigned, cents), both cached — callers unpersist.
     */
-  private def fpTrainAssignDistributed(v: DataFrame, nlist: Int,
+  private def fpTrainAssignDistributed(v0: DataFrame, nlist: Int,
       iters: Int): (DataFrame, DataFrame) = {
+    // Spread the vector frame across the cluster FIRST: a quantized
+    // corpus read from one parquet split otherwise runs every round's
+    // corpus×model crossJoin + mean aggregation in a SINGLE task
+    // (measured at 30×: one executor thread sort-spilling a 28.8M-row
+    // partition for 15+ min while 31 cores idled — the CountMin
+    // single-split finding, rediscovered on the training path). One
+    // keyed repartition of the corpus is amortized over every round.
+    val v = v0.repartition(col("vec_id"))
     // init: cid i = the i-th lowest vec_id's vector, exactly the driver
     // trainer's seed. The single-partition row_number window is over the
     // nlist-row model frame, never the corpus.
+    // Per-round EAGER localCheckpoint, not cache(): cache materializes
+    // data but the ANALYZER still walks the full logical tree, and each
+    // round's model references the previous round's crossJoin — the
+    // plan compounds geometrically with iters (the Basket.scala:168
+    // plan-growth failure, rediscovered here by the first full-corpus
+    // 30× sweep: dedup_semantic's trainer sat 20+ min in single-core
+    // driver planning with 45 MB task binaries). localCheckpoint
+    // truncates lineage, so every round plans against a leaf.
     var cents = v.orderBy("vec_id").limit(nlist)
       .select(col("vec_id"), col("q").as("c"))
       .withColumn("cid",
         (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
       .select("cid", "c")
       .withColumn("c2", aggregate(transform(col("c"), x => x * x), lit(0L), (s, x) => s + x))
-      .cache()
-    cents.count()
+      .localCheckpoint(true)
 
     def assignCids(): DataFrame =
       v.select(col("vec_id"), col("q"))
@@ -735,15 +750,12 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cnew"))
-      val prev = cents
       // cells that received no vectors keep their previous centroid —
       // the driver trainer's sparse overwrite, as a left join
-      cents = prev.join(means, Seq("cid"), "left")
+      cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cnew"), col("c")).as("c"))
         .withColumn("c2", aggregate(transform(col("c"), x => x * x), lit(0L), (s, x) => s + x))
-        .cache()
-      cents.count()
-      prev.unpersist(blocking = false)
+        .localCheckpoint(true)
     }
 
     val assigned = v.join(assignCids(), "vec_id").cache()
