@@ -10,9 +10,10 @@ import graft.functions.GraftFunctions
   * sketch, completing the sketch shelf: merge is per-cell SUM (vs the
   * replayable HLL's per-register max and Misra-Gries' counter merge),
   * and the point estimate min_j C[j][h_j(k)] never undercounts. Like
-  * [[Hll]], every bit is engine-replayable — the row hashes are
-  * md5("j:key"), so the DuckDB oracle reproduces the exact counter
-  * table and the gate is a hash match, not an accuracy bound.
+  * [[Hll]], every bit is engine-replayable — row j's hash is the j-th
+  * disjoint 10-bit slice of ONE 60-bit md5 of the key (see [[cellOf]]),
+  * so the DuckDB oracle reproduces the exact counter table and the
+  * gate is a hash match, not an accuracy bound.
   *
   * Scale shape: the counter build is ONE map-side-combined aggregation
   * of rows×[[D]] into a fixed [[D]]×[[Width]] table (4096 cells — the
@@ -35,7 +36,7 @@ object CountMin {
     * oracle (`>>`/`&` on BIGINT).
     */
   private def cellOf(j: Column, h: Column): Column =
-    expr(s"(h >> (10 * j)) & ${Width - 1}")
+    call_function("shiftright", h, j * lit(10)).bitwiseAND(lit(Width - 1))
 
   /** The D×Width counter table as (j, cell, c) rows — additive,
     * mergeable, and streaming-safe (complete-mode state is ≤ 4096

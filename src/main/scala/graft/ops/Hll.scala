@@ -73,8 +73,15 @@ object Hll {
       .withColumn("v_zero", lit(M) - col("m_used"))
       .withColumn("t", col("t_used").cast("decimal(38,0)") +
         col("v_zero").cast("decimal(38,0)") * lit(1L << (W + 1)))
+      // ONE combined divisor (floor(a/t/k) = floor(a/(t·k)) for positive
+      // integers): the two-step `div t div 1e9` form's FIRST quotient is
+      // IntegralDivide's LongType and overflows once the estimate tops
+      // ~9.2e6 per group (ADVICE r10); t·1e9 ≤ 2.3e30 stays inside
+      // DECIMAL(38,0) and the final quotient is the ≤1e3·n estimate,
+      // Long-safe up to ~9.2e15 distinct (beyond any 100 TB corpus)
       .withColumn("est_x1e3",
-        expr(s"CAST(CAST('$NumX' AS DECIMAL(38,0)) div t div 1000000000 AS BIGINT)"))
+        expr(s"CAST(CAST('$NumX' AS DECIMAL(38,0)) div " +
+          "(t * CAST(1000000000 AS DECIMAL(38,0))) AS BIGINT)"))
       // linear-counting small-range term m·ln(m/V) — the correction a
       // reader applies when est < 2.5m; the one float op in the sketch
       // (identical op order in the SQL mirror; margins in FloatGateSpec)
@@ -117,9 +124,9 @@ object Hll {
        |SELECT e.event_type AS event_type, CAST(m_used AS BIGINT) AS m_used,
        |  CAST($M - m_used AS BIGINT) AS v_zero, register_digest,
        |  CAST(CAST('$NumX' AS HUGEINT)
-       |    // (CAST(t_used AS HUGEINT)
+       |    // ((CAST(t_used AS HUGEINT)
        |        + CAST($M - m_used AS HUGEINT) * (CAST(1 AS HUGEINT) << ${W + 1}))
-       |    // 1000000000 AS BIGINT) AS est_x1e3,
+       |       * 1000000000) AS BIGINT) AS est_x1e3,
        |  CASE WHEN m_used < $M THEN
        |    CAST(floor(ln($M.0 / CAST($M - m_used AS DOUBLE)) * $M.0 * 1000.0)
        |      AS BIGINT) END AS lc_x1e3,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -25,7 +25,11 @@ case class CartesianGuardRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.foreach {
-      case j @ Join(left, right, Cross | Inner, None, hint) =>
+      // conditionless OUTER joins execute as BroadcastNestedLoopJoin with
+      // the same runaway-cartesian cost as a bare cross (ADVICE r10) —
+      // same refusal, same exemptions
+      case j @ Join(left, right,
+          Cross | Inner | LeftOuter | RightOuter | FullOuter, None, hint) =>
         val scalarSide = left.maxRows.exists(_ <= 1) || right.maxRows.exists(_ <= 1)
         val hinted = hint.leftHint.exists(_.strategy.isDefined) ||
           hint.rightHint.exists(_.strategy.isDefined)

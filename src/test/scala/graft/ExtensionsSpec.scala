@@ -56,4 +56,51 @@ class ExtensionsSpec extends AnyFunSuite {
     // and a keyed join is untouched
     assert(a.join(b.withColumnRenamed("y", "x"), "x").count() == 0)
   }
+
+  test("CartesianGuard negative coverage: SQL-string joins, views, outer joins, barrier-crossing scalars") {
+    // the guard is load-bearing for the 100 TB story — pin the failure
+    // modes a Spark upgrade could silently re-open (maxRows propagation,
+    // parser join shapes, view indirection)
+    val spark = SparkSpecBase.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.sum
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("y")
+    a.createOrReplaceTempView("cg_a")
+    b.createOrReplaceTempView("cg_b")
+    try {
+      // conditionless INNER join written as a SQL string
+      val e1 = intercept[Exception] {
+        spark.sql("SELECT * FROM cg_a JOIN cg_b").collect()
+      }
+      assert(e1.getMessage.contains("CartesianGuard"), e1.getMessage)
+      // comma-list cross of two multi-row frames behind views
+      val e2 = intercept[Exception] {
+        spark.sql("SELECT * FROM cg_a, cg_b").collect()
+      }
+      assert(e2.getMessage.contains("CartesianGuard"), e2.getMessage)
+      // conditionless LEFT OUTER is the same BroadcastNestedLoopJoin
+      // hazard (ADVICE r10) — refused since round 11
+      val e3 = intercept[Exception] {
+        spark.sql("SELECT * FROM cg_a LEFT JOIN cg_b").collect()
+      }
+      assert(e3.getMessage.contains("CartesianGuard"), e3.getMessage)
+      // the maxRows<=1 allowance must survive optimizer barriers: a
+      // scalar aggregate behind a view, further filtered AND projected
+      // in a subquery, is still provably 1-row when the guard sees it
+      b.agg(sum("y").as("s")).createOrReplaceTempView("cg_scalar")
+      val viaBarrier = spark.sql(
+        "SELECT x, t.s FROM cg_a CROSS JOIN " +
+          "(SELECT s FROM cg_scalar WHERE s > 0) t")
+      assert(viaBarrier.count() == 3)
+      // and a LIMIT 1 subquery's maxRows survives the sort it rides on
+      val viaLimit = spark.sql(
+        "SELECT x, t.y FROM cg_a CROSS JOIN " +
+          "(SELECT y FROM cg_b ORDER BY y LIMIT 1) t")
+      assert(viaLimit.count() == 3)
+    } finally {
+      Seq("cg_a", "cg_b", "cg_scalar")
+        .foreach(spark.catalog.dropTempView(_))
+    }
+  }
 }
