@@ -7,8 +7,77 @@ import org.apache.spark.sql.functions._
   * triples view derived from the star schema.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val target = splitMemo.computeIfAbsent(path,
+      _ => rowGroupBoundTarget(spark, path))
+    if (target > 0) df.repartition(target) else df
+  }
+
+  /** Read-time split guarantee (round-10 verdict #2): the same failure
+    * class — ONE parquet row group → one input split → one task does
+    * all the work while 31 cores idle — was rediscovered twice at 30×
+    * (`agg_countmin_users`' first form; the Lloyd trainer, commit
+    * 70195d5) and fixed per-operator both times. The root cause lives
+    * here: single-file scaled corpora (tools/make_sf.py writes 2²⁰-row
+    * row groups) hand documents/embeddings to EVERY operator as one
+    * split, because parquet only splits at row-group boundaries — no
+    * `maxPartitionBytes` value can cut a one-row-group file.
+    *
+    * Fix: when the file layout caps scan parallelism below HALF of
+    * what Spark's own bytes heuristic would plan
+    * (`FilePartition.maxSplitBytes`: one split per ~max(4 MB,
+    * bytes/cores), capped at cores), insert one round-robin
+    * repartition at load. The threshold means:
+    *   - small-SF test tables (< 8 MB → target < 2) are NEVER touched,
+    *     so sf0.001/0.01/0.1 plans — and every PlanSpec pin — are
+    *     byte-identical to before;
+    *   - well-laid-out big tables (30×/100× lineitem: 18/58 row
+    *     groups) are NEVER shuffled — row groups already give the
+    *     planner its splits;
+    *   - only row-group-starved mid/large tables (30× documents
+    *     19.6 MB / 1 group, 100× embeddings 28.9 MB / 1 group) pay one
+    *     shuffle of their own (tens of MB) to buy every downstream
+    *     operator full scan parallelism.
+    * Catalyst pushes filters and column pruning through Repartition
+    * (PushPredicateThroughNonJoin / ColumnPruning), so PushedFilters
+    * still reach the scan — pinned by TablesSplitSpec.
+    *
+    * Operators whose per-row work is super-proportional to input bytes
+    * (the Lloyd trainer's rows×k×d expansion) still own their keyed
+    * repartition — a bytes-keyed loader cannot know a 9 MB table
+    * expands 500× downstream; see Similarity.fpTrainAssignDistributed.
+    */
+  private def rowGroupBoundTarget(s: SparkSession, path: String): Int =
+    try {
+      val f = new java.io.File(path)
+      val files =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).toSeq
+            .filter(x => x.isFile && !x.getName.startsWith(".") &&
+              !x.getName.startsWith("_"))
+        else Seq(f)
+      val bytes = files.map(_.length).sum
+      val cores = s.sparkContext.defaultParallelism
+      // what the bytes heuristic would plan: one split per ≥4 MB chunk,
+      // at most one per core (Spark's own bytesPerCore floor)
+      val target = math.min(cores.toLong, (bytes + (4L << 20) - 1) / (4L << 20)).toInt
+      if (target < 2) return 0
+      val conf = s.sessionState.newHadoopConf()
+      val rowGroups = files.map { file =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }.sum
+      if (rowGroups * 2 < target) target else 0
+    } catch { case _: Throwable => 0 }
+
+  /** One footer scan per table path per process — the decision is a
+    * property of the file layout, not the query. */
+  private val splitMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

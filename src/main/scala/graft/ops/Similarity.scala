@@ -707,13 +707,17 @@ object Similarity {
     */
   private def fpTrainAssignDistributed(v0: DataFrame, nlist: Int,
       iters: Int): (DataFrame, DataFrame) = {
-    // Spread the vector frame across the cluster FIRST: a quantized
-    // corpus read from one parquet split otherwise runs every round's
-    // corpus×model crossJoin + mean aggregation in a SINGLE task
-    // (measured at 30×: one executor thread sort-spilling a 28.8M-row
-    // partition for 15+ min while 31 cores idled — the CountMin
-    // single-split finding, rediscovered on the training path). One
-    // keyed repartition of the corpus is amortized over every round.
+    // Spread the vector frame across the cluster FIRST. The general
+    // single-split hazard (one row group → one task while 31 cores
+    // idle; measured here at 30×: one thread sort-spilling a 28.8M-row
+    // partition for 15+ min) is now fixed at the LOADER
+    // (Tables.rowGroupBoundTarget guarantees bytes-proportional scan
+    // splits), but the trainer keeps its own keyed repartition: its
+    // per-row work is rows×nlist×dims — super-proportional to input
+    // bytes — so a bytes-keyed split count still under-parallelizes a
+    // small-but-hot frame (10× embeddings: 3.3 MB → 1-3 byte-keyed
+    // splits vs 32 useful cores). One keyed repartition of the corpus
+    // is amortized over every training round.
     val v = v0.repartition(col("vec_id"))
     // init: cid i = the i-th lowest vec_id's vector, exactly the driver
     // trainer's seed. The single-partition row_number window is over the

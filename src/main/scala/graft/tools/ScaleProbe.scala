@@ -207,6 +207,39 @@ object ScaleProbe {
       "semdedup_n160_frame" -> (() => graft.ops.Similarity.semanticDedupDistributed(
         embs, 0.45, nlist = 160)))
 
+    // `splits` mode: assert the loader guarantee (Tables.load's
+    // rowGroupBoundTarget) — every table's scan parallelism is at least
+    // HALF of Spark's own bytes heuristic (one split per ≥4 MB, capped
+    // at cores), i.e. no table is row-group-starved into a single task
+    // at 30×/100×. Exits non-zero on violation so the check is a gate,
+    // not a printout.
+    if (args.length > 1 && args(1) == "splits") {
+      val cores = spark.sparkContext.defaultParallelism
+      var bad = 0
+      val rows = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings").flatMap { t =>
+        val f = new java.io.File(s"$sfDir/$t.parquet")
+        if (!f.exists) None else {
+          val bytes =
+            if (f.isDirectory)
+              Option(f.listFiles).getOrElse(Array.empty)
+                .filter(x => x.isFile && !x.getName.startsWith(".") &&
+                  !x.getName.startsWith("_")).map(_.length).sum
+            else f.length
+          val want = math.max(1L,
+            math.min(cores.toLong, (bytes + (4L << 20) - 1) / (4L << 20)) / 2).toInt
+          val got = graft.api.Tables.load(spark, sfDir, t).rdd.getNumPartitions
+          val ok = got >= want
+          if (!ok) bad += 1
+          Some(s""""$t":{"bytes":$bytes,"partitions":$got,"min_required":$want,"ok":$ok}""")
+        }
+      }
+      println(rows.mkString(s"""{"sf":"$sfDir","cores":$cores,"splits":{""", ",", "}}"))
+      spark.stop()
+      if (bad > 0) sys.exit(1)
+      return
+    }
+
     val selected = if (args.length > 1) {
       val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet
       probes.filter { case (n, _) => names(n) }

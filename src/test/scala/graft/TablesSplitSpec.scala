@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.Tables
+
+/** Pins the loader-level single-split fix (Tables.rowGroupBoundTarget):
+  * a row-group-starved table must load with bytes-proportional
+  * parallelism, small test tables must load with byte-identical plans,
+  * and filter pushdown must survive the inserted Repartition — the
+  * three properties the 30×/100× sweeps and the PlanSpec pins rely on.
+  */
+class TablesSplitSpec extends SparkSpecBase {
+
+  /** Write `rows` rows into ONE parquet file with ONE row group — the
+    * exact make_sf.py layout that starved 30×/100× documents and
+    * embeddings scans down to a single task. */
+  private def oneRowGroupTable(rows: Int): String = {
+    import spark.implicits._
+    val dir = tmpDir("split-src")
+    // incompressible ~96 B/row payload (distinct hashes defeat both
+    // dictionary and page compression) so on-disk bytes cross the
+    // loader's 8 MB floor with a modest row count
+    val df = (0 until rows).toDF("id")
+      .select(col("id").cast("long").as("id"),
+        concat(md5(col("id").cast("string")),
+          md5(concat(lit("a"), col("id").cast("string"))),
+          md5(concat(lit("b"), col("id").cast("string")))).as("payload"))
+    df.coalesce(1)
+      .write.option("parquet.block.size", (1L << 30).toString)
+      .mode("overwrite").parquet(s"$dir/big.parquet")
+    dir
+  }
+
+  test("row-group-starved big table loads with >= half bytes-heuristic splits") {
+    // ~300k * ~70B payload ≈ 12-20 MB on disk, one row group
+    val dir = oneRowGroupTable(300000)
+    val f = new java.io.File(s"$dir/big.parquet")
+    val bytes = Option(f.listFiles).getOrElse(Array.empty)
+      .filter(x => x.isFile && !x.getName.startsWith(".") && !x.getName.startsWith("_"))
+      .map(_.length).sum
+    assume(bytes >= (8L << 20), s"fixture too small ($bytes B) to trigger the guarantee")
+    val cores = spark.sparkContext.defaultParallelism
+    val want = math.max(1L,
+      math.min(cores.toLong, (bytes + (4L << 20) - 1) / (4L << 20)) / 2)
+    val got = Tables.load(spark, dir, "big").rdd.getNumPartitions
+    assert(got >= want, s"loader left a $bytes-byte one-row-group table at " +
+      s"$got partition(s); guarantee is >= $want")
+  }
+
+  test("filter pushdown reaches the parquet scan through the loader repartition") {
+    val dir = oneRowGroupTable(300000)
+    val df = Tables.load(spark, dir, "big").filter(col("id") === 7L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange RoundRobinPartitioning") ||
+      p.contains("REPARTITION"), s"expected the loader repartition in:\n${p.take(1500)}")
+    assert(p.contains("EqualTo(id,7)"),
+      s"id=7 not pushed to the scan below the repartition:\n${p.take(2000)}")
+  }
+
+  test("small testdata tables are untouched — no repartition in the plan") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val p = df.queryExecution.logical.toString
+    assert(!p.contains("Repartition"),
+      s"sf0.001 lineitem must load as a bare scan, got:\n${p.take(800)}")
+  }
+}
