@@ -228,14 +228,39 @@ object Bench {
         } else None
       } catch { case _: Throwable => None }
     val myRows = corpus.get("lineitem").map(_._1).getOrElse(-1L)
+    // Anchor discovery must ALSO work in un-stamped runs (round-10
+    // verdict #4: the driver's post-close rerun had no SPARK_GRAFT_ROUND
+    // and fell back to the `prior` anchor alone). Fallback order per
+    // anchor: explicit env path → same-round stamped artifact → the
+    // NEWEST artifact in cwd whose corpus satisfies the size relation
+    // AND whose query surface covers ≥90% of this run's selection (so a
+    // stale small-surface round can't masquerade as an anchor).
+    val benchFiles: Seq[java.io.File] =
+      Option(new java.io.File(".").listFiles).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && f.getName.startsWith("BENCH") &&
+          f.getName.endsWith(".json"))
+    def surfaceMatch(qs: Map[String, Double]): Boolean =
+      selected.nonEmpty &&
+        selected.keys.count(qs.contains) * 10 >= selected.size * 9
+    def newestAnchor(rowsOk: Long => Boolean): Option[(String, Long, Map[String, Double])] =
+      benchFiles
+        .map(f => (corpusLineitemRows(f), f))
+        .filter { case (rows, _) => myRows > 0 && rows > 0 && rowsOk(rows) }
+        .sortBy { case (_, f) => -f.lastModified }
+        .iterator
+        .flatMap { case (rows, f) =>
+          queriesOfAny(f).filter(a => surfaceMatch(a._2))
+            .map { case (n, qs) => (n, rows, qs) }
+        }
+        .nextOption()
     val crossSf: Option[(String, Map[String, Double])] =
       sys.env.get("SPARK_GRAFT_CROSS_SF").map(new java.io.File(_)).filter(_.isFile)
         .flatMap(queriesOfAny)
         .orElse {
           currentRound.flatMap { r =>
             val pat = f"_r$r%02d.json"
-            Option(new java.io.File(".").listFiles).getOrElse(Array.empty).toSeq
-              .filter(f => f.getName.startsWith("BENCH") && f.getName.endsWith(pat))
+            benchFiles
+              .filter(_.getName.endsWith(pat))
               .map(f => (corpusLineitemRows(f), f))
               .filter { case (rows, _) => myRows > 0 && rows >= 2 * myRows }
               .sortBy(-_._1)
@@ -243,10 +268,34 @@ object Bench {
               .nextOption()
           }
         }
+        .orElse(newestAnchor(_ >= 2 * myRows).map { case (n, _, qs) => (n, qs) })
     val crossFlags: Seq[String] = crossSf.toSeq.flatMap { case (_, bq) =>
       raw.flatMap { case (name, rs) =>
         val cur = rs.min
         bq.get(name).filter(b => b > 0 && cur > b && cur - b > 0.25).map(_ => name)
+      }
+    }.sorted
+    // (a') Downward cross-SF anchor — the BIGGEST corpus of a round has
+    // no bigger-corpus artifact, so trigger (a) goes dark exactly where
+    // contention hurts most (the 30× sweep). With a ≥2x SMALLER-corpus
+    // same-surface artifact, a query whose min exceeds 2× data-ratio ×
+    // its smaller-corpus value (and by >1 s) is either a genuine
+    // superlinear wall or a contention window — both want the fresh
+    // re-measure; the reprobe keeps the min, so real walls stay in the
+    // artifact and only noise is shed.
+    val crossSfSmall: Option[(String, Long, Map[String, Double])] =
+      sys.env.get("SPARK_GRAFT_CROSS_SF_SMALL").map(new java.io.File(_))
+        .filter(_.isFile)
+        .flatMap(f => queriesOfAny(f).map { case (n, qs) =>
+          (n, corpusLineitemRows(f), qs) })
+        .orElse(newestAnchor(r => 2 * r <= myRows))
+    val superFlags: Seq[String] = crossSfSmall.toSeq.flatMap { case (_, rows, sq) =>
+      val ratio = myRows.toDouble / rows
+      raw.flatMap { case (name, rs) =>
+        val cur = rs.min
+        sq.get(name)
+          .filter(b => b > 0 && cur > 2.0 * ratio * b && cur - ratio * b > 1.0)
+          .map(_ => name)
       }
     }.sorted
     // (b) Control-window correlation: a query bracketed by a control
@@ -284,6 +333,7 @@ object Bench {
     // from doubling the sweep.
     val reprobeTriggers = scala.collection.mutable.LinkedHashMap.empty[String, String]
     crossFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "cross_sf"))
+    superFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "cross_sf_super"))
     priorFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "prior"))
     controlFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "control_window"))
     val flagged = reprobeTriggers.keys.take(40).toSeq
@@ -291,6 +341,7 @@ object Bench {
     if (flagged.nonEmpty) {
       System.err.println(s"[bench] re-probing ${flagged.size} outliers " +
         s"(cross_sf=${crossFlags.size} vs ${crossSf.map(_._1).getOrElse("-")}, " +
+        s"cross_sf_super=${superFlags.size} vs ${crossSfSmall.map(_._1).getOrElse("-")}, " +
         s"prior=${priorFlags.size} vs ${prior.map(_._1).getOrElse("-")}, " +
         s"control_window=${controlFlags.size}): " + flagged.mkString(", "))
       runControl(selected.size + 1)
@@ -348,6 +399,7 @@ object Bench {
       .mkString("{", ",", "}")
     val priorJson = prior.map(p => jstr(p._1)).getOrElse("null")
     val crossSfJson = crossSf.map(p => jstr(p._1)).getOrElse("null")
+    val crossSfSmallJson = crossSfSmall.map(p => jstr(p._1)).getOrElse("null")
     // corpus seed travels with scaled corpora via make_sf.py's
     // MANIFEST.json; absent manifest (the driver's own testdata dirs) the
     // field is omitted rather than guessed
@@ -364,7 +416,8 @@ object Bench {
       s""","runs":$runsJson,"errors":$errorsJson,"control_series":$controlJson,""" +
       s""""storage_series":$storageJson,"reprobes":$reprobesJson,""" +
       s""""reprobe_triggers":$triggersJson,"prior_artifact":$priorJson,""" +
-      s""""cross_sf_artifact":$crossSfJson$seedJson}"""
+      s""""cross_sf_artifact":$crossSfJson,""" +
+      s""""cross_sf_small_artifact":$crossSfSmallJson$seedJson}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sidecar),
