@@ -768,21 +768,24 @@ object Queries {
           |FROM v JOIN t ON v.event_type = t.event_type
           |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin)),
 
-    // The one-scan sketch form of the winsorize thresholds: at 100 TB
-    // the exact rank selection's per-type sort-window is the cost, and
-    // a KLL-style approx_percentile sketch (mergeable, map-side
-    // partial) gets both thresholds in a single scan. Rows-only like
-    // every sketch path (sketch internals are engine-specific);
-    // OpsSpec gates its thresholds against the exact twin's within
-    // rank tolerance.
+    // The sketch form of the winsorize thresholds: at 100 TB the exact
+    // rank selection's per-type sort-window is the cost; the
+    // equal-width integer-grid histogram (Stats.gridThresholds) gets
+    // both thresholds from map-side-combined linear scans — no
+    // per-type sort at any scale — and, unlike the approx_percentile
+    // KLL form it replaces (round-11, verdict ask #6), every output
+    // bit replays in DuckDB: thresholds are bucket lower edges at the
+    // exact ranks, error ≤ range/4096. OpsSpec still gates the
+    // thresholds against the exact twin's rank selection.
     "events_value_winsorize_fast" -> Q(
       (s, d) => {
         val v = Tables.events(s, d)
           .select(col("event_type"),
             floor(col("value") * 100).cast("long").as("vc"))
-        val t = v.groupBy("event_type").agg(
-          expr("approx_percentile(vc, 0.01, 10000)").as("lo_c"),
-          expr("approx_percentile(vc, 0.99, 10000)").as("hi_c"))
+        val t = graft.ops.Stats.gridThresholds(v, "event_type", "vc",
+            graft.ops.Stats.GridBins, Seq(1, 99))
+          .select(col("event_type"),
+            col("q1_c").as("lo_c"), col("q99_c").as("hi_c"))
         v.join(broadcast(t), "event_type")
           .withColumn("cc", least(greatest(col("vc"), col("lo_c")), col("hi_c")))
           .groupBy("event_type")
@@ -791,7 +794,32 @@ object Queries {
             expr("sum(cc) div count(*)").as("mean_clipped_c"))
           .orderBy("event_type")
       },
-      None),
+      Some {
+        val bins = graft.ops.Stats.GridBins
+        s"""WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vc
+           |           FROM events),
+           |ext AS (SELECT event_type, min(vc) AS mn, max(vc) AS mx, count(*) AS n
+           |        FROM v GROUP BY 1),
+           |hist AS (SELECT v.event_type,
+           |    CASE WHEN mx = mn THEN 0 ELSE ((vc - mn) * $bins) // (mx - mn + 1) END AS bucket,
+           |    count(*) AS c
+           |  FROM v JOIN ext ON ext.event_type = v.event_type GROUP BY 1, 2),
+           |cum AS (SELECT event_type, bucket,
+           |    sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum FROM hist),
+           |th AS (SELECT cum.event_type,
+           |    min(CASE WHEN cum >= (n * 1 + 99) // 100 THEN bucket END) AS b1,
+           |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END) AS b99
+           |  FROM cum JOIN ext ON ext.event_type = cum.event_type GROUP BY 1),
+           |t AS (SELECT th.event_type,
+           |    mn + (b1 * (mx - mn + 1)) // $bins AS lo_c,
+           |    mn + (b99 * (mx - mn + 1)) // $bins AS hi_c
+           |  FROM th JOIN ext ON ext.event_type = th.event_type)
+           |SELECT v.event_type, count(*) AS n, min(t.lo_c) AS lo_c, min(t.hi_c) AS hi_c,
+           |  CAST(sum(least(greatest(v.vc, t.lo_c), t.hi_c)) // count(*) AS BIGINT)
+           |    AS mean_clipped_c
+           |FROM v JOIN t ON v.event_type = t.event_type
+           |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin
+      }),
 
     // Two-phase salted aggregation over the 5 hot event types — the
     // canonical skew shape. Exact decimal partials make the salting
@@ -1101,19 +1129,77 @@ object Queries {
           |  CAST(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) END), 0) AS DOUBLE) AS rev_r
           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
 
-    // Sketch aggregates (rows-only: HLL++ and KLL internals are
-    // engine-specific; accuracy is gated in ScalaTest against the exact
-    // values instead). At 100 TB these replace exact distinct/percentile
-    // where a bounded-error answer avoids a full shuffle of the keys.
+    // Sketch aggregates, REPLAYABLE form (round-11, verdict ask #6):
+    // distinct parts via the deterministic md5-HLL (ops/Hll — register
+    // count + digest + exact-integer estimate hash-gate in DuckDB) and
+    // the median price via the equal-width integer-grid quantile sketch
+    // (Stats.gridThresholds, lower-edge-at-rank convention). Replaces
+    // the engine-internal HLL++/KLL pair (approx_count_distinct /
+    // approx_percentile) whose sketch state cannot be replayed in SQL —
+    // same 100 TB shape (two map-side-combined aggregations, no shuffle
+    // of the raw keys; HLL state ≤1024·flags rows, grid state
+    // ≤4096·flags rows) but every output bit is engine-checkable. The
+    // exact distinct count rides along as the accuracy column; OpsSpec
+    // gates both estimates against exact twins.
     "agg_approx_stats" -> Q(
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("nd_parts_approx"),
-          expr("approx_percentile(l_extendedprice, 0.5)").as("p50_price_approx"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag"),
-      None),
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val hll = graft.ops.Hll.estimate(
+            graft.ops.Hll.registers(li, "l_returnflag", col("l_partkey")),
+            "l_returnflag")
+          .select(col("l_returnflag"), col("m_used"),
+            col("register_digest"), col("est_x1e3"))
+        val p50 = graft.ops.Stats.gridThresholds(
+            li.select(col("l_returnflag"),
+              floor(col("l_extendedprice") * 100).cast("long").as("pc")),
+            "l_returnflag", "pc", graft.ops.Stats.GridBins, Seq(50))
+          .select(col("l_returnflag"), col("n"), col("q50_c").as("p50_grid_c"))
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).cast("long").as("nd_parts_exact"))
+        hll.join(p50, "l_returnflag").join(exact, "l_returnflag")
+          .orderBy("l_returnflag")
+      },
+      Some {
+        import graft.ops.Hll.{M, W, NumX}
+        val bins = graft.ops.Stats.GridBins
+        val h60 = GraphSql.md5Hash60("CAST(l_partkey AS VARCHAR)")
+        s"""WITH h AS (SELECT l_returnflag, $h60 AS h FROM lineitem),
+           |r AS (SELECT l_returnflag, h // ${1L << W} AS idx, h % ${1L << W} AS rem FROM h),
+           |rr AS (SELECT l_returnflag, idx,
+           |    max(CASE WHEN rem = 0 THEN ${W + 1} ELSE ${W + 1} - length(bin(rem)) END) AS rho
+           |  FROM r GROUP BY 1, 2),
+           |e AS (SELECT l_returnflag, count(*) AS m_used,
+           |    sum(CAST(1 AS BIGINT) << (${W + 1} - CAST(rho AS INT))) AS t_used,
+           |    CAST(sum((idx + 1) * rho) AS BIGINT) AS register_digest
+           |  FROM rr GROUP BY 1),
+           |v AS (SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
+           |      FROM lineitem),
+           |ext AS (SELECT l_returnflag, min(pc) AS mn, max(pc) AS mx, count(*) AS n
+           |        FROM v GROUP BY 1),
+           |hist AS (SELECT v.l_returnflag,
+           |    CASE WHEN mx = mn THEN 0 ELSE ((pc - mn) * $bins) // (mx - mn + 1) END AS bucket,
+           |    count(*) AS c
+           |  FROM v JOIN ext ON ext.l_returnflag = v.l_returnflag GROUP BY 1, 2),
+           |cum AS (SELECT l_returnflag, bucket,
+           |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum FROM hist),
+           |th AS (SELECT cum.l_returnflag,
+           |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END) AS b50
+           |  FROM cum JOIN ext ON ext.l_returnflag = cum.l_returnflag GROUP BY 1),
+           |p50 AS (SELECT th.l_returnflag, CAST(n AS BIGINT) AS n,
+           |    mn + (b50 * (mx - mn + 1)) // $bins AS p50_grid_c
+           |  FROM th JOIN ext ON ext.l_returnflag = th.l_returnflag),
+           |x AS (SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts_exact
+           |      FROM lineitem GROUP BY 1)
+           |SELECT e.l_returnflag, CAST(m_used AS BIGINT) AS m_used, register_digest,
+           |  CAST(CAST('$NumX' AS HUGEINT)
+           |    // ((CAST(t_used AS HUGEINT)
+           |        + CAST($M - m_used AS HUGEINT) * (CAST(1 AS HUGEINT) << ${W + 1}))
+           |       * 1000000000) AS BIGINT) AS est_x1e3,
+           |  p50.n, p50.p50_grid_c, x.nd_parts_exact
+           |FROM e JOIN p50 ON p50.l_returnflag = e.l_returnflag
+           |       JOIN x ON x.l_returnflag = e.l_returnflag
+           |ORDER BY 1""".stripMargin
+      }),
 
     // Deterministic hash sampling (the reproducible TABLESAMPLE a
     // training pipeline needs: same 5% slice on any engine, any run —
@@ -3890,20 +3976,40 @@ object Queries {
           |FROM dv ORDER BY dev DESC, vc LIMIT 1""".stripMargin)),
 
     // Sketch-binned KS — the unbounded-domain escape hatch for the two
-    // exact KS queries above: ECDFs evaluated exactly at 64 approximate
-    // combined-quantile cut points (one percentile_approx scan), bin
-    // assignment a broadcast O(64) probe per row, cumulative window
-    // over ≤64 rows. A lower bound of the exact statistic with gap
+    // exact KS queries above: ECDFs evaluated exactly at 64 equal-width
+    // integer grid cut points over the exact [min, max] (round-11,
+    // verdict ask #6: the cut points were a percentile_approx GK
+    // sketch, engine-internal and rows-only; the exact-integer grid
+    // replays in DuckDB, so this now hash-gates). Bin assignment is one
+    // integer multiply-divide per row, the cumulative window runs over
+    // ≤64 rows. Still a lower bound of the exact statistic with gap
     // bounded by the largest inter-edge mass; accuracy vs the exact
-    // twin gated in StatsSketchSpec (no SQL oracle — the GK sketch has
-    // no DuckDB mirror; the winsorize_fast convention).
+    // twin stays gated in StatsSketchSpec.
     "stats_ks_values_fast" -> Q(
       (s, d) => graft.ops.Stats.ksBinned(
         Tables.events(s, d)
           .select(floor(col("value") * 100).cast("long").as("vc"),
             col("event_type").as("fl")),
         "vc", "fl", "click", "purchase", nBins = 64),
-      None),
+      Some(
+        """WITH ev AS (SELECT CAST(floor(value * 100) AS BIGINT) AS v, event_type AS fl
+          |            FROM events WHERE event_type IN ('click', 'purchase')),
+          |ext AS (SELECT min(v) AS mn, max(v) AS mx FROM ev),
+          |b AS (SELECT CASE WHEN mx = mn THEN 0 ELSE ((v - mn) * 64) // (mx - mn + 1) END AS bin,
+          |        sum(CASE WHEN fl = 'click' THEN 1 ELSE 0 END) AS ca,
+          |        sum(CASE WHEN fl = 'purchase' THEN 1 ELSE 0 END) AS cb
+          |      FROM ev, ext GROUP BY 1),
+          |cum AS (SELECT bin,
+          |    sum(ca) OVER (ORDER BY bin) AS cuma, sum(cb) OVER (ORDER BY bin) AS cumb,
+          |    sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+          |  FROM b),
+          |dv AS (SELECT bin, na, nb,
+          |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na) AS dev
+          |  FROM cum)
+          |SELECT CAST(bin AS BIGINT) AS at_bin, CAST(na AS BIGINT) AS n_a,
+          |  CAST(nb AS BIGINT) AS n_b,
+          |  CAST(dev * 1000000 // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS ks_x1e6
+          |FROM dv ORDER BY dev DESC, bin LIMIT 1""".stripMargin)),
 
     // Hybrid retrieval by reciprocal-rank fusion (Cormack et al. SIGIR
     // 2009): the lexical BM25 top-100 and the dense cosine top-100
@@ -9030,8 +9136,9 @@ object Queries {
     // ===== conformal calibration, LM retrieval                   =====
 
     // Deterministic mergeable HyperLogLog — unlike approx_count_distinct
-    // (HLL++ registers not replayable in SQL → agg_approx_stats is
-    // rows-only), every bit here is engine-exact, so the sketch itself
+    // (HLL++ registers not replayable in SQL; since round 11
+    // agg_approx_stats uses THIS chain and hash-gates too), every bit
+    // here is engine-exact, so the sketch itself
     // HASH-GATES: register index/rank from the shared md5-60 hash via
     // minimal-binary-string length (no float log2), raw estimate in
     // exact integer arithmetic off ONE shared alpha literal, and the

@@ -108,9 +108,14 @@ object Hll {
     * on both engines, and [[AlphaX1e9]]/[[NumX]] are interpolated from
     * the SAME vals the Spark plan uses.
     */
-  def oracleSql: String = {
-    val h60 = graft.api.GraphSql.md5Hash60("CAST(event_id AS VARCHAR)")
-    s"""WITH h AS (SELECT event_type, $h60 AS h FROM events),
+  def oracleSql: String = oracleSqlFor("events", "event_type", "event_id")
+
+  /** The same mirror parameterized over (table, group column, key
+    * column) — round-11 reuses the replayable chain for
+    * `agg_approx_stats` over lineitem/(l_returnflag, l_partkey). */
+  def oracleSqlFor(table: String, grp: String, key: String): String = {
+    val h60 = graft.api.GraphSql.md5Hash60(s"CAST($key AS VARCHAR)")
+    s"""WITH h AS (SELECT $grp AS event_type, $h60 AS h FROM $table),
        |r AS (SELECT event_type, h // ${1L << W} AS idx, h % ${1L << W} AS rem FROM h),
        |rr AS (SELECT event_type, idx,
        |    max(CASE WHEN rem = 0 THEN ${W + 1} ELSE ${W + 1} - length(bin(rem)) END) AS rho
@@ -119,9 +124,9 @@ object Hll {
        |    sum(CAST(1 AS BIGINT) << (${W + 1} - CAST(rho AS INT))) AS t_used,
        |    CAST(sum((idx + 1) * rho) AS BIGINT) AS register_digest
        |  FROM rr GROUP BY 1),
-       |x AS (SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS exact
-       |      FROM events GROUP BY 1)
-       |SELECT e.event_type AS event_type, CAST(m_used AS BIGINT) AS m_used,
+       |x AS (SELECT $grp AS event_type, CAST(count(DISTINCT $key) AS BIGINT) AS exact
+       |      FROM $table GROUP BY 1)
+       |SELECT e.event_type AS $grp, CAST(m_used AS BIGINT) AS m_used,
        |  CAST($M - m_used AS BIGINT) AS v_zero, register_digest,
        |  CAST(CAST('$NumX' AS HUGEINT)
        |    // ((CAST(t_used AS HUGEINT)
@@ -132,6 +137,6 @@ object Hll {
        |      AS BIGINT) END AS lc_x1e3,
        |  exact
        |FROM e JOIN x ON x.event_type = e.event_type
-       |ORDER BY event_type""".stripMargin
+       |ORDER BY 1""".stripMargin
   }
 }

@@ -126,24 +126,27 @@ object Stats {
   }
 
   /** Sketch-binned KS for unbounded value domains: evaluate both ECDFs
-    * EXACTLY at `nBins` approximate combined-quantile cut points (one
-    * `percentile_approx` scan), so the statistic is a lower bound of
-    * the exact KS whose gap is bounded by the largest inter-edge
-    * probability mass (~2/nBins for well-mixed groups). The per-row
-    * work is an O(nBins) broadcast-edge bin assignment; the cumulative
+    * EXACTLY at `nBins` equal-width integer grid cut points over the
+    * exact combined [min, max] (one map-side-combined extrema scan), so
+    * the statistic is a lower bound of the exact KS whose gap is
+    * bounded by the largest inter-edge probability mass. The per-row
+    * work is one integer multiply-divide bin assignment; the cumulative
     * window runs over ≤ nBins rows. Accuracy vs [[ksExact]] is gated in
-    * StatsSketchSpec (the winsorize_fast discipline).
+    * StatsSketchSpec. Round-11 (verdict ask #6): the cut points were a
+    * `percentile_approx` GK sketch — engine-internal, hence rows-only;
+    * the exact-integer grid replays bit-for-bit in DuckDB, flipping
+    * `stats_ks_values_fast` to hash-green with the identical cost shape
+    * (extrema scan ≈ edge scan; both one pass, no shuffle of values).
     */
   def ksBinned(df: DataFrame, valueCol: String, flagCol: String,
       aVal: String, bVal: String, nBins: Int): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
     val both = df.filter(col(flagCol).isin(aVal, bVal))
-      .select(col(valueCol).as("v"), col(flagCol).as("fl"))
-    val probs = (1 until nBins).map(i => i.toDouble / nBins)
-    val edges = both.agg(percentile_approx(col("v"),
-      array(probs.map(lit): _*), lit(10000)).as("edges"))
-    val binned = both.crossJoin(broadcast(edges))
-      .withColumn("bin", expr("cardinality(filter(edges, e -> e < v))"))
+      .select(col(valueCol).cast("long").as("v"), col(flagCol).as("fl"))
+    val ext = both.agg(min("v").as("mn"), max("v").as("mx"))
+    val binned = both.crossJoin(broadcast(ext))
+      .withColumn("bin", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(expr(s"((v - mn) * $nBins) div (mx - mn + 1)")))
       .groupBy("bin").agg(
         sum(when(col("fl") === aVal, 1L).otherwise(0L)).as("ca"),
         sum(when(col("fl") === bVal, 1L).otherwise(0L)).as("cb"))
@@ -163,6 +166,51 @@ object Stats {
         longDiv(col("dev") * dec(lit(1000000L)),
           dec(col("na")) * dec(col("nb"))).cast("long").as("ks_x1e6"))
   }
+
+  /** Equal-width integer-grid histogram quantiles — the deterministic,
+    * engine-replayable quantile sketch (round-10 replayable-sketch
+    * discipline: the approximate operator's STATE hash-gates, accuracy
+    * rides against the exact twin in ScalaTest). Per group: one
+    * map-side-combined extrema scan (mn, mx, n), one histogram scan into
+    * ≤ `bins` integer buckets (`bucket = (v−mn)·bins div (mx−mn+1)`), a
+    * cumulative window over the ≤ bins-row histogram, and the p-th
+    * percentile reported as the LOWER EDGE of the first bucket whose
+    * cumulative count reaches rank `(n·p + 99) div 100` (the winsorize
+    * rank convention). Every op is non-negative integer multiply /
+    * floor-divide — DuckDB replays it with `//` exactly. Error ≤ one
+    * bucket width = (mx−mn+1)/bins in value units. Unlike
+    * approx_percentile's KLL/GK sketch this is mergeable by histogram
+    * ADDITION at fixed [mn,mx] — the map-side partial Spark already
+    * applies to the groupBy — and costs no per-group sort at any scale.
+    */
+  def gridThresholds(df: DataFrame, grp: String, vCol: String, bins: Int,
+      pcts: Seq[Int]): DataFrame = {
+    val ext = df.groupBy(grp).agg(
+      min(vCol).cast("long").as("mn"), max(vCol).cast("long").as("mx"),
+      count(lit(1)).as("n"))
+    val hist = df.join(broadcast(ext), Seq(grp))
+      .withColumn("bucket", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(expr(s"(($vCol - mn) * $bins) div (mx - mn + 1)")))
+      .groupBy(col(grp), col("bucket")).agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy(grp).orderBy("bucket")))
+      .join(broadcast(ext), Seq(grp))
+    val qs = pcts.map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("bucket")))
+        .as(s"b$p")
+    }
+    cum.groupBy(col(grp), col("n"), col("mn"), col("mx"))
+      .agg(qs.head, qs.tail: _*)
+      .select(col(grp) +: col("n").cast("long").as("n") +:
+        col("mn") +: col("mx") +:
+        pcts.map(p =>
+          expr(s"mn + (b$p * (mx - mn + 1)) div $bins").as(s"q${p}_c")): _*)
+  }
+
+  /** Default grid width for [[gridThresholds]] — 4096 buckets bounds
+    * the state at 4096 rows/group and the value error at range/4096. */
+  val GridBins = 4096
 
   /** Gini coefficient of a non-negative integer measure, exact in fixed
     * point: G·10⁶ = floor((2·Σ rank·x − (n+1)·Σx) · 10⁶ / (n·Σx)) under
