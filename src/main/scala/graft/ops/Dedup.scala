@@ -741,7 +741,18 @@ object Dedup {
     */
   def exactSubstringRuns(docs: DataFrame, n: Int = 5, minRunTokens: Int = 15,
       maxShingleDf: Int = DefaultBandCap): DataFrame = {
-    val pos0 = docs
+    val pos0 = positionedShingles(docs, n)
+    val keptH = pos0.groupBy("h").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= maxShingleDf).select("h")
+    runsFromPostings(pos0.join(keptH, "h"), n, minRunTokens)
+  }
+
+  /** Step 1 of [[exactSubstringRuns]]: the positioned n-token shingle
+    * postings (doc_id, pos, h) — shared verbatim by the streaming
+    * ingest twin (EventStream.streamExactSubstrIngest), whose
+    * df-capped index holds exactly these rows. */
+  private[graft] def positionedShingles(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(
         when(size(col("tk")) >= n,
@@ -751,9 +762,15 @@ object Dedup {
                 (0 until n).map(j => element_at(col("tk"), i + j)): _*)).as("h"))))
           .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h"))
-    val keptH = pos0.groupBy("h").agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") <= maxShingleDf).select("h")
-    val kept = pos0.join(keptH, "h")
+
+  /** Steps 3-4 of [[exactSubstringRuns]] over an already-df-capped
+    * postings frame (doc_id, pos, h): inverted self-join on h across
+    * docs, then diagonal gap-island merging. One code path for the
+    * declared query and the streaming index readout (the KM-twin
+    * discipline — divergence between twin and query is impossible by
+    * construction). */
+  private[graft] def runsFromPostings(kept: DataFrame, n: Int,
+      minRunTokens: Int): DataFrame = {
     val la = kept.select(col("doc_id").as("a"), col("pos").as("pa"), col("h"))
     val rb = kept.select(col("doc_id").as("b"), col("pos").as("pb"), col("h"))
     val w = Window.partitionBy("a", "b", "diag").orderBy("pa")

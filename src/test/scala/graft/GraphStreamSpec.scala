@@ -1220,6 +1220,46 @@ class GraphStreamSpec extends SparkSpecBase {
     }.toMap
     assert(merged == full, "split user states did not merge to the full-corpus state")
   }
+
+  test("streaming exact-substring index: readout == batch census on a disordered split; df cap bounds state") {
+    val stage = java.nio.file.Files.createTempDirectory("graft-exsub")
+    val idx = tmpDir("exsub-idx") + "/idx"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val cap = graft.ops.Dedup.containmentSchedule(docs.count())
+    // disordered split: three residue-class batches staged so doc ids
+    // are non-monotone across micro-batches (file source reads them in
+    // mod-time order, one per trigger)
+    Seq(1, 2, 0).zipWithIndex.foreach { case (m, i) =>
+      docs.filter(col("doc_id") % 3 === m)
+        .coalesce(1).write.parquet(stage.resolve(s"b$i").toString)
+      Thread.sleep(1100)
+    }
+    val in = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+    val q = EventStream.streamExactSubstrIngest(in, idx, n = 5,
+      maxShingleDf = cap)
+    try q.processAllAvailable() finally q.stop()
+
+    def runs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("run_tokens"))).toSet
+    val got = runs(EventStream.exactSubstrRunsFromIndex(spark, idx, n = 5,
+      minRunTokens = 15, maxShingleDf = cap))
+    val want = runs(graft.ops.Dedup.exactSubstringRuns(docs, n = 5,
+      minRunTokens = 15, maxShingleDf = cap))
+    assert(want.nonEmpty, "batch census found no runs — fixture missing")
+    assert(got == want,
+      s"index readout diverged from batch census (got ${got.size}, want ${want.size})")
+
+    // state bound: no indexed shingle holds postings from more docs
+    // than the cap (capped-out shingles stopped appending the batch
+    // their running df crossed it)
+    val maxDf = spark.read.parquet(s"$idx/postings")
+      .groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .agg(max("nd")).head.getLong(0)
+    assert(maxDf <= cap, s"postings df $maxDf exceeds the $cap cap")
+  }
 }
 
 /** Local filesystem whose rename REFUSES any destination named like this
