@@ -25,21 +25,37 @@ object Tables {
     * split, because parquet only splits at row-group boundaries — no
     * `maxPartitionBytes` value can cut a one-row-group file.
     *
-    * Fix: when the file layout caps scan parallelism below HALF of
-    * what Spark's own bytes heuristic would plan
+    * Fix: when a FAT-ROW table's file layout caps scan parallelism
+    * below HALF of what Spark's own bytes heuristic would plan
     * (`FilePartition.maxSplitBytes`: one split per ~max(4 MB,
     * bytes/cores), capped at cores), insert one round-robin
-    * repartition at load. The threshold means:
+    * repartition at load. "Fat-row" = ≥ [[FatRowBytes]] on-disk bytes
+    * per row — the text/vector tables (documents ~130 B, embeddings
+    * ~145 B vs lineitem 18 B, orders 15 B, events 12 B). The bound is
+    * load-bearing in both directions:
+    *   - fat rows are WHY single-group files exist at scale: a table
+    *     rich enough to starve (100× documents = 65 MB in one 2²⁰-row
+    *     group) is row-few, so make_sf-style writers never cut a
+    *     second group — and its consumers (shingling, hashing, vector
+    *     math) do per-ROW work that serializes brutally on one split;
+    *   - skinny fact tables get their parallelism from row groups
+    *     (2²⁰ rows ≈ 12-20 MB → groups scale with data), and an
+    *     inserted shuffle there is pure overhead: the first
+    *     indiscriminate version of this rule repartitioned 10×
+    *     lineitem (6 groups → 27) / orders / events, and the round-11
+    *     10× sweep measured the whole 282-query surface +14% (median
+    *     per-query ratio 1.138, worst 5.3× on sub-second order/event
+    *     scans) — every fact query paid a full-table shuffle for
+    *     parallelism its 0.3 s scan never needed.
+    * Other properties preserved:
     *   - small-SF test tables (< 8 MB → target < 2) are NEVER touched,
     *     so sf0.001/0.01/0.1 plans — and every PlanSpec pin — are
     *     byte-identical to before;
-    *   - well-laid-out big tables (30×/100× lineitem: 18/58 row
-    *     groups) are NEVER shuffled — row groups already give the
-    *     planner its splits;
-    *   - only row-group-starved mid/large tables (30× documents
-    *     19.6 MB / 1 group, 100× embeddings 28.9 MB / 1 group) pay one
-    *     shuffle of their own (tens of MB) to buy every downstream
-    *     operator full scan parallelism.
+    *   - well-laid-out big fat tables would also be left alone
+    *     (rowGroups·2 ≥ target), though none exist in practice;
+    *   - the triggering cases: 30× documents 19.6 MB/1 group → 5,
+    *     30× embeddings → 3, 100× documents 65.7 MB/1 group → 16,
+    *     100× embeddings 28.9 MB/1 group → 7 splits.
     * Catalyst pushes filters and column pruning through Repartition
     * (PushPredicateThroughNonJoin / ColumnPruning), so PushedFilters
     * still reach the scan — pinned by TablesSplitSpec.
@@ -49,29 +65,50 @@ object Tables {
     * repartition — a bytes-keyed loader cannot know a 9 MB table
     * expands 500× downstream; see Similarity.fpTrainAssignDistributed.
     */
+  private[graft] val FatRowBytes = 64L
+
+  private[graft] final case class TableLayout(
+      bytes: Long, rows: Long, rowGroups: Int) {
+    def fatRows: Boolean = rows > 0 && bytes / rows >= FatRowBytes
+  }
+
+  /** Footer-only layout read (bytes, rows, row groups) for a parquet
+    * file or directory of files. */
+  private[graft] def layoutOf(s: SparkSession, path: String): TableLayout = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty).toSeq
+          .filter(x => x.isFile && !x.getName.startsWith(".") &&
+            !x.getName.startsWith("_"))
+      else Seq(f)
+    val bytes = files.map(_.length).sum
+    val conf = s.sessionState.newHadoopConf()
+    var rows = 0L; var groups = 0
+    files.foreach { file =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try { rows += r.getRecordCount; groups += r.getRowGroups.size }
+      finally r.close()
+    }
+    TableLayout(bytes, rows, groups)
+  }
+
+  /** What the bytes heuristic would plan for `bytes`: one split per
+    * ≥4 MB chunk, at most one per core (Spark's own bytesPerCore
+    * floor). */
+  private[graft] def bytesTarget(s: SparkSession, bytes: Long): Int =
+    math.min(s.sparkContext.defaultParallelism.toLong,
+      (bytes + (4L << 20) - 1) / (4L << 20)).toInt
+
   private def rowGroupBoundTarget(s: SparkSession, path: String): Int =
     try {
-      val f = new java.io.File(path)
-      val files =
-        if (f.isDirectory)
-          Option(f.listFiles).getOrElse(Array.empty).toSeq
-            .filter(x => x.isFile && !x.getName.startsWith(".") &&
-              !x.getName.startsWith("_"))
-        else Seq(f)
-      val bytes = files.map(_.length).sum
-      val cores = s.sparkContext.defaultParallelism
-      // what the bytes heuristic would plan: one split per ≥4 MB chunk,
-      // at most one per core (Spark's own bytesPerCore floor)
-      val target = math.min(cores.toLong, (bytes + (4L << 20) - 1) / (4L << 20)).toInt
-      if (target < 2) return 0
-      val conf = s.sessionState.newHadoopConf()
-      val rowGroups = files.map { file =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRowGroups.size finally r.close()
-      }.sum
-      if (rowGroups * 2 < target) target else 0
+      val layout = layoutOf(s, path)
+      val target = bytesTarget(s, layout.bytes)
+      if (target >= 2 && layout.fatRows && layout.rowGroups * 2 < target)
+        target
+      else 0
     } catch { case _: Throwable => 0 }
 
   /** One footer scan per table path per process — the decision is a

@@ -208,11 +208,14 @@ object ScaleProbe {
         embs, 0.45, nlist = 160)))
 
     // `splits` mode: assert the loader guarantee (Tables.load's
-    // rowGroupBoundTarget) — every table's scan parallelism is at least
-    // HALF of Spark's own bytes heuristic (one split per ≥4 MB, capped
-    // at cores), i.e. no table is row-group-starved into a single task
-    // at 30×/100×. Exits non-zero on violation so the check is a gate,
-    // not a printout.
+    // rowGroupBoundTarget) — every FAT-ROW table's scan parallelism is
+    // at least HALF of Spark's own bytes heuristic (one split per
+    // ≥4 MB, capped at cores), i.e. no text/vector table is
+    // row-group-starved into a single task at 30×/100×. Skinny fact
+    // tables must stay UN-shuffled (their row groups are their splits;
+    // the indiscriminate rule cost +14% across the 10× sweep), so for
+    // them the assertion is partitions == row groups. Exits non-zero
+    // on violation so the check is a gate, not a printout.
     if (args.length > 1 && args(1) == "splits") {
       val cores = spark.sparkContext.defaultParallelism
       var bad = 0
@@ -220,18 +223,18 @@ object ScaleProbe {
         "orders", "lineitem", "events", "documents", "embeddings").flatMap { t =>
         val f = new java.io.File(s"$sfDir/$t.parquet")
         if (!f.exists) None else {
-          val bytes =
-            if (f.isDirectory)
-              Option(f.listFiles).getOrElse(Array.empty)
-                .filter(x => x.isFile && !x.getName.startsWith(".") &&
-                  !x.getName.startsWith("_")).map(_.length).sum
-            else f.length
-          val want = math.max(1L,
-            math.min(cores.toLong, (bytes + (4L << 20) - 1) / (4L << 20)) / 2).toInt
+          val layout = graft.api.Tables.layoutOf(spark, s"$sfDir/$t.parquet")
+          val want =
+            if (layout.fatRows)
+              math.max(1, graft.api.Tables.bytesTarget(spark, layout.bytes) / 2)
+            else 1
           val got = graft.api.Tables.load(spark, sfDir, t).rdd.getNumPartitions
-          val ok = got >= want
+          val ok = if (layout.fatRows) got >= want
+                   else got <= math.max(layout.rowGroups, cores)
           if (!ok) bad += 1
-          Some(s""""$t":{"bytes":$bytes,"partitions":$got,"min_required":$want,"ok":$ok}""")
+          Some(s""""$t":{"bytes":${layout.bytes},"rows":${layout.rows},""" +
+            s""""row_groups":${layout.rowGroups},"fat_rows":${layout.fatRows},""" +
+            s""""partitions":$got,"min_required":$want,"ok":$ok}""")
         }
       }
       println(rows.mkString(s"""{"sf":"$sfDir","cores":$cores,"splits":{""", ",", "}}"))

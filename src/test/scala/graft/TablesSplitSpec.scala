@@ -13,18 +13,23 @@ class TablesSplitSpec extends SparkSpecBase {
 
   /** Write `rows` rows into ONE parquet file with ONE row group — the
     * exact make_sf.py layout that starved 30×/100× documents and
-    * embeddings scans down to a single task. */
-  private def oneRowGroupTable(rows: Int): String = {
+    * embeddings scans down to a single task. `fat` controls the
+    * payload width: ~96 incompressible B/row (the text/vector-table
+    * class the guarantee protects) vs ~16 B/row (the skinny fact-table
+    * class the guarantee must LEAVE ALONE — the round-11 10× sweep
+    * measured the indiscriminate rule at +14% across the surface). */
+  private def oneRowGroupTable(rows: Int, fat: Boolean = true): String = {
     import spark.implicits._
     val dir = tmpDir("split-src")
-    // incompressible ~96 B/row payload (distinct hashes defeat both
-    // dictionary and page compression) so on-disk bytes cross the
-    // loader's 8 MB floor with a modest row count
+    // distinct hashes defeat both dictionary and page compression so
+    // on-disk bytes cross the loader's 8 MB floor with a modest row count
+    val payload =
+      if (fat) concat(md5(col("id").cast("string")),
+        md5(concat(lit("a"), col("id").cast("string"))),
+        md5(concat(lit("b"), col("id").cast("string"))))
+      else substring(md5(col("id").cast("string")), 1, 12)
     val df = (0 until rows).toDF("id")
-      .select(col("id").cast("long").as("id"),
-        concat(md5(col("id").cast("string")),
-          md5(concat(lit("a"), col("id").cast("string"))),
-          md5(concat(lit("b"), col("id").cast("string")))).as("payload"))
+      .select(col("id").cast("long").as("id"), payload.as("payload"))
     df.coalesce(1)
       .write.option("parquet.block.size", (1L << 30).toString)
       .mode("overwrite").parquet(s"$dir/big.parquet")
@@ -56,6 +61,20 @@ class TablesSplitSpec extends SparkSpecBase {
       p.contains("REPARTITION"), s"expected the loader repartition in:\n${p.take(1500)}")
     assert(p.contains("EqualTo(id,7)"),
       s"id=7 not pushed to the scan below the repartition:\n${p.take(2000)}")
+  }
+
+  test("skinny one-row-group table stays a bare scan — no loader shuffle") {
+    // same single-group starvation shape, but ~20 B/row: the fact-table
+    // class, whose scan is cheap and whose row groups scale with data —
+    // an inserted shuffle is pure overhead (measured +14% at 10×)
+    val dir = oneRowGroupTable(700000, fat = false)
+    val layout = Tables.layoutOf(spark, s"$dir/big.parquet")
+    assume(layout.bytes >= (8L << 20),
+      s"fixture too small (${layout.bytes} B) to reach the trigger region")
+    assert(!layout.fatRows, s"fixture must be skinny, got $layout")
+    val p = Tables.load(spark, dir, "big").queryExecution.logical.toString
+    assert(!p.contains("Repartition"),
+      s"skinny table must load as a bare scan, got:\n${p.take(800)}")
   }
 
   test("small testdata tables are untouched — no repartition in the plan") {
