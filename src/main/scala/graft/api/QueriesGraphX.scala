@@ -36,14 +36,14 @@ private[api] object QueriesGraphX {
           |  WHERE w.pred = 'region' AND w.obj = 'region:2' AND w.subj = t.obj)
           |ORDER BY depth, node""".stripMargin))),
 
-    // PageRank over the triples graph (staticPageRank semantics on the
-    // shared cached graph — rows-only: parallel float summation is only
+    // PageRank over the triples graph (staticPageRank semantics, as a
+    // DataFrame loop — rows-only: parallel float summation is only
     // reproducible to ulps, so no hash-exact SQL oracle;
     // graph_pagerank_exact below is the gated twin). Top-100 for
     // bounded output.
     "graph_pagerank" -> Q(
       (s, d) => graft.graph.GraphOps
-        .pageRank(graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d), iters = 5)
+        .pageRank(Tables.starTriples(s, d), iters = 5)
         .orderBy(desc("rank"), asc("node")).limit(100),
       None),
 
@@ -51,7 +51,7 @@ private[api] object QueriesGraphX {
     // the 5-iteration unrolled DuckDB oracle matches bit-for-bit.
     "graph_pagerank_exact" -> Q(
       (s, d) => graft.graph.GraphOps
-        .pageRankFixedPoint(graft.graph.GraphOps.cachedGraph(Tables.starTriples(s, d), d), iters = 5)
+        .pageRankFixedPoint(Tables.starTriples(s, d), iters = 5)
         .orderBy(desc("rank_u"), asc("node")).limit(100),
       Some(GraphSql.pagerankFixedPoint(iters = 5, limit = 100))),
 

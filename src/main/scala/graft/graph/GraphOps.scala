@@ -118,28 +118,53 @@ object GraphOps {
     * at send time (no reweighted edge copy), with the identical
     * cache/materialize/unpersist round discipline.
     */
-  def pageRank(triples: DataFrame, iters: Int = 10): DataFrame =
-    pageRank(fromTriples(triples), iters)
+  /** Degree-joined edge frame + node universe shared by both PageRank
+    * loops: (src, dst, od) with one row per EDGE (multi-edges kept —
+    * each triple row contributes, matching the oracle), nodes =
+    * distinct subj ∪ obj. Both persisted — each feeds every rank
+    * round; callers unpersist after materializing their result.
+    */
+  private def prFrames(triples: DataFrame): (DataFrame, DataFrame) = {
+    val edges = triples.select(col("subj").as("src"), col("obj").as("dst"))
+    val ed = edges.join(
+        edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .persist()
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    (ed, nodes)
+  }
 
-  def pageRank(g: Graph[String, String], iters: Int): DataFrame = {
-    val spark = sessionOf(g)
-    import spark.implicits._
-    var ranks: Graph[(Double, Int), String] = g.outerJoinVertices(g.outDegrees) {
-      (_, _, od) => (1.0, od.getOrElse(0)) }.cache()
+  /** Float PageRank as a DataFrame loop (staticPageRank semantics:
+    * contrib = rank/outDeg, rank' = 0.15 + 0.85·Σ, dangling mass
+    * dropped). Rows-only — parallel float summation is reproducible
+    * only to ulps, so no hash-exact oracle; [[pageRankFixedPoint]] is
+    * the gated twin. The former GraphX per-round graph churn
+    * (outerJoinVertices + cache + unpersist on boxed vertex tuples) was
+    * measured superlinear at the 100× probe corpus (the exact twin:
+    * 196 s vs 8.1 s at 30×); the declarative loop is three keyed
+    * shuffles per round over Tungsten rows, with the degree-joined
+    * edge frame built once.
+    */
+  def pageRank(triples: DataFrame, iters: Int = 10): DataFrame = {
+    val (ed, nodes) = prFrames(triples)
+    var rank = nodes.withColumn("rank", lit(1.0))
     for (_ <- 0 until iters) {
-      val contribs = ranks.aggregateMessages[Double](
-        ctx => if (ctx.srcAttr._2 > 0) ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
-        _ + _)
-      val prev = ranks
-      ranks = ranks.outerJoinVertices(contribs) {
-        (_, v, s) => (0.15 + 0.85 * s.getOrElse(0.0), v._2) }.cache()
-      ranks.edges.foreachPartition(_ => ())
-      prev.vertices.unpersist(blocking = false)
-      prev.edges.unpersist(blocking = false)
+      val contribs = ed.join(rank, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("rank") / col("od")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      rank = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) + lit(0.85) * coalesce(col("s"), lit(0.0))).as("rank"))
     }
-    g.vertices.join(ranks.vertices)
-      .map { case (_, (node, (r, _))) => (node, math.floor(r * 1e6) / 1e6) }
-      .toDF("node", "rank")
+    val out = rank
+      .select(col("node"), (floor(col("rank") * 1e6) / 1e6).as("rank"))
+      .cache()
+    out.count()
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** Connected components (undirected), component labeled by the
@@ -179,37 +204,26 @@ object GraphOps {
     * as in GraphX staticPageRank. Long math headroom: rank mass is
     * nodes·1e6·85 ≈ 1e20 only past ~1e11 nodes; rescale units there.
     */
-  def pageRankFixedPoint(triples: DataFrame, iters: Int = 5): DataFrame =
-    pageRankFixedPoint(fromTriples(triples), iters)
-
-  def pageRankFixedPoint(g: Graph[String, String], iters: Int): DataFrame = {
-    val spark = sessionOf(g)
-    import spark.implicits._
-    // the loop runs on primitive (rank, outDeg) vertex attrs — carrying
-    // the node string through every round's vertex shuffle tripled the
-    // round time; names join back on once at the end. Loop shape follows
-    // GraphX PageRank.runWithOptions: cache the new graph, materialize
-    // via edges.foreachPartition, then drop the previous round's blocks.
-    var ranks: Graph[(Long, Int), String] = g.outerJoinVertices(g.outDegrees) {
-      (_, _, od) => (1000000L, od.getOrElse(0)) }.cache()
+  def pageRankFixedPoint(triples: DataFrame, iters: Int = 5): DataFrame = {
+    val (ed, nodes) = prFrames(triples)
+    var rank = nodes.withColumn("rank_u", lit(1000000L))
     for (_ <- 0 until iters) {
       // per-edge contribution rank div outDeg, summed at the target —
-      // identical BIGINT floor arithmetic to the unrolled SQL oracle
-      val contribs = ranks.aggregateMessages[Long](
-        ctx => if (ctx.srcAttr._2 > 0) ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2),
-        _ + _)
-      val prev = ranks
-      // outerJoinVertices (not Pregel): message-less vertices must still
-      // decay to the 150000 dangling floor every round
-      ranks = ranks.outerJoinVertices(contribs) {
-        (_, v, s) => (150000L + 85L * s.getOrElse(0L) / 100L, v._2) }.cache()
-      ranks.edges.foreachPartition(_ => ())
-      prev.vertices.unpersist(blocking = false)
-      prev.edges.unpersist(blocking = false)
+      // identical BIGINT floor arithmetic to the unrolled SQL oracle.
+      // Message-less nodes still decay to the 150000 dangling floor
+      // (left join + coalesce 0, the outerJoinVertices semantics).
+      val contribs = ed.join(rank, col("src") === col("node"))
+        .select(col("dst").as("node"), expr("rank_u div od").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      rank = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr("150000L + 85L * coalesce(s, 0L) div 100L").as("rank_u"))
     }
-    g.vertices.join(ranks.vertices)
-      .map { case (_, (node, (r, _))) => (node, r) }
-      .toDF("node", "rank_u")
+    val out = rank.cache()
+    out.count()
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** Ceiling on the driver-resident seed neighborhood in

@@ -269,17 +269,20 @@ object Similarity {
       q, array(c.toIndexedSeq.map(lit): _*))
   }
 
-  /** argmin over integer scores; array_position takes the FIRST
-    * minimum, i.e. ties break to the lowest cell — mirrored by the
-    * oracle's ORDER BY dist, cell (score and dist induce the same
-    * per-row order, see [[fpScoreCol]]).
+  /** argmin over integer scores, ties to the lowest cell — mirrored by
+    * the oracle's ORDER BY dist, cell (score and dist induce the same
+    * per-row order, see [[fpScoreCol]]). Since r12 this is
+    * [[graft.functions.CentroidArgMin]] — the centroid matrix rides as
+    * a codegen reference object, not a k·dim-literal expression tree,
+    * so assignment cost is one tight primitive loop per row at ANY
+    * nlist under the driver guard (the former array_position-over-
+    * score-literals form hit a codegen wall past nlist ≈ 32, which is
+    * what forced the crossJoin trainer at scheduled nlist).
     */
   private def fpCellCol(cs: Array[Array[Long]]): Column = fpCellColOn(col("q"), cs)
 
-  private def fpCellColOn(q: Column, cs: Array[Array[Long]]): Column = {
-    val arr = array(cs.toIndexedSeq.map(c => fpScoreColOn(q, c)): _*)
-    (array_position(arr, array_min(arr)) - 1).cast("int")
-  }
+  private def fpCellColOn(q: Column, cs: Array[Array[Long]]): Column =
+    graft.functions.CentroidArgMin(q, cs.map(_.clone()))
 
   /** The fixed-point Lloyd trainer shared by [[ivfFixedPointTopK]] and
     * [[semanticDedup]]: deterministic init (the `nlist` lowest vec_ids),
@@ -362,15 +365,24 @@ object Similarity {
   private[graft] def fpTrainCentroidsAuto(v: DataFrame, nlist: Int,
       iters: Int): Array[Array[Long]] =
     if (nlist <= DriverTrainerMaxNlist) fpTrainCentroids(v, nlist, iters)
-    else {
-      val (assigned, cents) = fpTrainAssignDistributed(v, nlist, iters)
-      val out = cents.select("cid", "c").collect()
-        .sortBy(_.getAs[Int]("cid"))
-        .map(_.getSeq[Long](1).toArray)
-      assigned.unpersist(blocking = false)
-      cents.unpersist(blocking = false)
-      out
-    }
+    else fpTrainCentroidsDistributed(v, nlist, iters)
+
+  /** The frame-resident trainer in the driver trainer's calling
+    * convention (finished model collected — bounded by the same 2²²
+    * cell guard its consumers enforce). Split out so OpsSpec can gate
+    * driver/frame bit-identity at ANY nlist, independent of where
+    * [[DriverTrainerMaxNlist]] sits.
+    */
+  private[graft] def fpTrainCentroidsDistributed(v: DataFrame, nlist: Int,
+      iters: Int): Array[Array[Long]] = {
+    val (assigned, cents) = fpTrainAssignDistributed(v, nlist, iters)
+    val out = cents.select("cid", "c").collect()
+      .sortBy(_.getAs[Int]("cid"))
+      .map(_.getSeq[Long](1).toArray)
+    assigned.unpersist(blocking = false)
+    cents.unpersist(blocking = false)
+    out
+  }
 
   def pqError(embs: DataFrame, m: Int = 4, ksub: Int = 8,
       iters: Int = 2): DataFrame = {
@@ -549,13 +561,20 @@ object Similarity {
   def semDedupSchedule(n: Long, targetCluster: Int = 125): Int =
     math.min(1024L, math.max(4L, (n + targetCluster - 1) / targetCluster)).toInt
 
-  /** Above this nlist the frame-resident trainer beats the driver
-    * trainer's nlist-wide argmin expression (measured crossover at 10×:
-    * nlist=64 driver 7.7 s vs frame 4.4 s; nlist=160 21.3 vs 9.5 —
-    * SCALE.md round-8 close). The two trainers are bit-identical
-    * (OpsSpec), so the switch is invisible to results and oracle.
+  /** Above this nlist the frame-resident trainer takes over. The old
+    * crossover (32 — the nlist-wide argmin EXPRESSION got slow, r8)
+    * died with [[graft.functions.CentroidArgMin]]: assignment is now a
+    * reference-object loop whose cost is the arithmetic itself, so the
+    * driver trainer wins everywhere its nlist·dim model fits the 2²²
+    * driver-memory guard (measured at the 100× probe corpus, 200k
+    * vectors × nlist 1024 × dim 64: crossJoin trainer 573 s total
+    * `dedup_semantic`, driver trainer 9.7 s). 4096·64 = 2¹⁸ cells
+    * keeps an order of magnitude of headroom under the guard; past it
+    * the frame-resident loop is the same fixed point (OpsSpec gates
+    * bit-identity), so the switch stays invisible to results and
+    * oracle.
     */
-  private[graft] val DriverTrainerMaxNlist = 32
+  private[graft] val DriverTrainerMaxNlist = 4096
 
   /** Corpus-size-aware [[semanticDedup]] at [[semDedupSchedule]] knobs.
     * The count() is one cheap driver action against columnar footers.

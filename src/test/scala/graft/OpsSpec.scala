@@ -213,15 +213,18 @@ class OpsSpec extends SparkSpecBase {
 
   test("PQ trainer escalation: frame-resident codebook equals the driver codebook on a sliced subspace frame") {
     // past DriverTrainerMaxNlist, pqTrain/ivfPqTopK switch to the
-    // frame-resident Lloyd loop (fpTrainCentroidsAuto); the two trainers
-    // must agree BIT-FOR-BIT on the same sliced frame or the PQ queries
-    // would silently drift when a corpus crosses the switch
-    val nlist = Similarity.DriverTrainerMaxNlist + 8
+    // frame-resident Lloyd loop; the two trainers must agree
+    // BIT-FOR-BIT on the same sliced frame or the PQ queries would
+    // silently drift when a corpus crosses the switch. Gated via the
+    // explicit distributed entry point at a fixture-sized nlist — the
+    // switch constant (4096 since r12) is past the fixture's row count,
+    // so the equality, not the constant, is what the spec pins.
+    val nlist = 40
     val full = Similarity.fpQuantized(embs).cache()
     val sliced = full.select(col("vec_id"), slice(col("q"), 1, 16).as("q")).cache()
     sliced.count()
     val driver = Similarity.fpTrainCentroids(sliced, nlist, 2).map(_.toSeq).toSeq
-    val auto = Similarity.fpTrainCentroidsAuto(sliced, nlist, 2).map(_.toSeq).toSeq
+    val auto = Similarity.fpTrainCentroidsDistributed(sliced, nlist, 2).map(_.toSeq).toSeq
     sliced.unpersist(blocking = false)
     full.unpersist(blocking = false)
     assert(auto.size == nlist)

@@ -121,12 +121,21 @@ def main(src: Path, out: Path, factor: int, perturb: bool,
                 cols.append(col)
             copies.append(pa.table(cols, names=tbl.column_names))
         big = pa.concat_tables(copies)
-        # pin the row-group size so output bytes depend only on content —
-        # the cross-round fingerprint-drift fix (round-8 verdict #4):
-        # with the seed explicit and the layout pinned, two regenerations
-        # from the same source are byte-identical
-        pq.write_table(big, out / f"{t}.parquet", row_group_size=1 << 20)
-        print(f"{t}: {tbl.num_rows} -> {big.num_rows}")
+        # Row-group layout: deterministic (round-8 verdict #4 — two
+        # regenerations from the same source are byte-identical: rows per
+        # group depends only on SOURCE stats) AND bounded at ~16 MB of
+        # on-disk bytes per group (round-11 verdict #4 — a fat-row table
+        # written as one 2^20-row group caps scan parallelism at 1 task;
+        # the loader's repartition backstop then pays a shuffle that a
+        # well-written file never needs). bytes/row comes from the source
+        # file, so skinny fact tables keep their big groups (lineitem
+        # ~18 B/row -> ~932k rows/group) while documents/embeddings get
+        # real splits (~119 B/row -> ~141k rows/group).
+        bpr = max(1.0, (src / f"{t}.parquet").stat().st_size / tbl.num_rows)
+        group_rows = max(1024, min(1 << 20, int((16 << 20) / bpr)))
+        pq.write_table(big, out / f"{t}.parquet", row_group_size=group_rows)
+        print(f"{t}: {tbl.num_rows} -> {big.num_rows} "
+              f"({group_rows} rows/group)")
     # Manifest: the seed + mode + source/output fingerprints, read by
     # graft.Bench to stamp "corpus_seed" into scaled-run artifacts, and
     # by humans to attribute any residual drift to SOURCE regeneration
