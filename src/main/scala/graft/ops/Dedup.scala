@@ -254,26 +254,31 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       k: Int = 8, bands: Int = 4, maxBandFreq: Int = DefaultBandCap): DataFrame = {
-    // the shingle frame feeds four consumers (minhash signatures, both
-    // sides of the intersection join, the size agg). Deliberately NOT
-    // persisted: the exploded frame is the corpus's largest
-    // intermediate, and measured at 10× sf0.1 a MEMORY_AND_DISK persist
-    // costs 40% MORE than re-running the codegen'd tokenize+explode
-    // scan per consumer (cache write + serialization + lost codegen
-    // fusion outweigh the recompute; same lesson as the round-2
-    // repartition experiment).
+    // the shingle frame feeds two consumers (minhash signatures, the
+    // per-doc set frame). Deliberately NOT persisted: the exploded
+    // frame is the corpus's largest intermediate, and measured at 10×
+    // sf0.1 a MEMORY_AND_DISK persist costs 40% MORE than re-running
+    // the codegen'd tokenize+explode scan per consumer (cache write +
+    // serialization + lost codegen fusion outweigh the recompute).
     val sh = shingleRows(docs, n)
     val cand = minhashPairsFromShingles(sh, k, bands, maxBandFreq)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val la = sh.select(col("doc_id").as("a"), col("sh"))
-    val rb = sh.select(col("doc_id").as("b"), col("sh"))
-    val inter = cand.join(la, "a").join(rb, Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
-      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+    // Exact verify: each candidate pair joins its two per-doc shingle
+    // SETS (shingleRows is distinct per doc) and intersects IN-ROW via
+    // array_intersect. The former shape — cand ⋈ (a → shingles) then a
+    // (b, sh)-keyed shuffle join and a groupBy(a, b) count — carried
+    // candidates × shingles-per-doc ROWS through two shuffles; at the
+    // 100× probe corpus that was the dominant term (302 s in-sweep,
+    // 10.5× the 30× value on 3.33× data — the "Jaccard verify" wall
+    // SCALE.md's 100× table predicted). In-row intersection makes the
+    // verify candidates-sized: two keyed joins, zero pair×shingle
+    // shuffle. Same pairs, same 6-decimal rounding, same oracle.
+    val sets = sh.groupBy("doc_id").agg(collect_list("sh").as("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("sza") + col("szb") - col("inter")).cast("double"), 6))
+        (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
