@@ -336,7 +336,8 @@ object Bench {
     superFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "cross_sf_super"))
     priorFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "prior"))
     controlFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "control_window"))
-    val flagged = reprobeTriggers.keys.take(40).toSeq
+    val reprobeCap = sys.env.getOrElse("SPARK_GRAFT_REPROBE_CAP", "40").toInt
+    val flagged = reprobeTriggers.keys.take(reprobeCap).toSeq
     val reprobes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     if (flagged.nonEmpty) {
       System.err.println(s"[bench] re-probing ${flagged.size} outliers " +
@@ -354,9 +355,54 @@ object Bench {
       }
       runControl(selected.size + 2)
     }
-    val results = raw.map { case (name, rs) =>
-      name -> reprobes.get(name).map { case (o, r) => math.min(o, r) }.getOrElse(rs.min)
+    def adjudicated(name: String): Double =
+      reprobes.get(name)
+        .map { case (o, r) => math.min(o, r) }
+        .getOrElse(raw.collectFirst { case (`name`, rs) => rs.min }.getOrElse(-1.0))
+    // ---- Post-sweep superlinearity drain (round-11 verdict #2). At the
+    // round's LARGEST SF the downward anchor is the only cross-SF
+    // trigger, and ONE reprobe pass can still leave inflated values when
+    // the contention regime outlives the sweep (BENCH_SF3H_r11 shipped
+    // 11 stragglers whose honest numbers lived only in SCALE.md's
+    // table). Re-evaluate the cross_sf_super criterion on the
+    // ADJUDICATED mins and keep draining — a fresh min-of-2 per violator
+    // per pass, up to 3 extra passes — until either nothing violates or
+    // the values stop improving. Genuine superlinear walls survive every
+    // pass unchanged (the min keeps their honest value and the artifact
+    // keeps the flag); only contention sheds. Each drained query's
+    // reprobes entry carries (first-sweep value, best quiet value).
+    crossSfSmall.foreach { case (anchor, rows, sq) =>
+      val ratio = myRows.toDouble / rows
+      def violators: Seq[String] = raw.map(_._1).filter { name =>
+        val cur = adjudicated(name)
+        cur > 0 && sq.get(name).exists(b =>
+          b > 0 && cur > 2.0 * ratio * b && cur - ratio * b > 1.0)
+      }
+      var pass = 0
+      var progressed = true
+      while (pass < 3 && progressed && violators.nonEmpty) {
+        val vs = violators
+        System.err.println(s"[bench] drain pass ${pass + 1}: ${vs.size} " +
+          s"still super vs $anchor (ratio $ratio): " + vs.mkString(", "))
+        progressed = false
+        vs.foreach { name =>
+          selected.get(name).foreach { fn =>
+            val before = adjudicated(name)
+            val rep = timeQuery(name + s"#drain${pass + 1}", fn).min
+            if (rep >= 0 && rep < before) {
+              val orig = reprobes.get(name).map(_._1)
+                .getOrElse(raw.collectFirst { case (`name`, rs) => rs.min }
+                  .getOrElse(-1.0))
+              reprobes(name) = (orig, rep)
+              reprobeTriggers.getOrElseUpdate(name, "cross_sf_super_drain")
+              if (rep < 0.9 * before) progressed = true
+            }
+          }
+        }
+        pass += 1
+      }
     }
+    val results = raw.map { case (name, _) => name -> adjudicated(name) }
     // Keep the JSON line SHORT (3-decimal seconds) and emit it as the
     // absolute LAST stdout line, after spark.stop(): the round driver
     // tail-captures output, and in round 2 the ~4 KB full-precision line

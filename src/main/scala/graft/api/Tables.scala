@@ -104,11 +104,23 @@ object Tables {
 
   private def rowGroupBoundTarget(s: SparkSession, path: String): Int =
     try {
-      val layout = layoutOf(s, path)
-      val target = bytesTarget(s, layout.bytes)
-      if (target >= 2 && layout.fatRows && layout.rowGroups * 2 < target)
-        target
-      else 0
+      // bytes first, from file sizes alone: a small-SF table (< 8 MB →
+      // target < 2) never pays a footer read — the footer open below is
+      // for candidate big tables only (and memoized once per path)
+      val f = new java.io.File(path)
+      val bytes =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty)
+            .filter(x => x.isFile && !x.getName.startsWith(".") &&
+              !x.getName.startsWith("_"))
+            .map(_.length).sum
+        else f.length
+      val target = bytesTarget(s, bytes)
+      if (target < 2) 0
+      else {
+        val layout = layoutOf(s, path)
+        if (layout.fatRows && layout.rowGroups * 2 < target) target else 0
+      }
     } catch { case _: Throwable => 0 }
 
   /** One footer scan per table path per process — the decision is a

@@ -261,7 +261,19 @@ final class TripleStore(
     raw
       .repartition(numBuckets, col("bucket"))
       .sortWithinPartitions("subj", "pred", "obj")
-      .write.mode("overwrite").partitionBy("bucket").parquet(t.toString)
+      // bound row groups at ~8 MB (default is 128 MB): parquet splits
+      // only at row-group boundaries, so a one-group bucket file caps
+      // scan parallelism at one task per bucket — harmless while
+      // buckets ≥ cores, a 2×+ readback tax the moment a deployment
+      // runs fewer, fatter buckets. 8 MB is the zero-shuffle law shared
+      // with the corpus writer (tools/make_sf.py): Spark plans one
+      // split per ~4 MB, and Tables.load's backstop fires when
+      // rowGroups·2 < that target, so ≤8 MB groups always satisfy it —
+      // write splittable files at the SOURCE; the loader backstop is
+      // for inputs we didn't write (round-11 verdict #4).
+      .write.mode("overwrite")
+      .option("parquet.block.size", 8L << 20)
+      .partitionBy("bucket").parquet(t.toString)
     // swap via two renames, never a delete-then-rename window: a crash
     // between them leaves the data at .precompact, recoverable — not gone
     fs.rename(p, old)

@@ -214,8 +214,15 @@ object ScaleProbe {
     // row-group-starved into a single task at 30×/100×. Skinny fact
     // tables must stay UN-shuffled (their row groups are their splits;
     // the indiscriminate rule cost +14% across the 10× sweep), so for
-    // them the assertion is partitions == row groups. Exits non-zero
-    // on violation so the check is a gate, not a printout.
+    // them the assertion is an UPPER bound — partitions never exceed
+    // max(row groups, cores), i.e. the loader inserted no repartition
+    // (Spark may still merge small groups into fewer splits). The JSON
+    // carries the bound actually applied per table (min_required for
+    // fat, max_allowed for skinny), plus a near_boundary flag when
+    // bytes/row sits within 25% of the FatRowBytes classifier — a table
+    // drifting across 64 B/row (e.g. compression changes) would change
+    // regimes silently, and this run is where that shows first. Exits
+    // non-zero on violation so the check is a gate, not a printout.
     if (args.length > 1 && args(1) == "splits") {
       val cores = spark.sparkContext.defaultParallelism
       var bad = 0
@@ -224,17 +231,23 @@ object ScaleProbe {
         val f = new java.io.File(s"$sfDir/$t.parquet")
         if (!f.exists) None else {
           val layout = graft.api.Tables.layoutOf(spark, s"$sfDir/$t.parquet")
-          val want =
-            if (layout.fatRows)
-              math.max(1, graft.api.Tables.bytesTarget(spark, layout.bytes) / 2)
-            else 1
           val got = graft.api.Tables.load(spark, sfDir, t).rdd.getNumPartitions
-          val ok = if (layout.fatRows) got >= want
-                   else got <= math.max(layout.rowGroups, cores)
+          val bpr = if (layout.rows > 0) layout.bytes / layout.rows else 0L
+          val nearBoundary = bpr >= graft.api.Tables.FatRowBytes * 3 / 4 &&
+            bpr < graft.api.Tables.FatRowBytes * 5 / 4
+          val bound =
+            if (layout.fatRows) s""""min_required":${
+              math.max(1, graft.api.Tables.bytesTarget(spark, layout.bytes) / 2)}"""
+            else s""""max_allowed":${math.max(layout.rowGroups, cores)}"""
+          val ok =
+            if (layout.fatRows)
+              got >= math.max(1, graft.api.Tables.bytesTarget(spark, layout.bytes) / 2)
+            else got <= math.max(layout.rowGroups, cores)
           if (!ok) bad += 1
           Some(s""""$t":{"bytes":${layout.bytes},"rows":${layout.rows},""" +
             s""""row_groups":${layout.rowGroups},"fat_rows":${layout.fatRows},""" +
-            s""""partitions":$got,"min_required":$want,"ok":$ok}""")
+            s""""bytes_per_row":$bpr,"near_boundary":$nearBoundary,""" +
+            s""""partitions":$got,$bound,"ok":$ok}""")
         }
       }
       println(rows.mkString(s"""{"sf":"$sfDir","cores":$cores,"splits":{""", ",", "}}"))

@@ -68,6 +68,9 @@ class FloatGateSpec extends SparkSpecBase {
       .groupBy("dur")
       .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("e"),
         sum(when(col("converted"), 0L).otherwise(1L)).as("c"))
+    // global window over the tiny grouped frame is intentional; the
+    // WindowExec warning is silenced suite-wide in SparkSpecBase
+    // (a literal partitionBy would be folded away — SPARK-42525)
     val wc = Window.orderBy("dur")
     val terms = byDay
       .withColumn("at_risk",

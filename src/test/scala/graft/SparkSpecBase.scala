@@ -22,6 +22,16 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Spec-internal oracle/baseline frames legitimately use GLOBAL
+    // windows on tiny grouped results (e.g. FloatGateSpec's KM at-risk
+    // suffix sum, the zipf rank frame); every DECLARED query's window is
+    // partition-pinned by PlanSpec. The "No Partition Defined" WARN is
+    // pure noise here — and cannot be silenced at the plan (SPARK-42525:
+    // EliminateWindowPartitions folds literal partition keys back to the
+    // empty spec), so raise the one logger instead.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

@@ -123,16 +123,22 @@ def main(src: Path, out: Path, factor: int, perturb: bool,
         big = pa.concat_tables(copies)
         # Row-group layout: deterministic (round-8 verdict #4 — two
         # regenerations from the same source are byte-identical: rows per
-        # group depends only on SOURCE stats) AND bounded at ~16 MB of
+        # group depends only on SOURCE stats) AND bounded at ~6 MB of
         # on-disk bytes per group (round-11 verdict #4 — a fat-row table
         # written as one 2^20-row group caps scan parallelism at 1 task;
         # the loader's repartition backstop then pays a shuffle that a
-        # well-written file never needs). bytes/row comes from the source
-        # file, so skinny fact tables keep their big groups (lineitem
-        # ~18 B/row -> ~932k rows/group) while documents/embeddings get
-        # real splits (~119 B/row -> ~141k rows/group).
+        # well-written file never needs). The 6 MB figure is derived from
+        # the loader's own zero-shuffle law: Tables.load repartitions
+        # when rowGroups*2 < bytesTarget (one split per 4 MB), so groups
+        # must stay <= 8 MB of OUTPUT bytes; 6 MB of SOURCE-estimated
+        # bytes leaves margin for heaps-mode output compressing ~12%
+        # worse than the source. bytes/row comes from the source file, so
+        # skinny fact tables keep big groups (lineitem ~18 B/row ->
+        # ~349k rows/group, splits from group count as before) while
+        # documents/embeddings get real splits (~119 B/row -> ~53k
+        # rows/group).
         bpr = max(1.0, (src / f"{t}.parquet").stat().st_size / tbl.num_rows)
-        group_rows = max(1024, min(1 << 20, int((16 << 20) / bpr)))
+        group_rows = max(1024, min(1 << 20, int((6 << 20) / bpr)))
         pq.write_table(big, out / f"{t}.parquet", row_group_size=group_rows)
         print(f"{t}: {tbl.num_rows} -> {big.num_rows} "
               f"({group_rows} rows/group)")
