@@ -680,6 +680,27 @@ object EventStream {
         expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 2305843009213693951 AS BIGINT)")
           .as("fingerprint"))
 
+  /** Streaming twin of `stats_psi_sources`' distribution cells — the
+    * live drift-monitor feed. Works UNCHANGED on a batch frame or a
+    * stream in complete mode: state is ONE commutative count per
+    * (source, length-bucket) cell FOREVER — ≤ sources × 20 rows,
+    * domain-bounded — so the twin is disorder-IMMUNE (no watermark, no
+    * monotone-batch assumption) and ADDITIVE across arbitrary batch
+    * splits (cell-wise sum, the [[tableFingerprint]] identity). Every
+    * downstream PSI quantity — per-source totals, the global bucket
+    * mix, the Laplace-smoothed p/q and the (p−q)·ln(p/q) terms — is a
+    * reader-side derivation over this bounded frame (the
+    * [[errorBudgetDaily]] discipline), computed EXACTLY as the batch
+    * query computes it from the same cells, so the two cannot drift: a
+    * 100 TB ingest keeps live per-source drift scores without ever
+    * re-scanning history.
+    */
+  def psiSourceCells(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("b", least(expr("n_chars div 256"), lit(19L)))
+      .groupBy("source", "b")
+      .agg(count(lit(1)).as("c"))
+
   /** Streaming/incremental member of the deterministic-bootstrap family
     * (stats_bootstrap_ci's twin): per replica b, the running
     * Poisson(1)-weighted sums of event value in cents — weights from

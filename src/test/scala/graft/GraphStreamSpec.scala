@@ -1016,6 +1016,49 @@ class GraphStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming PSI cells: complete-mode cells == batch, disorder-immune, additive") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = Tables.documents(spark, dir)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+      EventStream.psiSourceCells(df).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("b")) ->
+          r.getAs[Long]("c")).toMap
+    val batch = cells(batchDocs)
+    assert(batch.nonEmpty && batch.values.sum == batchDocs.count())
+
+    // NOT-time-ordered parity split: the cell counts are commutative
+    // sums, so the stream must land bit-equal to batch regardless of
+    // batch order — the fingerprint/bootstrap discipline
+    val stage = java.nio.file.Files.createTempDirectory("graft-psi")
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    raw.filter(col("doc_id") % 2 === 1)
+      .coalesce(1).write.parquet(stage.resolve("b1").toString)
+    Thread.sleep(1100)
+    raw.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(stage.resolve("b2").toString)
+    val in = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString + "/*/")
+    val q = EventStream.psiSourceCells(in)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_psi").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_psi").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("b")) ->
+          r.getAs[Long]("c")).toMap
+      assert(streamed == batch, "streamed PSI cells diverged from batch")
+    } finally q.stop()
+
+    // additivity: cells(A ∪ B) = cells(A) + cells(B) cell-wise — the
+    // incremental identity (fold a new batch in without re-scanning)
+    val a = cells(batchDocs.filter(col("doc_id") % 2 === 1))
+    val b = cells(batchDocs.filter(col("doc_id") % 2 === 0))
+    batch.foreach { case (k, c) =>
+      assert(a.getOrElse(k, 0L) + b.getOrElse(k, 0L) == c,
+        s"cell $k not additive")
+    }
+  }
+
   test("streaming bootstrap sums: complete-mode replicas == batch, disorder-immune, additive") {
     val dir = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, dir)
