@@ -336,9 +336,19 @@ object Bench {
     superFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "cross_sf_super"))
     priorFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "prior"))
     controlFlags.foreach(n => reprobeTriggers.getOrElseUpdate(n, "control_window"))
-    val reprobeCap = sys.env.getOrElse("SPARK_GRAFT_REPROBE_CAP", "40").toInt
+    // toIntOption + clamp: a malformed cap must not crash adjudication
+    // AFTER the whole sweep has run, and a negative value must not
+    // silently disable reprobing (take(-1) is empty)
+    val reprobeCap = math.max(0,
+      sys.env.get("SPARK_GRAFT_REPROBE_CAP").flatMap(_.toIntOption).getOrElse(40))
     val flagged = reprobeTriggers.keys.take(reprobeCap).toSeq
     val reprobes = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    // extra min-of-N passes per query beyond the sweep's one: flagged
+    // queries get up to 4× the min-of-N attempts of the rest of the
+    // surface (a downward selection bias on exactly the flagged rows) —
+    // the count makes that asymmetry readable from the artifact itself,
+    // so cross-query comparisons within one artifact stay interpretable
+    val probePasses = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     if (flagged.nonEmpty) {
       System.err.println(s"[bench] re-probing ${flagged.size} outliers " +
         s"(cross_sf=${crossFlags.size} vs ${crossSf.map(_._1).getOrElse("-")}, " +
@@ -350,6 +360,7 @@ object Bench {
         selected.get(name).foreach { fn =>
           val orig = raw.collectFirst { case (`name`, rs) => rs.min }.getOrElse(-1.0)
           val rep = timeQuery(name + "#reprobe", fn).min
+          probePasses(name) = probePasses.getOrElse(name, 0) + 1
           if (rep >= 0) reprobes(name) = (orig, rep)
         }
       }
@@ -396,6 +407,7 @@ object Bench {
           selected.get(name).foreach { fn =>
             val before = adjudicated(name)
             val rep = timeQuery(name + s"#drain${pass + 1}", fn).min
+            probePasses(name) = probePasses.getOrElse(name, 0) + 1
             // record the drain reading EVEN when it confirms (rep >=
             // before): a genuine mildly-superlinear row must carry its
             // confirming probe in the artifact, not only in stderr —
@@ -455,6 +467,12 @@ object Bench {
     val triggersJson = reprobes.keys
       .map(k => jstr(k) + ":" + jstr(reprobeTriggers.getOrElse(k, "?")))
       .mkString("{", ",", "}")
+    // total min-of-N passes per query that got MORE than the sweep's
+    // one (sweep pass + reprobe/drain passes) — the probe asymmetry,
+    // in-artifact
+    val probeCountsJson = probePasses
+      .map { case (k, extra) => jstr(k) + ":" + (1 + extra) }
+      .mkString("{", ",", "}")
     val priorJson = prior.map(p => jstr(p._1)).getOrElse("null")
     val crossSfJson = crossSf.map(p => jstr(p._1)).getOrElse("null")
     val crossSfSmallJson = crossSfSmall.map(p => jstr(p._1)).getOrElse("null")
@@ -473,7 +491,8 @@ object Bench {
     val sidecarJson = json.dropRight(1) +
       s""","runs":$runsJson,"errors":$errorsJson,"control_series":$controlJson,""" +
       s""""storage_series":$storageJson,"reprobes":$reprobesJson,""" +
-      s""""reprobe_triggers":$triggersJson,"prior_artifact":$priorJson,""" +
+      s""""reprobe_triggers":$triggersJson,"probe_counts":$probeCountsJson,""" +
+      s""""prior_artifact":$priorJson,""" +
       s""""cross_sf_artifact":$crossSfJson,""" +
       s""""cross_sf_small_artifact":$crossSfSmallJson$seedJson}"""
     val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
@@ -509,7 +528,16 @@ object Bench {
       }
     }
     spark.stop()
+    // Full per-query line FIRST, compact summary line LAST: the driver's
+    // tail capture has truncated the ~8 KB per-query line two rounds
+    // running ("parsed": null) — a last-line parser now always gets a
+    // line that fits any tail window, and anyone reading the stream
+    // still gets the full data one line up (plus the sidecar copy).
     println(json)
+    val nOk = results.count(_._2 >= 0)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n":${results.size},"ok":$nOk,"errors":${errors.size},""" +
+      s""""sf":"$sfDir","sidecar":"$sidecar"}""")
     System.out.flush()
   }
 }

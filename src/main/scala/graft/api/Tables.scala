@@ -68,8 +68,17 @@ object Tables {
   private[graft] val FatRowBytes = 64L
 
   private[graft] final case class TableLayout(
-      bytes: Long, rows: Long, rowGroups: Int) {
-    def fatRows: Boolean = rows > 0 && bytes / rows >= FatRowBytes
+      bytes: Long, rows: Long, rowGroups: Int, logicalBytes: Long = 0L) {
+    // Fat by DISK width or by LOGICAL width (the row groups' total
+    // uncompressed byte size, from the same footer read): a documents
+    // corpus whose codec compresses below 64 B/row on disk must not
+    // silently exit the fat-row class — its consumers do per-ROW work
+    // on the decompressed rows, so the starve argument is about
+    // logical width, and disk width only ever UNDER-estimates it
+    // (round-12 verdict stretch #8; the near_boundary flag in
+    // ScaleProbe made the drift visible, this makes it harmless).
+    def fatRows: Boolean = rows > 0 &&
+      math.max(bytes, logicalBytes) / rows >= FatRowBytes
   }
 
   /** Footer-only layout read (bytes, rows, row groups) for a parquet
@@ -84,15 +93,17 @@ object Tables {
       else Seq(f)
     val bytes = files.map(_.length).sum
     val conf = s.sessionState.newHadoopConf()
-    var rows = 0L; var groups = 0
+    var rows = 0L; var groups = 0; var logical = 0L
     files.foreach { file =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try { rows += r.getRecordCount; groups += r.getRowGroups.size }
-      finally r.close()
+      try {
+        rows += r.getRecordCount; groups += r.getRowGroups.size
+        r.getRowGroups.forEach(g => logical += g.getTotalByteSize)
+      } finally r.close()
     }
-    TableLayout(bytes, rows, groups)
+    TableLayout(bytes, rows, groups, logical)
   }
 
   /** What the bytes heuristic would plan for `bytes`: one split per

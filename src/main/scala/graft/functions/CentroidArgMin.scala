@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Integer k-means assignment argmin over a LITERAL centroid matrix,
   * held as a codegen REFERENCE OBJECT instead of an expression tree.
@@ -34,6 +35,31 @@ case class CentroidArgMin(child: Expression, cents: Array[Array[Long]])
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_centroid_argmin"
+
+  // analysis-time guard: a non-array<long> child must fail analysis,
+  // not garbage-read getLong at runtime
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> input, got ${other.catalogString}")
+    }
+
+  // case-class equality on Array params is REFERENCE equality, which
+  // defeats Catalyst semantic equality (canonicalized plans compare
+  // with equals) and with it subexpression elimination for identical
+  // argmins — compare centroid CONTENTS instead
+  override def equals(other: Any): Boolean = other match {
+    case CentroidArgMin(c, cs) =>
+      c == child && cs.length == cents.length &&
+        cents.indices.forall(i => java.util.Arrays.equals(cents(i), cs(i)))
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    cents.foreach(c => h = h * 31 + java.util.Arrays.hashCode(c))
+    h
+  }
 
   @transient private lazy val c2s: Array[Long] =
     cents.map(c => c.foldLeft(0L)((s, x) => s + x * x))

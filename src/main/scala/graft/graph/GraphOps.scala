@@ -161,9 +161,13 @@ object GraphOps {
     val out = rank
       .select(col("node"), (floor(col("rank") * 1e6) / 1e6).as("rank"))
       .cache()
-    out.count()
-    ed.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    // finally: a task failure mid-materialization must not leak the
+    // persisted per-round frames
+    try out.count()
+    finally {
+      ed.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
     out
   }
 
@@ -220,9 +224,11 @@ object GraphOps {
           expr("150000L + 85L * coalesce(s, 0L) div 100L").as("rank_u"))
     }
     val out = rank.cache()
-    out.count()
-    ed.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    try out.count()
+    finally {
+      ed.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    }
     out
   }
 

@@ -49,6 +49,28 @@ final case class Keyspace(start: Long, end: Long) {
     else None
   }
 
+  /** Split this keyspace into `k` contiguous, DISJOINT sub-intervals
+    * whose union is exactly this interval — the ring-sharded
+    * bloom/sync unit (each slice gets its own ring-fraction-sized
+    * filter, so reconciliation never builds or broadcasts one
+    * whole-ring bloom). Widths are ⌊mag/k⌋ with the unsigned remainder
+    * spread one position each over the first slices, all arithmetic
+    * modular on the uint64 ring (wrap-aware: a slice may cross 0). For
+    * a maxed keyspace the slices cover its full 2⁶⁴−1 member positions
+    * (the maxed encoding `end = start−1` excludes the single position
+    * `start−1`, and so do its slices).
+    */
+  def slices(k: Int): Seq[Keyspace] = {
+    require(k >= 1, s"slice count must be >= 1, got $k")
+    val m = mag
+    val w = java.lang.Long.divideUnsigned(m, k.toLong)
+    val r = java.lang.Long.remainderUnsigned(m, k.toLong)
+    val starts = (0 until k).map(i =>
+      start + w * i + math.min(i.toLong, r))
+    (0 until k).map(i =>
+      Keyspace(starts(i), if (i == k - 1) end else starts(i + 1)))
+  }
+
   def intersection(other: Keyspace): Option[Keyspace] = {
     val a = other
     val aSI = includes(a.start) || end == a.start

@@ -296,14 +296,22 @@ object Basket {
       .localCheckpoint(true)
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
+      // checkpoint the RAW sum frame, not the rescaled one: the rescale
+      // reads a0 twice (the 1-row max aggregate and the crossJoin probe
+      // side), so checkpointing downstream of it re-ran the edge-sized
+      // join + groupBy TWICE per half-step — the per-round fixed cost
+      // behind the one confirmed superlinear 100× row (3.67× on 3.33×
+      // data, BENCH_SF10H_r12). Materializing a0 (≤ |parts| rows) makes
+      // both reads a checkpoint scan: one edge-sized join per
+      // half-step, bit-identical arithmetic, same unrolled-SQL oracle.
       val a0 = e.join(hub, "ck").groupBy("pk").agg(sum("h").as("a"))
+        .localCheckpoint(true)
       auth = a0.crossJoin(broadcast(a0.agg(max("a").as("mx"))))
         .select(col("pk"), expr("a * 1048576L div mx").as("a"))
-        .localCheckpoint(true)
       val h0 = e.join(auth, "pk").groupBy("ck").agg(sum("a").as("h"))
+        .localCheckpoint(true)
       hub = h0.crossJoin(broadcast(h0.agg(max("h").as("mx"))))
         .select(col("ck"), expr("h * 1048576L div mx").as("h"))
-        .localCheckpoint(true)
     }
     auth.orderBy(desc("a"), asc("pk")).limit(k)
       .select(col("pk").cast("long").as("part_id"),

@@ -277,6 +277,13 @@ object Dedup {
       .join(sets.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
       .join(sets.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // inter > 0 BEFORE the ratio: the pre-r12 shape (an intersect
+      // inner-join) dropped zero-overlap candidates structurally; keep
+      // that contract so threshold = 0 returns the same pair set as it
+      // always did. Each candidate row carries both docs' shingle sets
+      // until this point — bounded by 2× the larger doc's shingles,
+      // the price of the zero pair×shingle-shuffle verify.
+      .filter(col("inter") > 0)
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
@@ -516,14 +523,61 @@ object Dedup {
     (bits, tables)
   }
 
-  /** Corpus-size-aware [[embeddingNearDups]] at [[lshSchedule]] knobs.
-    * The count() is one cheap driver action against a columnar footer,
-    * not a scan.
+  /** Where the scheduled sign-LSH candidate generator stops being the
+    * right one: [[lshSchedule]] clamps bits at 12 (a RECALL guard — more
+    * bits at fixed tables collapses recall, measured round 5), so past
+    * the clamp bucket occupancy grows ∝ n and the bucket self-join cost
+    * tables·Σbucket² grows ∝ n². The knee is occupancy 128× past
+    * targetBucket — 2¹²·targetBucket·128 ≈ 1.05e7 vectors at the
+    * default — the same 128 constant as [[DefaultBandCap]]'s skew
+    * guard: past it the generator switches to PQ-code blocking
+    * ([[Similarity.pqCodeDups]]), whose cells ADAPT to the data where
+    * hyperplanes are oblivious and whose hot-cell cap bounds Σdf² ≤
+    * cap·n — linear candidate volume at any n. The exact-cosine verify
+    * tail is identical on both branches (same rounding, same (a, b,
+    * cos) contract, a < b). Was the knob sheet's one manual switch
+    * (SCALE.md "1000-executor knob sheet", lshSchedule row); scheduled
+    * here the way the trainer's driver→frame escalation already is.
+    */
+  private[graft] def lshOccupancyKnee(targetBucket: Int = 20): Long =
+    (1L << 12) * targetBucket.toLong * 128L
+
+  /** PQ knobs for the past-knee candidate generator: m = 4 subspaces
+    * (the `dedup_pq_codes`/`emb_pq_error` constant), ksub = smallest
+    * power of two with ksub⁴ ≥ ⌈n/targetCell⌉ clamped to [8, 256]
+    * (8-bit codes — every real PQ's ceiling), so expected cell
+    * occupancy tracks targetCell as n grows. Integer arithmetic
+    * throughout — replayable from count(*) on any engine, the
+    * lshSchedule discipline.
+    */
+  private[graft] def pqSchedule(n: Long, targetCell: Int = 20): (Int, Int) = {
+    val cells = (n + targetCell - 1) / targetCell
+    var ksub = 8L
+    while (ksub * ksub * ksub * ksub < cells && ksub < 256L) ksub *= 2
+    (4, ksub.toInt)
+  }
+
+  /** Corpus-size-aware [[embeddingNearDups]]: [[lshSchedule]] knobs up
+    * to [[lshOccupancyKnee]], PQ-code blocking past it. The count() is
+    * one cheap driver action against a columnar footer, not a scan.
+    * Every driver-verified corpus (through the 100× embeddings table,
+    * 200k vectors) sits below the knee, so the DuckDB oracle replays
+    * the LSH branch only; the PQ branch is gated by DedupSpec (planted
+    * pairs found by BOTH generators on a fixture where both run, every
+    * output pair exact-cosine true) and measured past the knee by
+    * ScaleProbe `lshpq` (SCALE.md r13).
     */
   def embeddingNearDupsAuto(embs: DataFrame, threshold: Double = 0.99,
       dim: Int = 64, targetBucket: Int = 20): DataFrame = {
-    val (bits, tables) = lshSchedule(embs.count(), targetBucket)
-    embeddingNearDups(embs, threshold, dim, bits, tables)
+    val n = embs.count()
+    if (n <= lshOccupancyKnee(targetBucket)) {
+      val (bits, tables) = lshSchedule(n, targetBucket)
+      embeddingNearDups(embs, threshold, dim, bits, tables)
+    } else {
+      val (m, ksub) = pqSchedule(n, targetBucket)
+      Similarity.pqCodeDups(embs, m, ksub, iters = 2, threshold = threshold,
+        maxCellDf = DefaultBandCap)
+    }
   }
 
   /** Incremental batch-vs-corpus near-dup detection — the ingest shape:

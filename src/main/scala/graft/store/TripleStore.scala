@@ -221,6 +221,38 @@ final class TripleStore(
   def syncFrom(peer: TripleStore): Long =
     insert(peer.triplesNotMatchingBloom(bloom()))
 
+  /** [[syncFrom]] in K ring slices — the past-broadcast-ceiling form:
+    * the full-ring 1e-9-FPP filter is ~5.14 MB per 10⁶ triples (the
+    * reference's constant, triplestore/triplestore.go:18-22), i.e. a
+    * multi-GB broadcast at 10⁹+; slicing the ring gives each slice its
+    * own 1/K-fraction-sized filter ([[bloom]] already sizes by ring
+    * fraction), so no single broadcast exceeds fullBloom/K and slices
+    * can ship/reconcile independently (the reference's keyspace-sharded
+    * peers do exactly this per node). A triple's membership probe only
+    * ever needs the filter of the slice its subject hashes into, so the
+    * union of slice diffs EQUALS the full-ring diff row-for-row up to
+    * bloom false positives (~1e-9, and those converge on the next
+    * round, as in [[syncFrom]]); gated by the same exact set-difference
+    * oracle in TripleStoreSpec and, on the md5 ring, by
+    * `tp_sync_diff_sliced` against `tp_sync_diff`'s oracle.
+    */
+  def syncFromSliced(peer: TripleStore, k: Int = 8): Long = {
+    // two explicit half-ring intervals, not Keyspace.maxed: the maxed
+    // encoding (end = start−1) excludes the single position start−1
+    // from membership, so its slices would silently skip a subject
+    // hashing exactly there; the two halves tile ALL 2⁶⁴ positions
+    val halves = Seq(graft.model.Keyspace(0L, Long.MinValue),
+      graft.model.Keyspace(Long.MinValue, 0L))
+    val diffs = halves.flatMap(_.slices(math.max(1, k / 2))).map { ks =>
+      val bc = spark.sparkContext.broadcast(bloom(Some(ks)))
+      peer.all
+        .filter(TripleStore.keyspaceIncludes(ks,
+          GraftFunctions.murmur64(col("subj"))))
+        .filter(!GraftFunctions.bloomProbe(GraftFunctions.canonicalKey(), bc))
+    }
+    insert(diffs.reduce(_ unionByName _))
+  }
+
   /** Sign + stamp + insert pipeline (reference: core/http.go:62-92):
     * sets `author`, `sig` (ECDSA over the SHA-1 fingerprint), one
     * `created` timestamp for the whole batch (core/http.go:64).

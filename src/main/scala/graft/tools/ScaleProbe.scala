@@ -24,6 +24,36 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `gen-embs <outDir> <n> [planted]`: synthesize an embeddings table
+    // past the LSH→PQ knee (the 100× table tops out at 200k vectors —
+    // the knee sits at ~1.05e7, so the past-knee measured row needs its
+    // own corpus, the round-10 splits-probe precedent). Deterministic
+    // xxhash64 coordinates in [-1, 1] (seedless, replayable), `planted`
+    // 0.99-scaled siblings at id+9e8 so the PQ branch has true
+    // near-dups to find, schema identical to the driver table
+    // (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT), 32 output
+    // files so row groups satisfy the zero-shuffle split law.
+    if (sfDir == "gen-embs") {
+      import org.apache.spark.sql.functions._
+      val out = args(1); val n = args(2).toLong
+      val planted = if (args.length > 3) args(3).toLong else 1000L
+      val base = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), j -> " +
+          "cast((pmod(xxhash64(id, j), 2000001) - 1000000) / 1000000.0 " +
+          "as float))").as("embedding"),
+        expr("cast(pmod(xxhash64(id), 10) as int)").as("label"))
+      val sibs = base.filter(col("vec_id") < planted)
+        .select((col("vec_id") + 900000000L).as("vec_id"),
+          expr("transform(embedding, x -> cast(x * cast(0.99 as float) " +
+            "as float))").as("embedding"),
+          col("label"))
+      base.unionByName(sibs).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"""{"gen":"embs","out":"$out","n":$n,"planted":$planted}""")
+      spark.stop()
+      return
+    }
+
     def docs = graft.api.Tables.documents(spark, sfDir)
     def embs = graft.api.Tables.embeddings(spark, sfDir)
     val probes: Seq[(String, () => DataFrame)] = Seq(
@@ -70,6 +100,14 @@ object ScaleProbe {
         graft.ops.Dedup.embeddingNearDups(embs, threshold = 0.45)),
       "embedding_sched" -> (() =>
         graft.ops.Dedup.embeddingNearDupsAuto(embs, threshold = 0.45)),
+      // the past-knee candidate generator in isolation (what
+      // embedding_sched routes to past lshOccupancyKnee), runnable at
+      // ANY corpus size for the crossover trend
+      "embedding_pq_direct" -> (() => {
+        val (m, ksub) = graft.ops.Dedup.pqSchedule(embs.count())
+        graft.ops.Similarity.pqCodeDups(embs, m, ksub, iters = 2,
+          threshold = 0.45)
+      }),
       // embedding cost decomposition: bucket computation alone, then the
       // compact candidate join without the cosine verify — full minus
       // cand isolates the verify (wide-row join + dot) share
@@ -233,8 +271,12 @@ object ScaleProbe {
           val layout = graft.api.Tables.layoutOf(spark, s"$sfDir/$t.parquet")
           val got = graft.api.Tables.load(spark, sfDir, t).rdd.getNumPartitions
           val bpr = if (layout.rows > 0) layout.bytes / layout.rows else 0L
-          val nearBoundary = bpr >= graft.api.Tables.FatRowBytes * 3 / 4 &&
-            bpr < graft.api.Tables.FatRowBytes * 5 / 4
+          // the classifier is max(disk, logical) width — flag the
+          // boundary on the same quantity it actually tests
+          val lbpr = if (layout.rows > 0) layout.logicalBytes / layout.rows else 0L
+          val cbpr = math.max(bpr, lbpr)
+          val nearBoundary = cbpr >= graft.api.Tables.FatRowBytes * 3 / 4 &&
+            cbpr < graft.api.Tables.FatRowBytes * 5 / 4
           val bound =
             if (layout.fatRows) s""""min_required":${
               math.max(1, graft.api.Tables.bytesTarget(spark, layout.bytes) / 2)}"""
@@ -246,7 +288,8 @@ object ScaleProbe {
           if (!ok) bad += 1
           Some(s""""$t":{"bytes":${layout.bytes},"rows":${layout.rows},""" +
             s""""row_groups":${layout.rowGroups},"fat_rows":${layout.fatRows},""" +
-            s""""bytes_per_row":$bpr,"near_boundary":$nearBoundary,""" +
+            s""""bytes_per_row":$bpr,"logical_bytes_per_row":$lbpr,""" +
+            s""""near_boundary":$nearBoundary,""" +
             s""""partitions":$got,$bound,"ok":$ok}""")
         }
       }

@@ -88,4 +88,37 @@ class KeyspaceSpec extends AnyFunSuite {
     assert(ks.includes(c))
     assert(ks.mag == (1L << 63)) // exactly half the ring
   }
+
+  test("slices: disjoint contiguous cover of the parent, wrap-aware, balanced") {
+    // plain, wrapping, and zero-crossing parents; k that divides and
+    // k that leaves an unsigned remainder
+    val parents = Seq(Keyspace(100, 1100), Keyspace(Max - 5, 10),
+      Keyspace(3L << 58, 1L << 58), Keyspace(1L << 63, 0L))
+    for (p <- parents; k <- Seq(1, 3, 4, 7)) {
+      val ss = p.slices(k)
+      assert(ss.size == k)
+      // contiguous: each slice starts where the previous ended; the
+      // chain starts at the parent's start and ends at its end
+      assert(ss.head.start == p.start && ss.last.end == p.end)
+      ss.sliding(2).foreach {
+        case Seq(a, b) => assert(a.end == b.start)
+        case _ =>
+      }
+      // widths balanced within 1 (unsigned remainder spread)
+      val mags = ss.map(s => java.lang.Long.divideUnsigned(s.mag, 1L))
+      assert(java.lang.Long.compareUnsigned(mags.max - mags.min, 1L) <= 0)
+      assert(mags.map(BigInt(_) & ((BigInt(1) << 64) - 1)).sum ==
+        (BigInt(p.mag) & ((BigInt(1) << 64) - 1)))
+      // membership: every slice member is a parent member, exactly one
+      // slice claims each sampled parent member (probe around every
+      // boundary, both sides)
+      val probes = ss.flatMap(s => Seq(s.start, s.start + 1, s.end - 1)) ++
+        Seq(p.start, p.end - 1)
+      probes.foreach { a =>
+        val owners = ss.count(_.includes(a))
+        if (p.includes(a)) assert(owners == 1, s"$a owned by $owners slices of $p/$k")
+        else assert(owners == 0, s"non-member $a claimed by a slice of $p/$k")
+      }
+    }
+  }
 }

@@ -277,6 +277,45 @@ class OpsSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"auto-tuned recall $recall")
   }
 
+  test("LSH->PQ generator escalation: knee/schedule pinned; both generators find the planted dups and verify exactly") {
+    // the knee is the occupancy law, not a magic constant: bits clamps
+    // at 12, so past 2^12 * targetBucket * 128 the bucket self-join is
+    // 128x past its design occupancy — the knob sheet's manual switch,
+    // now scheduled
+    assert(Dedup.lshOccupancyKnee() == (1L << 12) * 20L * 128L)
+    // pq knobs replay from count(*): ksub^4 tracks n/targetCell,
+    // clamped to 8-bit codes
+    assert(Dedup.pqSchedule(100L) == ((4, 8)))
+    assert(Dedup.pqSchedule(11L * 1000 * 1000) == ((4, 32)))
+    assert(Dedup.pqSchedule(1000L * 1000 * 1000 * 1000) == ((4, 256)))
+    // fixture where BOTH generators run: planted 0.99-scaled siblings
+    // (cos = 1.0, same direction) must be found by the below-knee LSH
+    // branch AND by the past-knee PQ branch at this corpus's pqSchedule
+    // knobs, and every pair either branch emits must be exact-cosine
+    // true (subset of brute force) — the escalation changes candidate
+    // RECALL shape only, never verify semantics
+    val base = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val plantedSibs = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 900000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.99)).as("embedding"))
+    val corpus = base.unionByName(plantedSibs)
+    val n = corpus.count()
+    assert(n < Dedup.lshOccupancyKnee(), "fixture must sit below the knee")
+    def pairsOf(df: DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val lsh = pairsOf(Dedup.embeddingNearDupsAuto(corpus, 0.45))
+    val (m, ksub) = Dedup.pqSchedule(n)
+    val pq = pairsOf(Similarity.pqCodeDups(corpus, m, ksub, iters = 2,
+      threshold = 0.45))
+    val exact = pairsOf(Dedup.embeddingNearDupsExact(corpus, 0.45))
+    val expected = (0L until 10L).map(i => (i, i + 900000L)).toSet
+    assert(expected.subsetOf(lsh), s"LSH missed ${expected -- lsh}")
+    assert(expected.subsetOf(pq), s"PQ missed ${expected -- pq}")
+    assert(lsh.subsetOf(exact) && pq.subsetOf(exact),
+      "a generator emitted a pair below the exact-cosine threshold")
+  }
+
   test("brute-force cosine top-k is k rows per query, ranked") {
     val out = Similarity.bruteForceTopK(embs, Seq(0L, 1L), k = 5).collect()
     assert(out.length == 10)

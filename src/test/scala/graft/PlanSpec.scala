@@ -671,13 +671,18 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("HITS: per-half-step keyed joins only; checkpoints bound the iteration lineage") {
-    // each half-step is edge ⋈ score (keyed) + groupBy + a 1-row max
-    // rescale, all inside localCheckpoint segments — the final plan is
-    // a TakeOrdered over the checkpointed frame with no cartesian and
-    // no nested loop anywhere
+    // each half-step is edge ⋈ score (keyed) + groupBy, checkpointed at
+    // the RAW sum frame (r13: checkpointing downstream of the rescale
+    // re-ran the edge join twice per half-step — the 100× superlinear
+    // row); the rescale is a projection over the checkpoint, so the
+    // final plan is TakeOrdered over checkpoint-scan + ONE 1-row max
+    // broadcast cross (the scalar rescale — the perplexity-pin class),
+    // and no data×data nested loop anywhere
     val p = plan("graph_hits_parts")
-    assert(!p.contains("CartesianProduct") && bnljCount(p) == 0,
+    assert(!p.contains("CartesianProduct") && bnljCount(p) <= 1,
       s"unkeyed join in HITS plan:\n${p.take(2500)}")
+    assert(p.contains("IdentityBroadcastMode"),
+      s"the one allowed cross must be the 1-row rescale broadcast:\n${p.take(2000)}")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k not a TakeOrdered:\n${p.take(2000)}")
   }

@@ -77,6 +77,40 @@ class TablesSplitSpec extends SparkSpecBase {
       s"skinny table must load as a bare scan, got:\n${p.take(800)}")
   }
 
+  test("high-compression fat table stays guaranteed — logical width classifies when disk width lies") {
+    // rows that are LOGICALLY wide (~200 B: a distinct md5 head defeats
+    // dictionary encoding, a long x-run pads the width) but compress
+    // below the 64 B/row disk threshold: under the disk-only classifier
+    // this table silently exits the fat-row class and its single row
+    // group starves every consumer — the logical-width secondary
+    // classifier (max(disk, uncompressed) per row) must keep the
+    // guarantee independent of codec behavior
+    import spark.implicits._
+    val dir = tmpDir("split-src")
+    val df = (0 until 400000).toDF("id")
+      .select(col("id").cast("long").as("id"),
+        concat(md5(col("id").cast("string")),
+          lpad(lit(""), 168, "x")).as("payload"))
+    df.coalesce(1)
+      .write.option("parquet.block.size", (1L << 30).toString)
+      .mode("overwrite").parquet(s"$dir/big.parquet")
+    val layout = Tables.layoutOf(spark, s"$dir/big.parquet")
+    assume(layout.bytes >= (8L << 20),
+      s"fixture too small (${layout.bytes} B) to reach the trigger region")
+    // the planted condition: thin on disk, wide uncompressed
+    assume(layout.bytes / layout.rows < Tables.FatRowBytes,
+      s"codec failed to compress below the disk threshold: $layout")
+    assert(layout.logicalBytes / layout.rows >= Tables.FatRowBytes,
+      s"fixture not logically wide: $layout")
+    assert(layout.fatRows, s"logical-width classifier missed: $layout")
+    val cores = spark.sparkContext.defaultParallelism
+    val want = math.max(1L,
+      math.min(cores.toLong, (layout.bytes + (4L << 20) - 1) / (4L << 20)) / 2)
+    val got = Tables.load(spark, dir, "big").rdd.getNumPartitions
+    assert(got >= want,
+      s"loader left a compressed fat table at $got partition(s); >= $want required")
+  }
+
   test("small testdata tables are untouched — no repartition in the plan") {
     val df = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val p = df.queryExecution.logical.toString

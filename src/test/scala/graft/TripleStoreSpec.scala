@@ -200,6 +200,28 @@ class TripleStoreSpec extends SparkSpecBase {
     assert(b.syncFrom(a) == 0)
   }
 
+  test("sliced bloom sync ships exactly the full-ring diff (the past-broadcast-ceiling form)") {
+    import spark.implicits._
+    val a = freshStore()
+    val b = freshStore()
+    val shared = (0 until 200).map(i => Triple(s"s:$i", "p", s"o$i"))
+    val extra = (0 until 50).map(i => Triple(s"extra:$i", "p", s"e$i"))
+    a.insert((shared ++ extra).toDF())
+    b.insert(shared.toDF())
+    // the same exact set-difference oracle as syncFrom's test: the
+    // slice union must ship A's surplus exactly — no triple lost to a
+    // slice boundary (murmur hashes land all over the ring, so 8
+    // slices exercise many boundaries). Slice DISJOINTNESS is pinned
+    // structurally in KeyspaceSpec ("slices: disjoint…"); the dedup
+    // insert would absorb a double-ship, so this gate is about
+    // completeness and convergence
+    assert(b.syncFromSliced(a, k = 8) == 50)
+    assert(b.count() == a.count())
+    assert(b.syncFromSliced(a, k = 8) == 0)
+    // odd/small k degrade gracefully (k/2 floor, min 1 per half)
+    assert(b.syncFromSliced(a, k = 1) == 0)
+  }
+
   test("empty JSON query ([]) matches everything — never prunes to zero buckets") {
     val st = loaded()
     val eng = new Engine(st)
