@@ -55,6 +55,38 @@ case class BloomProbeExpr(
     copy(child = newChild)
 }
 
+/** [[BloomProbeExpr]] over an ARRAY of broadcast filters, selected per
+  * row by a slice-index column — what lets the K-slice reconciliation
+  * diff ([[graft.store.TripleStore.syncFromSliced]]) probe every slice
+  * in ONE scan of the peer instead of K filtered re-scans. Same probe
+  * semantics per slice as the single-filter expression.
+  */
+case class BloomProbeIndexedExpr(
+    left: Expression,
+    right: Expression,
+    bfs: org.apache.spark.broadcast.Broadcast[
+      Array[org.apache.spark.util.sketch.BloomFilter]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_probe_indexed"
+
+  override protected def nullSafeEval(key: Any, idx: Any): Any =
+    bfs.value(idx.asInstanceOf[Int])
+      .mightContainString(key.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomsBc", bfs,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, (k, i) =>
+      s"((org.apache.spark.util.sketch.BloomFilter[]) $ref.value())[$i]" +
+        s".mightContainString($k.toString())")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbeIndexedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level function surface of the engine. SQL names are registered
   * under `graft_*` via [[GraftFunctions.register]].
   */
@@ -111,6 +143,16 @@ object GraftFunctions {
       bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(BloomProbeExpr(ColumnBridge.expression(c.cast("string")), bf))
+  }
+
+  /** Codegen'd per-row probe of `bfs(idx)` — see [[BloomProbeIndexedExpr]]. */
+  def bloomProbeIndexed(c: Column, idx: Column,
+      bfs: org.apache.spark.broadcast.Broadcast[
+        Array[org.apache.spark.util.sketch.BloomFilter]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BloomProbeIndexedExpr(
+      ColumnBridge.expression(c.cast("string")),
+      ColumnBridge.expression(idx.cast("int")), bfs))
   }
 
   /** Canonical binary encoding of a triple's logical content — our

@@ -465,8 +465,8 @@ object Dedup {
     // one scan computes every table's bucket (posexplode index = table);
     // a per-table unionAll would read the embeddings `tables` times
     val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until tables).map(t =>
-        Similarity.lshBucket(col("v"), dim, bits, t)): _*)).as(Seq("table", "bucket")))
+      posexplode(graft.functions.LshBuckets(col("v"), dim, bits, tables))
+        .as(Seq("table", "bucket")))
     val l = bucketed.select(col("table"), col("bucket"),
       col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val r = bucketed.select(col("table"), col("bucket"),

@@ -80,11 +80,8 @@ object Similarity {
     * sessions/cluster sizes AND across engines (DuckDB's md5 yields the
     * same nibble, which is what makes the LSH oracle possible).
     */
-  private def planeSign(j: Int, i: Int): Double = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    if (((d(0) >> 4) & 1) == 0) 1.0 else -1.0
-  }
+  private def planeSign(j: Int, i: Int): Double =
+    graft.functions.LshBuckets.planeSign(j, i)
 
   /** Sign-LSH bucket id from `bits` random hyperplanes (dim = embedding
     * length), for hash table `table` (distinct plane family per table).
@@ -113,8 +110,8 @@ object Similarity {
     // table index) — a per-table unionAll would re-scan the embeddings
     // `tables` times: 8× read amplification on the corpus at scale
     val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("v"), dim, bits, t)): _*)).as(Seq("table", "bucket")))
+      posexplode(graft.functions.LshBuckets(col("v"), dim, bits, tables))
+        .as(Seq("table", "bucket")))
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
         col("table"), col("bucket"))
@@ -146,8 +143,8 @@ object Similarity {
       dim: Int = 64, bits: Int = 6, tables: Int = 8): DataFrame = {
     val v = withNorm(embs)
     val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("v"), dim, bits, t)): _*)).as(Seq("table", "bucket")))
+      posexplode(graft.functions.LshBuckets(col("v"), dim, bits, tables))
+        .as(Seq("table", "bucket")))
     val q = bucketed.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
         col("table"), col("bucket"))
@@ -186,8 +183,8 @@ object Similarity {
       extraProbes: Int = 2): DataFrame = {
     val v = withNorm(embs)
     val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("v"), dim, bits, t)): _*)).as(Seq("table", "bucket")))
+      posexplode(graft.functions.LshBuckets(col("v"), dim, bits, tables))
+        .as(Seq("table", "bucket")))
     // query side: home bucket + flip-distance-ordered probe buckets per
     // table, all as one column expression — (bucket, probes) per table
     // struct, posexploded so pos = table index

@@ -243,14 +243,58 @@ final class TripleStore(
     // hashing exactly there; the two halves tile ALL 2⁶⁴ positions
     val halves = Seq(graft.model.Keyspace(0L, Long.MinValue),
       graft.model.Keyspace(Long.MinValue, 0L))
-    val diffs = halves.flatMap(_.slices(math.max(1, k / 2))).map { ks =>
-      val bc = spark.sparkContext.broadcast(bloom(Some(ks)))
-      peer.all
-        .filter(TripleStore.keyspaceIncludes(ks,
-          GraftFunctions.murmur64(col("subj"))))
-        .filter(!GraftFunctions.bloomProbe(GraftFunctions.canonicalKey(), bc))
-    }
-    insert(diffs.reduce(_ unionByName _))
+    val slices = halves.flatMap(_.slices(math.max(1, k / 2)))
+    // ONE pass each side (measured at 100×: the per-slice form re-scanned
+    // BOTH stores K times — 27.9 s vs the full-ring diff's 13.3 s): all
+    // K filters aggregate in one scan of this store, and one scan of the
+    // peer routes every row to its slice's filter by index. No broadcast
+    // exceeds fullBloom/K, which was the whole point of slicing.
+    val bc = spark.sparkContext.broadcast(sliceBlooms(slices))
+    val missing = peer.all
+      .withColumn("__h", GraftFunctions.murmur64(col("subj")))
+      .withColumn("__s", TripleStore.sliceIdCol(slices, col("__h")))
+      .filter(!GraftFunctions.bloomProbeIndexed(
+        GraftFunctions.canonicalKey(), col("__s"), bc))
+      .drop("__h", "__s")
+    insert(missing)
+  }
+
+  /** All K slice filters in ONE scan of the store: the keyed scan
+    * treeAggregates an ARRAY of per-slice blooms (element-wise merge) —
+    * same total filter bytes as the full-ring build, 1/K of the scan
+    * cost of building each slice separately. Each slice's filter uses
+    * the SAME ring-fraction cap, fpp, and exact-size-rebuild-on-bound-
+    * miss semantics as `bloom(Some(slice))`.
+    */
+  private def sliceBlooms(slices: Seq[graft.model.Keyspace],
+      fpp: Double = TripleStore.ReferenceFpp): Array[BloomFilter] = {
+    import org.apache.spark.sql.Encoders
+    val total = metadataRowCount
+    val caps = slices.map { ks =>
+      val magU = (ks.mag >>> 1).toDouble * 2.0 + (ks.mag & 1L).toDouble
+      math.max(
+        math.ceil(total * (magU / math.pow(2.0, 64)) * 1.25).toLong,
+        TripleStore.MinBloomItems)
+    }.toArray
+    val keyed = all.select(GraftFunctions.canonicalKey().as("k"),
+      TripleStore.sliceIdCol(slices,
+        GraftFunctions.murmur64(col("subj"))).as("s"))
+      .na.drop()
+      .as[(String, Int)](Encoders.tuple(Encoders.STRING, Encoders.scalaInt))
+      .rdd
+    val n = slices.size
+    val (counts, bfs) = keyed.treeAggregate(
+      (new Array[Long](n), caps.map(BloomFilter.create(_, fpp))))(
+      { case ((cnt, arr), (key, s)) => arr(s).putString(key); cnt(s) += 1; (cnt, arr) },
+      { case ((ca, a), (cb, b)) =>
+        var i = 0
+        while (i < n) { a(i).mergeInPlace(b(i)); ca(i) += cb(i); i += 1 }
+        (ca, a) })
+    slices.indices.map { i =>
+      // bound miss (possible only under extreme subject-hash skew):
+      // rebuild THAT slice exactly, via the per-slice path
+      if (counts(i) <= caps(i)) bfs(i) else bloom(Some(slices(i)), fpp)
+    }.toArray
   }
 
   /** Sign + stamp + insert pipeline (reference: core/http.go:62-92):
@@ -404,6 +448,16 @@ object TripleStore {
     * Expressed with XOR(min-long) to map unsigned order onto signed order
     * so the whole predicate stays codegen-able (no UDF).
     */
+  /** Index of the slice (in `slices` order) a hash belongs to, as a
+    * codegen-able when-chain. Caller guarantees the slices TILE the
+    * ring (syncFromSliced's halves do), so the last slice is the
+    * fallthrough — every hash resolves to a valid index.
+    */
+  private[graft] def sliceIdCol(slices: Seq[Keyspace], hash: Column): Column =
+    slices.init.zipWithIndex.foldRight(lit(slices.size - 1)) {
+      case ((ks, i), acc) => when(keyspaceIncludes(ks, hash), lit(i)).otherwise(acc)
+    }
+
   def keyspaceIncludes(ks: Keyspace, hash: Column): Column = {
     val Min = Long.MinValue
     val a = hash.bitwiseXOR(Min)

@@ -115,8 +115,7 @@ object ScaleProbe {
         import org.apache.spark.sql.functions._
         val (bits, tables) = graft.ops.Dedup.lshSchedule(embs.count())
         embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .select(col("vec_id"), posexplode(array((0 until tables).map(t =>
-            graft.ops.Similarity.lshBucket(col("v"), 64, bits, t)): _*))
+          .select(col("vec_id"), posexplode(graft.functions.LshBuckets(col("v"), 64, bits, tables))
             .as(Seq("table", "bucket")))
       }),
       // shuffle-hash variant of the declared shape: forcing the bucket
@@ -132,8 +131,7 @@ object ScaleProbe {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("nrm", graft.ops.Similarity.norm(col("v")))
         val bucketed = v.select(col("vec_id"), col("v"), col("nrm"),
-          posexplode(array((0 until tables).map(t =>
-            graft.ops.Similarity.lshBucket(col("v"), 64, bits, t)): _*))
+          posexplode(graft.functions.LshBuckets(col("v"), 64, bits, tables))
             .as(Seq("table", "bucket")))
         val l = bucketed.select(col("table"), col("bucket"),
           col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
@@ -157,8 +155,7 @@ object ScaleProbe {
         val v = embs
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("nrm", graft.ops.Similarity.norm(col("v")))
-        val bucketed = v.select(col("vec_id"), posexplode(array((0 until tables).map(t =>
-            graft.ops.Similarity.lshBucket(col("v"), 64, bits, t)): _*))
+        val bucketed = v.select(col("vec_id"), posexplode(graft.functions.LshBuckets(col("v"), 64, bits, tables))
             .as(Seq("table", "bucket")))
         val pairs = bucketed.select(col("table"), col("bucket"), col("vec_id").as("a"))
           .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("b")),
@@ -178,8 +175,7 @@ object ScaleProbe {
         val (bits, tables) = graft.ops.Dedup.lshSchedule(embs.count())
         val bucketed = embs
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .select(col("vec_id"), posexplode(array((0 until tables).map(t =>
-            graft.ops.Similarity.lshBucket(col("v"), 64, bits, t)): _*))
+          .select(col("vec_id"), posexplode(graft.functions.LshBuckets(col("v"), 64, bits, tables))
             .as(Seq("table", "bucket")))
         bucketed.select(col("table"), col("bucket"), col("vec_id").as("a"))
           .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("b")),
@@ -192,8 +188,7 @@ object ScaleProbe {
         val (bits, tables) = graft.ops.Dedup.lshSchedule(embs.count())
         val bucketed = embs
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .select(col("vec_id"), posexplode(array((0 until tables).map(t =>
-            graft.ops.Similarity.lshBucket(col("v"), 64, bits, t)): _*))
+          .select(col("vec_id"), posexplode(graft.functions.LshBuckets(col("v"), 64, bits, tables))
             .as(Seq("table", "bucket")))
         bucketed.select(col("table"), col("bucket"), col("vec_id").as("a"))
           .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("b")),
