@@ -221,6 +221,32 @@ final class TripleStore(
   def syncFrom(peer: TripleStore): Long =
     insert(peer.triplesNotMatchingBloom(bloom()))
 
+  /** Store-size-aware sync: [[syncFrom]] while the predicted full-ring
+    * filter fits under `broadcastCeiling`, [[syncFromSliced]] with just
+    * enough slices past it — the same scheduled-escalation discipline as
+    * [[graft.ops.Dedup.embeddingNearDupsAuto]] (LSH→PQ past the
+    * occupancy knee) and the Lloyd trainer's driver→frame switch. The
+    * size model is the textbook optimal-bits formula Spark's own
+    * `BloomFilter.create` uses (−n·ln fpp / ln²2 bits), so the schedule
+    * is a driver-side arithmetic decision off the parquet footers — no
+    * scan, no filter built to be measured. At the reference's 1e-9
+    * constant that is ~5.39 B/key: the default 256 MB ceiling flips to
+    * sliced at ~4.7·10⁷ triples and schedules k ≈ bytes/ceiling slices
+    * (40 at 10⁹ triples — each slice's filter back under the ceiling,
+    * which is the broadcast/wire unit the reference's keyspace-sharded
+    * peers reconcile by). Both branches ship the identical diff row set
+    * (TripleStoreSpec gates them against the same exact set difference,
+    * and `tp_sync_diff_sliced` hash-matches `tp_sync_diff`'s oracle), so
+    * the switch is a cost decision, never a semantics one.
+    */
+  def sync(peer: TripleStore,
+      broadcastCeiling: Long = TripleStore.SyncBroadcastCeiling): Long = {
+    val n = math.max(metadataRowCount, TripleStore.MinBloomItems)
+    val bytes = TripleStore.predictedBloomBytes(n, TripleStore.ReferenceFpp)
+    val k = ((bytes + broadcastCeiling - 1) / broadcastCeiling).toInt
+    if (k <= 1) syncFrom(peer) else syncFromSliced(peer, math.max(2, k))
+  }
+
   /** [[syncFrom]] in K ring slices — the past-broadcast-ceiling form:
     * the full-ring 1e-9-FPP filter is ~5.14 MB per 10⁶ triples (the
     * reference's constant, triplestore/triplestore.go:18-22), i.e. a
@@ -381,6 +407,20 @@ object TripleStore {
 
   /** Minimum expected-items for bloom sizing (degeneracy guard). */
   val MinBloomItems: Long = 10000L
+
+  /** Largest single bloom broadcast [[TripleStore.sync]] will schedule
+    * before slicing the ring — a wire/broadcast unit, not a heap bound
+    * (executors hold one readonly copy; torrent broadcast distributes
+    * it). 256 MB ≈ 4.7·10⁷ triples at [[ReferenceFpp]].
+    */
+  val SyncBroadcastCeiling: Long = 256L << 20
+
+  /** Predicted bloom size for `n` keys at `fpp` — the optimal-bits
+    * formula (`−n·ln fpp / ln²2`, what `BloomFilter.create(n, fpp)`
+    * allocates), in bytes. Driver-side arithmetic only.
+    */
+  private[graft] def predictedBloomBytes(n: Long, fpp: Double): Long =
+    math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2)) / 8.0).toLong
 
   /** One-pass bloom build: the filter is sized at `max(bound,
     * MinBloomItems)` and the SAME treeAggregate counts the items as it

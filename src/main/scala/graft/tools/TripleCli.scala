@@ -66,9 +66,11 @@ object TripleCli {
         println(s"""{"compacted":true,"filesBefore":$before,"filesAfter":$after,"triples":${store.count()}}""")
       case "sync" =>
         require(args.length >= 3, "usage: TripleCli <storePath> sync <peerStorePath>")
-        // one bloom-diff replication round FROM the peer store
+        // one bloom-diff replication round FROM the peer store (the
+        // scheduled form: ring-sliced automatically once the predicted
+        // filter outgrows the broadcast ceiling)
         val peer = new TripleStore(spark, args(2))
-        val n = store.syncFrom(peer)
+        val n = store.sync(peer)
         println(s"""{"synced":$n,"triples":${store.count()}}""")
       case other => sys.error(s"unknown command: $other")
     } finally spark.stop()

@@ -222,6 +222,37 @@ class TripleStoreSpec extends SparkSpecBase {
     assert(b.syncFromSliced(a, k = 1) == 0)
   }
 
+  test("sync schedules full-ring vs sliced by predicted filter bytes") {
+    // the size model reproduces the reference's own wire constant:
+    // ~5.39 MB per 10⁶ keys at 1e-9 (triplestore/triplestore.go:18-22
+    // says ~5.14 — same formula, their doc rounds the per-key bits)
+    val mb = TripleStore.predictedBloomBytes(1000000L, 1e-9).toDouble / (1L << 20)
+    assert(mb > 5.0 && mb < 5.5)
+    // schedule arithmetic: k = ceil(bytes / ceiling), floor 2 once sliced
+    assert(TripleStore.predictedBloomBytes(47000000L, 1e-9) <=
+      TripleStore.SyncBroadcastCeiling) // ~4.7e7 triples still fit
+    assert(TripleStore.predictedBloomBytes(1000000000L, 1e-9) /
+      TripleStore.SyncBroadcastCeiling >= 19) // 10⁹ → ~20+ slices
+    // both branches ship the identical diff on the same fixture: tiny
+    // store + default ceiling rides the full-ring branch; a 16 KB
+    // ceiling forces the sliced branch (the MinBloomItems-floor filter
+    // is ~54 KB → k = 4) — same 50 rows, same convergence
+    import spark.implicits._
+    val a = freshStore()
+    val b = freshStore()
+    val c = freshStore()
+    val shared = (0 until 200).map(i => Triple(s"s:$i", "p", s"o$i"))
+    val extra = (0 until 50).map(i => Triple(s"extra:$i", "p", s"e$i"))
+    a.insert((shared ++ extra).toDF())
+    b.insert(shared.toDF())
+    c.insert(shared.toDF())
+    assert(b.sync(a) == 50)
+    assert(b.count() == a.count())
+    assert(c.sync(a, broadcastCeiling = 16L << 10) == 50)
+    assert(c.count() == a.count())
+    assert(c.sync(a, broadcastCeiling = 16L << 10) == 0)
+  }
+
   test("empty JSON query ([]) matches everything — never prunes to zero buckets") {
     val st = loaded()
     val eng = new Engine(st)
