@@ -90,6 +90,11 @@ object Linkage {
         TextOps.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("cfp")
       .agg(count(lit(1)).as("n"), min("doc_id").as("canonical_id"),
-        (countDistinct(col("fp")) === 1).as("exact_too"))
+        // "all fps equal" as min = max, NOT countDistinct = 1: the
+        // distinct agg plans an Expand (every row shuffled twice, once
+        // per grouping set) for a predicate min/max answer in a single
+        // hash-agg pass — fp is md5, never null, so the two are
+        // equivalent. The DuckDB oracle keeps count(DISTINCT fp) = 1.
+        (min(col("fp")) === max(col("fp"))).as("exact_too"))
       .filter(col("n") > 1)
 }
