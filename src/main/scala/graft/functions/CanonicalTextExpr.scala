@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused aggressive-canonicalization helper (codegen helper — outside
+  * the expression companion for the static-forwarder reason documented
+  * on [[DeflateUtil]]).
+  *
+  * Semantics are EXACTLY the composed built-in form it replaces
+  * (Linkage.canonicalBuiltin, gated equivalent in OpsSpec):
+  *
+  *   trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+  *
+  * i.e. Unicode-lowercase, drop every char outside [a-z0-9 ], collapse
+  * space runs, trim. The fusion is exact because the kept class is pure
+  * ASCII: after `UTF8String.toLowerCase` (the same call Spark's `Lower`
+  * makes) every byte of a multi-byte character is >= 0x80, so a
+  * byte-level keep-filter equals the regex's character-level one, and
+  * collapse/trim depend only on the filtered byte sequence, which the
+  * single pass preserves in order.
+  *
+  * What it buys at scale: the regex chain was measured as 94% of
+  * `dedup_canonical` at 100× (canon_only 24.1 s vs scan floor 0.4 s,
+  * ScaleProbe decomposition) — two java.util.regex NFA passes plus two
+  * intermediate string materializations per row, replaced by one
+  * branch-predictable byte scan and zero intermediates.
+  */
+object CanonicalTextUtil {
+  def canon(u: UTF8String): UTF8String = {
+    val lowered = u.toLowerCase
+    val b = lowered.getBytes
+    val out = new Array[Byte](b.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        // flush one collapsed space, unless it would lead the output
+        if (pendingSpace && n > 0) { out(n) = ' '; n += 1 }
+        pendingSpace = false
+        out(n) = c; n += 1
+      } else if (c == ' ') {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    // a trailing run of spaces is never flushed == trim's right side
+    UTF8String.fromBytes(out, 0, n)
+  }
+}
+
+/** One-pass [a-z0-9 ]-canonicalizer as a native codegen'd expression —
+  * see [[CanonicalTextUtil.canon]] for the exact semantics contract
+  * with the regex chain it replaces.
+  */
+case class CanonicalTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_canonical_text"
+
+  override protected def nullSafeEval(v: Any): Any =
+    CanonicalTextUtil.canon(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CanonicalTextUtil.canon($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalTextExpr =
+    copy(child = newChild)
+}
+
+object CanonicalTextExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(CanonicalTextExpr(
+      ColumnBridge.expression(c.cast("string"))))
+}

@@ -238,7 +238,25 @@ object ScaleProbe {
       "semdedup_n64_frame" -> (() => graft.ops.Similarity.semanticDedupDistributed(
         embs, 0.45, nlist = 64)),
       "semdedup_n160_frame" -> (() => graft.ops.Similarity.semanticDedupDistributed(
-        embs, 0.45, nlist = 160)))
+        embs, 0.45, nlist = 160)),
+      // canonical-dedup cost decomposition (dedup_canonical at 100×
+      // reads ~13× dedup_exact on the same docs): the full operator,
+      // the canonicalization projection alone, the fingerprint
+      // projection alone, and a bare md5(lower) scan as the floor —
+      // full − agg share, regex share = canon_only − scan_floor
+      "canon_full" -> (() => graft.ops.Linkage.canonicalGroups(docs)),
+      "canon_only" -> (() => {
+        import org.apache.spark.sql.functions._
+        docs.select(md5(graft.ops.Linkage.canonical(col("text"))).as("cfp"))
+      }),
+      "canon_fp_only" -> (() => {
+        import org.apache.spark.sql.functions._
+        docs.select(graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+      }),
+      "canon_scan_floor" -> (() => {
+        import org.apache.spark.sql.functions._
+        docs.select(md5(lower(col("text"))).as("h"))
+      }))
 
     // `splits` mode: assert the loader guarantee (Tables.load's
     // rowGroupBoundTarget) — every FAT-ROW table's scan parallelism is

@@ -168,6 +168,25 @@ class BasketLinkageSpec extends SparkSpecBase {
       && same.getAs[Boolean]("exact_too"))
   }
 
+  test("fused canonicalizer is byte-equal to the regex chain it replaces") {
+    // adversarial corners: unicode that lowercases INTO the kept class
+    // (Kelvin sign → k, İ → i + combining dot, the dot then stripped),
+    // multibyte junk, tabs/newlines (stripped, NOT space), space runs,
+    // leading/trailing/all-space, digits, empty
+    val rows = Seq(
+      "Hello,  World!", "  lead", "trail   ", "   ", "", "a", "A.B-C",
+      "tab\there", "line\nbreak", "KKelvin", "İstanbul",
+      "café 42", "你好 world", "x  --  y", "1,234.56",
+      "UPPER lower MiXeD", "ß sharp", "emoji 😀 end"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val both = rows.select(
+      Linkage.canonical(col("text")).as("fused"),
+      Linkage.canonicalBuiltin(col("text")).as("builtin"))
+    assert(both.filter(col("fused") =!= col("builtin")
+        || col("fused").isNull =!= col("builtin").isNull).count() == 0)
+  }
+
   test("DSIR weights rank target-like docs above off-target docs") {
     val docs = Seq(
       (1L, "the cat sat on the mat", "en", "s1"),
