@@ -55,6 +55,61 @@ object CanonicalTextUtil {
   }
 }
 
+object NormalizeWsUtil {
+  /** Fused whitespace normalization — EXACTLY
+    * `trim(regexp_replace(lower(text), "\\s+", " "))` in one byte pass.
+    * Java regex `\s` (no UNICODE_CHARACTER_CLASS) is the six ASCII
+    * chars [ \t\n\x0B\f\r] — all single bytes in UTF-8, so a byte-level
+    * run-collapse equals the regex's character-level one and multi-byte
+    * characters pass through untouched. `trim` strips only 0x20, but
+    * every leading/trailing whitespace RUN has already become a single
+    * ' ' by then, so skip-leading/drop-trailing-space is identical.
+    */
+  def normalize(u: UTF8String): UTF8String = {
+    val lowered = u.toLowerCase
+    val b = lowered.getBytes
+    val out = new Array[Byte](b.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r') {
+        pendingSpace = true
+      } else {
+        if (pendingSpace && n > 0) { out(n) = ' '; n += 1 }
+        pendingSpace = false
+        out(n) = c; n += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, n)
+  }
+}
+
+/** One-pass whitespace normalizer (see [[NormalizeWsUtil.normalize]]
+  * for the exact-semantics contract with the regex form).
+  */
+case class NormalizeWsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_ws"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NormalizeWsUtil.normalize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeWsUtil.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeWsExpr =
+    copy(child = newChild)
+}
+
+object NormalizeWsExpr {
+  def apply(c: Column): Column =
+    ColumnBridge.column(NormalizeWsExpr(
+      ColumnBridge.expression(c.cast("string"))))
+}
+
 /** One-pass [a-z0-9 ]-canonicalizer as a native codegen'd expression —
   * see [[CanonicalTextUtil.canon]] for the exact semantics contract
   * with the regex chain it replaces.

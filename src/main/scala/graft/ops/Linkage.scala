@@ -44,10 +44,31 @@ object Linkage {
   def fuzzyNamePairs(rows: DataFrame, nameCol: String,
       blockSuffix: Int = 2, maxDist: Int = 2): DataFrame = {
     val named = distinctNames(rows, nameCol, blockSuffix)
+    // Edit distance over the SUFFIXES only — exact, not approximate:
+    // equal blocks force equal name lengths (block = substring(1,
+    // len−k), so len = |block| + k on both sides) and an identical
+    // prefix (both equal the block), and stripping a shared prefix
+    // never changes levenshtein (the DP's first |prefix| diagonal is
+    // free — the standard common-prefix cancellation every edit-
+    // distance library applies). That replaces an O(len²) DP per pair
+    // with an O(k²) one (81× fewer cells at the 18-char fixture
+    // names): measured 4.63 → 0.66 s on the in-block pair stage at
+    // sf0.1, where the full-name DP was 78% of dedup_fuzzy_names.
+    // The one exception: names with len ≤ k all share block "" without
+    // sharing a prefix, so those pairs (and only those) keep the
+    // full-name distance — their strings are ≤ k chars, already cheap.
+    // The SQL oracle keeps levenshtein on the full names; the hash
+    // gate is what certifies the identity.
+    val lastK: String => Column = c =>
+      expr(s"substring($c, length($c) - ${blockSuffix - 1}, $blockSuffix)")
     named.select(col("block"), col("name").as("name_a"), col("m").as("m_a"))
       .join(named.select(col("block"), col("name").as("name_b"), col("m").as("m_b")), "block")
       .filter(col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .withColumn("dist",
+        when(length(col("name_a")) <= blockSuffix
+            || length(col("name_b")) <= blockSuffix,
+          levenshtein(col("name_a"), col("name_b")))
+        .otherwise(levenshtein(lastK("name_a"), lastK("name_b"))))
       .filter(col("dist") <= maxDist)
       .select("block", "name_a", "name_b", "m_a", "m_b", "dist")
   }

@@ -31,8 +31,21 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(bpePiecePattern))
 
-  /** Whitespace-collapsed, lowercased canonical text. */
+  /** Whitespace-collapsed, lowercased canonical text. Runs as the
+    * fused one-pass byte scan ([[graft.functions.NormalizeWsExpr]]);
+    * [[normalizedBuiltin]] is the regex chain it replaces, spec-gated
+    * byte-equal (the Linkage.canonical discipline — this projection
+    * feeds the exact-dup fingerprint of every dedup/funnel path, so
+    * its regex NFA pass was a per-query constant across the family).
+    * The DuckDB oracle keeps the regex formulation.
+    */
   def normalized(text: Column): Column =
+    graft.functions.NormalizeWsExpr(text)
+
+  /** The composed built-in chain [[normalized]] fuses — the semantics
+    * reference for the spec gate.
+    */
+  private[graft] def normalizedBuiltin(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** MD5 fingerprint of the normalized text — the exact-dup key. */

@@ -256,6 +256,58 @@ object ScaleProbe {
       "canon_scan_floor" -> (() => {
         import org.apache.spark.sql.functions._
         docs.select(md5(lower(col("text"))).as("h"))
+      }),
+      // tokenizer cost at the primitive level: the declared regex split
+      // vs a single-char split (same array materialization, no regex
+      // NFA) — the delta bounds what a fused splitter could save per
+      // tokens() consumer
+      "tok_regex" -> (() => {
+        import org.apache.spark.sql.functions._
+        docs.select(graft.ops.TextOps.tokens(col("text")).as("t"))
+      }),
+      "tok_charsplit" -> (() => {
+        import org.apache.spark.sql.functions._
+        docs.select(split(lower(col("text")), " ").as("t"))
+      }),
+      // and the dominant composite consumer: the 3-gram shingle explode
+      "tok_shingles" -> (() => graft.ops.Dedup.shingleRows(docs, 3)),
+      // dedup_fuzzy_names decomposition: the query reads ~4.7 s FLAT at
+      // every scale (distinct-name volume is structural), which prices
+      // one of the driver-bench's heaviest sf0.1 rows at ~6 µs per
+      // in-block pair — too slow for an 18×18 levenshtein. Stages:
+      // the distinct-name agg, the block self-join WITHOUT the edit
+      // distance, then with it (the delta is levenshtein's true share)
+      "fuzzy_full" -> (() => graft.ops.Linkage.fuzzyNameSummary(
+        graft.api.Tables.customer(spark, sfDir), "c_name")),
+      "fuzzy_pairs" -> (() => graft.ops.Linkage.fuzzyNamePairs(
+        graft.api.Tables.customer(spark, sfDir), "c_name")),
+      "fuzzy_join_nolev" -> (() => {
+        import org.apache.spark.sql.functions._
+        val named = graft.api.Tables.customer(spark, sfDir)
+          .groupBy(col("c_name").as("name")).agg(count(lit(1)).as("m"))
+          .withColumn("block", expr("substring(name, 1, length(name) - 2)"))
+        named.select(col("block"), col("name").as("name_a"), col("m").as("m_a"))
+          .join(named.select(col("block"), col("name").as("name_b"), col("m").as("m_b")), "block")
+          .filter(col("name_a") < col("name_b"))
+      }),
+      "fuzzy_names_only" -> (() => {
+        import org.apache.spark.sql.functions._
+        graft.api.Tables.customer(spark, sfDir)
+          .groupBy(col("c_name").as("name")).agg(count(lit(1)).as("m"))
+      }),
+      // the banded threshold levenshtein (SPARK-44886): exact distance
+      // when <= k, -1 past it — O(n·k) band vs the full O(n·m) DP
+      "fuzzy_pairs_banded" -> (() => {
+        import org.apache.spark.sql.functions._
+        val named = graft.api.Tables.customer(spark, sfDir)
+          .groupBy(col("c_name").as("name")).agg(count(lit(1)).as("m"))
+          .withColumn("block", expr("substring(name, 1, length(name) - 2)"))
+        named.select(col("block"), col("name").as("name_a"), col("m").as("m_a"))
+          .join(named.select(col("block"), col("name").as("name_b"), col("m").as("m_b")), "block")
+          .filter(col("name_a") < col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+          .filter(col("dist") >= 0)
+          .select("block", "name_a", "name_b", "m_a", "m_b", "dist")
       }))
 
     // `splits` mode: assert the loader guarantee (Tables.load's

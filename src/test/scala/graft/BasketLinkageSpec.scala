@@ -168,6 +168,31 @@ class BasketLinkageSpec extends SparkSpecBase {
       && same.getAs[Boolean]("exact_too"))
   }
 
+  test("suffix-levenshtein fuzzy pairs equal the full-name-DP reference") {
+    // corners: short names (len <= blockSuffix share block "" WITHOUT
+    // sharing a prefix — must keep the full-name distance), names at
+    // exactly len = k and k+1, multibyte chars in prefix and suffix
+    // (codepoint counting), and pairs straddling the maxDist filter
+    val rows = Seq(
+      "Customer#01", "Customer#02", "Customer#99", "Customer#0x",
+      "a", "b", "xy", "zz", "q1", "ab", "abc", "abd", "abz", "aXc",
+      "naïve#α1", "naïve#α2", "naïve#β9", "你好#11", "你好#12"
+    ).map(Tuple1(_)).toDF("c_name")
+    val opt = Linkage.fuzzyNamePairs(rows, "c_name")
+      .select("name_a", "name_b", "dist").orderBy("name_a", "name_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val named = rows.groupBy(col("c_name").as("name")).agg(count(lit(1)).as("m"))
+      .withColumn("block", expr("substring(name, 1, length(name) - 2)"))
+    val ref = named.select(col("block"), col("name").as("name_a"))
+      .join(named.select(col("block"), col("name").as("name_b")), "block")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select("name_a", "name_b", "dist").orderBy("name_a", "name_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(opt.toSeq == ref.toSeq && opt.nonEmpty)
+  }
+
   test("fused canonicalizer is byte-equal to the regex chain it replaces") {
     // adversarial corners: unicode that lowercases INTO the kept class
     // (Kelvin sign → k, İ → i + combining dot, the dot then stripped),
@@ -177,14 +202,21 @@ class BasketLinkageSpec extends SparkSpecBase {
       "Hello,  World!", "  lead", "trail   ", "   ", "", "a", "A.B-C",
       "tab\there", "line\nbreak", "KKelvin", "İstanbul",
       "café 42", "你好 world", "x  --  y", "1,234.56",
+      "vtabv\u000bv\u000cf\u000dr mix\t\r x", "\t\nlead ws", "trail ws\r\n",
       "UPPER lower MiXeD", "ß sharp", "emoji 😀 end"
     ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val both = rows.select(
       Linkage.canonical(col("text")).as("fused"),
-      Linkage.canonicalBuiltin(col("text")).as("builtin"))
+      Linkage.canonicalBuiltin(col("text")).as("builtin"),
+      graft.ops.TextOps.normalized(col("text")).as("nfused"),
+      graft.ops.TextOps.normalizedBuiltin(col("text")).as("nbuiltin"))
     assert(both.filter(col("fused") =!= col("builtin")
         || col("fused").isNull =!= col("builtin").isNull).count() == 0)
+    // normalized() keeps non-[a-z0-9 ] chars, so the unicode rows gate
+    // the pass-through path; \t/\n/\v/\f/\r collapse to ' ' like \s+
+    assert(both.filter(col("nfused") =!= col("nbuiltin")
+        || col("nfused").isNull =!= col("nbuiltin").isNull).count() == 0)
   }
 
   test("DSIR weights rank target-like docs above off-target docs") {
