@@ -49,8 +49,27 @@ object Dedup {
     */
   private def sigsFromShingles(sh: DataFrame, k: Int): DataFrame = {
     require(k % 2 == 0, "k must be even (two 64-bit keys per md5)")
-    // each md5 yields two independent 64-bit (16-hex-char) keys — halves
-    // the hashing cost vs one digest per hash function
+    // all k keys in ONE fused call per shingle row (thread-local
+    // digest, no hex/concat intermediates) — the per-column chain it
+    // replaces ran k/2 separate md5 expressions and was the dominant
+    // term of the signature agg at 100× (ScaleProbe mh_sigs; see
+    // MinhashKeysUtil). [[sigsFromShinglesBuiltin]] keeps that chain
+    // as the spec-gated semantics reference; byte-identical keys, so
+    // every downstream band/oracle contract is untouched.
+    val aggs = (0 until k).map(i =>
+      min(element_at(col("__mk"), i + 1)).as(s"m$i"))
+    sh.withColumn("__mk", graft.functions.MinhashKeysExpr(col("sh"), k))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The per-column md5/substring chain [[sigsFromShingles]] fuses —
+    * kept as the semantics reference (DedupSpec gates signature
+    * equality; the piiScrubBuiltin discipline). Each md5 yields two
+    * independent 64-bit (16-hex-char) keys — halving the hashing cost
+    * vs one digest per hash function is the shared contract.
+    */
+  private[graft] def sigsFromShinglesBuiltin(sh: DataFrame, k: Int): DataFrame = {
+    require(k % 2 == 0, "k must be even (two 64-bit keys per md5)")
     val aggs = (0 until k).map { i =>
       val digest = md5(concat(lit(s"${i / 2}#"), col("sh")))
       val part = substring(digest, 1 + (i % 2) * 16, 16)

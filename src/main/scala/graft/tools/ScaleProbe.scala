@@ -295,6 +295,24 @@ object ScaleProbe {
         graft.api.Tables.customer(spark, sfDir)
           .groupBy(col("c_name").as("name")).agg(count(lit(1)).as("m"))
       }),
+      // minhash stage decomposition at 100×: shingles (tok_shingles
+      // above) → signature agg → banded keys + hot-band window → the
+      // band self-join + distinct (the full minhash probe). Deltas
+      // between consecutive stages price each step.
+      "mh_sigs" -> (() => graft.ops.Dedup.minhashSignatures(docs, 8)),
+      "mh_banded" -> (() => {
+        val sigs = graft.ops.Dedup.minhashSignatures(docs, 8)
+        graft.ops.Dedup.dropHotBands(
+          graft.ops.Dedup.bandKeys(sigs, 8, 4), graft.ops.Dedup.DefaultBandCap)
+      }),
+      "mh_bandkeys_nowin" -> (() => graft.ops.Dedup.bandKeys(
+        graft.ops.Dedup.minhashSignatures(docs, 8), 8, 4)),
+      // md5 share of the signature agg: k=2 runs ONE digest per
+      // shingle row where k=8 runs four — if sigs time tracks k, the
+      // hash dominates; if not, the explode+shuffle does
+      "mh_sigs_k2" -> (() => graft.ops.Dedup.minhashSignatures(docs, 2)),
+      "mh_sigs_builtin" -> (() => graft.ops.Dedup.sigsFromShinglesBuiltin(
+        graft.ops.Dedup.shingleRows(docs, 3), 8)),
       // the banded threshold levenshtein (SPARK-44886): exact distance
       // when <= k, -1 past it — O(n·k) band vs the full O(n·m) DP
       "fuzzy_pairs_banded" -> (() => {

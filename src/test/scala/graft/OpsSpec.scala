@@ -38,6 +38,20 @@ class OpsSpec extends SparkSpecBase {
     assert(found.size >= 18, s"only ${found.size}/20 planted pairs found")
   }
 
+  test("fused minhash keys are byte-equal to the md5/substring chain") {
+    // the fused MinhashKeysExpr must reproduce every m0..m7 signature
+    // column bit-for-bit (the band keys, the oracle CTEs and the
+    // streaming ingest index all hang off these strings); gate on the
+    // planted corpus plus unicode/empty-ish shingle shapes
+    val extra = spark.createDataFrame(Seq((900001L, "naïve 你好 ß"),
+      (900002L, "a b c"), (900003L, "x y z w"))).toDF("doc_id", "text")
+    val docsAll = planted(exact = false).select("doc_id", "text").unionByName(extra)
+    val fused = Dedup.minhashSignatures(docsAll, 8)
+    val builtin = Dedup.sigsFromShinglesBuiltin(Dedup.shingleRows(docsAll, 3), 8)
+    assert(fused.exceptAll(builtin).isEmpty && builtin.exceptAll(fused).isEmpty)
+    assert(fused.count() > 0)
+  }
+
   test("cross-corpus matches flag near-copy and exact batch docs, pass novel ones") {
     // batch: 20 near-copies of corpus docs 0..19 (+100000), one exact
     // re-crawl of doc 30 (+200000), and one doc of pure novel text
