@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{CollationFactory, CollationSupport}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,8 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * i.e. Unicode-lowercase, drop every char outside [a-z0-9 ], collapse
   * space runs, trim. The fusion is exact because the kept class is pure
-  * ASCII: after `UTF8String.toLowerCase` (the same call Spark's `Lower`
-  * makes) every byte of a multi-byte character is >= 0x80, so a
+  * ASCII: after `CollationSupport.Lower.exec` (the same call Spark's
+  * `Lower` makes) every byte of a multi-byte character is >= 0x80, so a
   * byte-level keep-filter equals the regex's character-level one, and
   * collapse/trim depend only on the filtered byte sequence, which the
   * single pass preserves in order.
@@ -31,8 +33,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * branch-predictable byte scan and zero intermediates.
   */
 object CanonicalTextUtil {
-  def canon(u: UTF8String): UTF8String = {
-    val lowered = u.toLowerCase
+  /** Lowercase through the SAME execution path as Spark's `Lower`
+    * expression (CollationSupport.Lower.exec at UTF8_BINARY), so the
+    * fused forms stay byte-equal to the `lower()` builtin they replace
+    * for EVERY codepoint, not just the fixtures: `UTF8String.toLowerCase`
+    * falls back to `String.toLowerCase()` (JVM tables + default locale)
+    * for non-ASCII, while Spark 4.1's `lower()` defaults to ICU case
+    * mappings (spark.sql.icu.caseMappings.enabled) — 67 codepoints
+    * diverge between the two (e.g. U+A7C0, U+1C89, U+10570), and the
+    * JVM path is additionally locale-dependent (tr/az dotless-i). The
+    * `useICU` flag is captured by the Expression at plan time from
+    * SQLConf, exactly as `Lower` captures it.
+    */
+  def lowerLikeSpark(u: UTF8String, useICU: Boolean): UTF8String =
+    CollationSupport.Lower.exec(u, CollationFactory.UTF8_BINARY_COLLATION_ID, useICU)
+
+  def canon(u: UTF8String, useICU: Boolean): UTF8String = {
+    val lowered = lowerLikeSpark(u, useICU)
     val b = lowered.getBytes
     val out = new Array[Byte](b.length)
     var n = 0
@@ -65,8 +82,8 @@ object NormalizeWsUtil {
     * every leading/trailing whitespace RUN has already become a single
     * ' ' by then, so skip-leading/drop-trailing-space is identical.
     */
-  def normalize(u: UTF8String): UTF8String = {
-    val lowered = u.toLowerCase
+  def normalize(u: UTF8String, useICU: Boolean): UTF8String = {
+    val lowered = CanonicalTextUtil.lowerLikeSpark(u, useICU)
     val b = lowered.getBytes
     val out = new Array[Byte](b.length)
     var n = 0
@@ -94,11 +111,15 @@ case class NormalizeWsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_normalize_ws"
 
+  // Captured at plan time, exactly as Spark's Lower does.
+  private lazy val useICU: Boolean =
+    SQLConf.get.getConf(SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
   override protected def nullSafeEval(v: Any): Any =
-    NormalizeWsUtil.normalize(v.asInstanceOf[UTF8String])
+    NormalizeWsUtil.normalize(v.asInstanceOf[UTF8String], useICU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeWsUtil.normalize($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NormalizeWsUtil.normalize($c, $useICU)")
 
   override protected def withNewChildInternal(newChild: Expression): NormalizeWsExpr =
     copy(child = newChild)
@@ -118,11 +139,15 @@ case class CanonicalTextExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_canonical_text"
 
+  // Captured at plan time, exactly as Spark's Lower does.
+  private lazy val useICU: Boolean =
+    SQLConf.get.getConf(SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
   override protected def nullSafeEval(v: Any): Any =
-    CanonicalTextUtil.canon(v.asInstanceOf[UTF8String])
+    CanonicalTextUtil.canon(v.asInstanceOf[UTF8String], useICU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.CanonicalTextUtil.canon($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CanonicalTextUtil.canon($c, $useICU)")
 
   override protected def withNewChildInternal(newChild: Expression): CanonicalTextExpr =
     copy(child = newChild)

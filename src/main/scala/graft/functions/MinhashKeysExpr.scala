@@ -50,7 +50,8 @@ object MinhashKeysUtil {
       // seed prefix "<seed>#" — ASCII, identical bytes to the UTF-8 of
       // the concat'd string the per-column form hashed
       if (seed < 10) d.update(('0' + seed).toByte)
-      else d.update(String.valueOf(seed).getBytes)
+      else d.update(String.valueOf(seed)
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       d.update('#'.toByte)
       d.update(shBytes)
       val dig = d.digest()

@@ -18,6 +18,10 @@ object PlanDump {
     // explain("formatted") (the pre-execution plan, the judge-checkable
     // deliverable shape) to <outdir>/<query>.txt and exit.
     if (args.headOption.contains("--explain")) {
+      if (args.length < 3) {
+        System.err.println("usage: PlanDump --explain <outdir> <sfdir> [query...]")
+        spark.stop(); sys.exit(2)
+      }
       val outDir = new java.io.File(args(1)); outDir.mkdirs()
       val sfDir = args(2)
       for (n <- args.drop(3)) {

@@ -203,7 +203,12 @@ class BasketLinkageSpec extends SparkSpecBase {
       "tab\there", "line\nbreak", "KKelvin", "İstanbul",
       "café 42", "你好 world", "x  --  y", "1,234.56",
       "vtabv\u000bv\u000cf\u000dr mix\t\r x", "\t\nlead ws", "trail ws\r\n",
-      "UPPER lower MiXeD", "ß sharp", "emoji 😀 end"
+      "UPPER lower MiXeD", "ß sharp", "emoji 😀 end",
+      // ICU-vs-JVM lowercase divergent codepoints (Spark 4.1's lower()
+      // uses ICU by default; UTF8String.toLowerCase uses JVM tables):
+      // the fused path must lower through CollationSupport.Lower.exec
+      // or these rows break byte-equality with the builtin.
+      "aꟀb", "x Ᲊ y", "sup 𐕰 plane"
     ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     val both = rows.select(
