@@ -507,6 +507,66 @@ object Dedup {
       .distinct()
   }
 
+  /** Predicted bytes of the (vec_id, v, nrm) frame a broadcast attach
+    * would ship: 8 bytes per double element plus ~32 of row overhead.
+    * Past [[VectorBroadcastCeiling]] (256 MB — the TripleStore.sync
+    * broadcast-ceiling discipline) the wide form stays: at the LSH→PQ
+    * knee the frame is ~5.7 GB, never broadcastable.
+    */
+  private[graft] val VectorBroadcastCeiling: Long = 256L << 20
+  private[graft] def vectorFrameBytes(n: Long, dim: Int): Long =
+    n * (dim.toLong * 8L + 32L)
+
+  /** Narrow-candidate + broadcast-attach form of [[embeddingNearDups]] —
+    * IDENTICAL output by construction: the raw candidate multiset
+    * {(a, b) : same (table, bucket), a < b} is the same bucket-equality
+    * self-join, every raw pair is scored by the same exact rounded
+    * cosine, and the survivors pass the same final distinct; whether
+    * each raw pair carries its vectors THROUGH the (table, bucket)
+    * exchange (wide form) or re-attaches them map-side from a broadcast
+    * of the base vector frame cannot change the result set (spec-gated
+    * byte-equal in OpsSpec).
+    *
+    * Why (guide §2.3 "shuffle keys and metadata instead of payloads" +
+    * §8): at the 100× knobs (n = 200k, bits = 12, tables = 64) the wide
+    * form's exchange carries 12.8M rows × ~550 B (the 64-double vector
+    * rides every bucket row) ≈ 7 GB, where the narrow key row is ~24 B
+    * ≈ 300 MB — and under AQE the two identical wide stages have been
+    * observed racing to two distinct materializations (the PlanSpec
+    * reuse pin only holds the static plan). Measured same-session at
+    * 100×: wide 81.3 s vs narrow 38.8 s (raw candidate join alone
+    * 4.6 s; broadcast attach ≈ 9 s; the exact-cosine scoring of the
+    * 471M raw pairs dominates both forms' residue).
+    */
+  private[graft] def embeddingNearDupsNarrow(embs: DataFrame,
+      threshold: Double = 0.99, dim: Int = 64, bits: Int = 6,
+      tables: Int = 8): DataFrame = {
+    val v = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val bucketed = v.select(col("vec_id"),
+      posexplode(graft.functions.LshBuckets(col("v"), dim, bits, tables))
+        .as(Seq("table", "bucket")))
+    // shuffle_hash on both sides for the same ReuseExchange reason as
+    // the wide form — here the reused exchange is the ~24 B/row key
+    // frame, so even an AQE reuse race costs a few hundred MB, not GBs
+    val raw = bucketed.select(col("table"), col("bucket"), col("vec_id").as("a"))
+      .hint("shuffle_hash")
+      .join(bucketed.select(col("table"), col("bucket"), col("vec_id").as("b"))
+        .hint("shuffle_hash"), Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+    raw
+      .join(broadcast(v.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na"))), "a")
+      .join(broadcast(v.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb"))), "b")
+      .withColumn("cos", round(
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+      .distinct()
+  }
+
   /** The LSH knob schedule: (bits, tables) from the corpus size, so
     * candidate volume stays bounded as data grows. Cost of the bucket
     * self-join is O(tables · n² / 2^bits); holding `bits` fixed while n
@@ -591,7 +651,13 @@ object Dedup {
     val n = embs.count()
     if (n <= lshOccupancyKnee(targetBucket)) {
       val (bits, tables) = lshSchedule(n, targetBucket)
-      embeddingNearDups(embs, threshold, dim, bits, tables)
+      // same output either way (spec-gated); the narrow form wins
+      // whenever the vector frame fits a sane broadcast (measured 2.1×
+      // at 100×), the wide form carries the mid-band up to the PQ knee
+      if (vectorFrameBytes(n, dim) <= VectorBroadcastCeiling)
+        embeddingNearDupsNarrow(embs, threshold, dim, bits, tables)
+      else
+        embeddingNearDups(embs, threshold, dim, bits, tables)
     } else {
       val (m, ksub) = pqSchedule(n, targetBucket)
       Similarity.pqCodeDups(embs, m, ksub, iters = 2, threshold = threshold,

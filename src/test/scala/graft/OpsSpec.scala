@@ -278,6 +278,24 @@ class OpsSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"embedding LSH recall $recall too low (8 tables × 6 bits)")
   }
 
+  test("narrow broadcast-attach embedding near-dups equal the wide form byte-for-byte") {
+    // same raw candidate multiset (bucket-equality self-join), same
+    // exact rounded cosine, same final distinct — only where the
+    // vectors travel differs. Gate the full (a, b, cos) triple at two
+    // knob points, including the schedule the auto path would pick.
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("cos"))).toSet
+    for ((bits, tables) <- Seq((6, 8), Dedup.lshSchedule(embs.count()))) {
+      val wide = rows(Dedup.embeddingNearDups(embs, 0.45, 64, bits, tables))
+      val narrow = rows(Dedup.embeddingNearDupsNarrow(embs, 0.45, 64, bits, tables))
+      assert(wide.nonEmpty, s"fixture produced no pairs at ($bits, $tables)")
+      assert(wide == narrow,
+        s"narrow form diverges at ($bits, $tables): " +
+          s"wide-only=${wide -- narrow} narrow-only=${narrow -- wide}")
+    }
+  }
+
   test("auto-tuned embedding near-dup stays a subset of brute force; small corpus keeps small-corpus knobs") {
     def pairsOf(df: DataFrame) =
       df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
