@@ -49,17 +49,24 @@ object Dedup {
     */
   private def sigsFromShingles(sh: DataFrame, k: Int): DataFrame = {
     require(k % 2 == 0, "k must be even (two 64-bit keys per md5)")
-    // all k keys in ONE fused call per shingle row (thread-local
-    // digest, no hex/concat intermediates) — the per-column chain it
-    // replaces ran k/2 separate md5 expressions and was the dominant
-    // term of the signature agg at 100× (ScaleProbe mh_sigs; see
-    // MinhashKeysUtil). [[sigsFromShinglesBuiltin]] keeps that chain
-    // as the spec-gated semantics reference; byte-identical keys, so
-    // every downstream band/oracle contract is untouched.
-    val aggs = (0 until k).map(i =>
-      min(element_at(col("__mk"), i + 1)).as(s"m$i"))
-    sh.withColumn("__mk", graft.functions.MinhashKeysExpr(col("sh"), k))
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // all k keys in ONE fused call per shingle row, emitted as flipped
+    // big-endian LONGS so the per-doc min aggregation is a mutable-
+    // buffer HashAggregate with a map-side partial — min(string) forced
+    // a Sort + SortAggregate over the whole ~50M-row shingle frame on
+    // both sides of the exchange (see MinhashLongsUtil for the order
+    // isomorphism and the measured history, incl. round 13's reverted
+    // string-array fusion). The hex string signature columns are
+    // recovered bit-for-bit AFTER aggregation (docs-sized frame);
+    // [[sigsFromShinglesBuiltin]] keeps the md5/substring chain as the
+    // spec-gated semantics reference, so every downstream band/oracle
+    // contract is untouched.
+    val mins = (0 until k).map(i =>
+      min(element_at(col("__mk"), i + 1)).as(s"__ml$i"))
+    val hexed = (0 until k).map(i =>
+      lower(lpad(hex(expr(s"__ml$i ^ ${Long.MinValue}L")), 16, "0")).as(s"m$i"))
+    sh.withColumn("__mk", graft.functions.MinhashLongsExpr(col("sh"), k))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id") +: hexed: _*)
   }
 
   /** The per-column md5/substring chain [[sigsFromShingles]] fuses —

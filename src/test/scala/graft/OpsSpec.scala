@@ -39,7 +39,7 @@ class OpsSpec extends SparkSpecBase {
   }
 
   test("fused minhash keys are byte-equal to the md5/substring chain") {
-    // the fused MinhashKeysExpr must reproduce every m0..m7 signature
+    // the fused long-key path (MinhashLongsExpr + hex recovery) must reproduce every m0..m7 signature
     // column bit-for-bit (the band keys, the oracle CTEs and the
     // streaming ingest index all hang off these strings); gate on the
     // planted corpus plus unicode/empty-ish shingle shapes
