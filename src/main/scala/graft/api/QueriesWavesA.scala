@@ -1280,35 +1280,44 @@ private[api] object QueriesWavesA {
     // Theil–Sen robust trend slope per event type — the median of all
     // pairwise hourly slopes, the outlier-proof twin of
     // events_trend_slope's OLS. The hourly pre-agg collapses the corpus
-    // first, so the pair self-join is O(span_hours²) per type —
+    // first, so the pair stage is O(span_hours²) per type —
     // CORPUS-INDEPENDENT (the 30-day span is ~720 hours at every SF;
     // for year-long spans, pre-bucket hours to days first). Each slope
     // is ONE IEEE double division (exactly rounded, engine-invariant),
     // the median is the deterministic lower median by (slope, t1, t2)
-    // order.
+    // order. The median is computed from each group's COLLECTED
+    // t-ordered series in one fused call (graft_theilsen_median: pairs
+    // generated in (i, j) lex order + a STABLE sort by slope ≡ the
+    // (slope, t1, t2) row_number order, same IEEE divisions), not by
+    // materializing the ~1.3M-row pair join + full window sort the
+    // DuckDB oracle keeps. n_pairs = C(cnt, 2) ≡ the window count over
+    // the pair rows; 1-bucket groups emit nothing either way.
     "events_theilsen_slope" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val hourly = Tables.events(s, d)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
           .agg(count(lit(1)).as("n"))
-        val minh = hourly.agg(min("hr").as("mnh"))
-        val t = hourly.crossJoin(broadcast(minh))
+        // global min(hr) via an unpartitioned window over the HOURLY
+        // frame (span-bounded, ~720 rows/type) — the former
+        // crossJoin(broadcast(agg)) scanned and re-aggregated the whole
+        // events corpus a SECOND time just to produce this one scalar
+        // (two Scan parquet nodes in the before-plan; the all-to-one
+        // window moves only the tiny post-agg frame). Same mnh, same t.
+        val t = hourly
+          .withColumn("mnh", min("hr").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
           .withColumn("t", expr("(unix_micros(hr) - unix_micros(mnh)) div 3600000000"))
           .select("event_type", "t", "n")
-        val pairs = t.select(col("event_type"), col("t").as("t1"), col("n").as("n1"))
-          .join(t.select(col("event_type"), col("t").as("t2"), col("n").as("n2")),
-            "event_type")
-          .filter(col("t1") < col("t2"))
-          .withColumn("slope",
-            (col("n2") - col("n1")).cast("double") / (col("t2") - col("t1")).cast("double"))
-        val w = Window.partitionBy("event_type").orderBy("slope", "t1", "t2")
-        pairs
-          .withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
-          .filter(col("rn") === expr("(cnt + 1) div 2"))
-          .select(col("event_type"), col("cnt").cast("long").as("n_pairs"),
-            round(col("slope"), 6).as("theilsen_slope"))
+        t.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sort_array(collect_list(struct(col("t"), col("n")))).as("ser"))
+          .filter(col("cnt") >= 2)
+          .select(col("event_type"),
+            expr("cnt * (cnt - 1) div 2").cast("long").as("n_pairs"),
+            round(graft.functions.TheilSenMedianExpr(
+              expr("transform(ser, e -> e.t)"),
+              expr("transform(ser, e -> e.n)")), 6).as("theilsen_slope"))
           .orderBy("event_type")
       },
       Some(

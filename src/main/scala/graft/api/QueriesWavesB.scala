@@ -1207,11 +1207,19 @@ private[api] object QueriesWavesB {
 
     // Mann–Kendall trend statistic on the daily revenue series per
     // order priority: S = Σ_{i<j} sign(x_j − x_i), plus exact Kendall
-    // tau-a ×1e6 = S div C(n,2). The pair join runs on the
+    // tau-a ×1e6 = S div C(n,2). The pair stage runs on the
     // DAY-AGGREGATED frame — its volume is (date-span)², bounded by the
     // calendar and CORPUS-SIZE INDEPENDENT (the corpus scan is one
     // keyed aggregation); the complement to Theil–Sen (slope) and CUSUM
     // (changepoint location): a distribution-free monotone-trend test.
+    // S is computed from each group's COLLECTED date-ordered series in
+    // one fused O(n log n) call (graft_mann_kendall_s, Fenwick-counted
+    // signs — exactly the pair join's when(>,1).when(<,-1) sum), not by
+    // materializing the ~14M-row span² self-join the DuckDB oracle
+    // keeps: same integer comparisons, no pair exchange. n_days =
+    // count(*) of the day frame ≡ the join form's countDistinct(d1)+1
+    // on every ≥2-day group, and 1-day groups emit nothing either way
+    // (no pairs ⇒ no group row there; explicit filter here).
     "stats_mann_kendall" -> Q(
       (s, d) => {
         def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
@@ -1219,17 +1227,14 @@ private[api] object QueriesWavesB {
           .groupBy(col("o_orderpriority"), col("o_orderdate"))
           .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
             .cast("long").as("rev_c"))
-        val a = day.select(col("o_orderpriority").as("pri"),
-          col("o_orderdate").as("d1"), col("rev_c").as("x1"))
-        val b = day.select(col("o_orderpriority").as("pri2"),
-          col("o_orderdate").as("d2"), col("rev_c").as("x2"))
-        a.join(b, col("pri") === col("pri2") && col("d1") < col("d2"))
-          .groupBy(col("pri").as("o_orderpriority"))
-          .agg(
-            (countDistinct(col("d1")) + lit(1L)).cast("long").as("n_days"),
-            sum(when(col("x2") > col("x1"), 1L)
-              .when(col("x2") < col("x1"), -1L).otherwise(0L))
-              .cast("long").as("s_stat"))
+        day.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n_days"),
+            sort_array(collect_list(struct(col("o_orderdate").as("d"),
+              col("rev_c").as("x")))).as("ser"))
+          .filter(col("n_days") >= 2)
+          .select(col("o_orderpriority"), col("n_days"),
+            graft.functions.MannKendallSExpr(expr("transform(ser, e -> e.x)"))
+              .as("s_stat"))
           // tau = S / C(n,2); computed as 2·S·1e6 div (n(n−1)) — the
           // doubled form keeps every operand integral (no decimal
           // division scale), mathematically identical since n(n−1) is
