@@ -493,34 +493,23 @@ private[api] object QueriesStar {
     // Robust per-type anomaly detection by median absolute deviation —
     // the outlier detector that, unlike the winsorize percentiles, a
     // few extreme values cannot drag (50% breakdown point). Median and
-    // MAD are EXACT integer rank selections in cents (the winsorize
-    // discipline, rn = (n+1) div 2 — the lower median, never an
-    // interpolated float), each a per-type window; the 5·MAD flagging
-    // pass joins the 5-row threshold frame back as a broadcast. Output
-    // is the per-type anomaly report (volume, median, MAD, flagged
-    // count, worst deviation).
+    // MAD are EXACT integer rank selections in cents; see
+    // ops/Stats.madReport for the two byte-equal plans (raw row_number
+    // windows vs the per-type value histogram whose cumulative count
+    // reaches the rank) and the measured crossover behind the
+    // corpus-size schedule (raw windows win under ~1M events on
+    // per-stage constants; the histogram form is 5.8× at the 100×
+    // corpus because nothing row-sized is sorted or re-scanned). The
+    // row count comes from the parquet FOOTERS (driver-side, no Spark
+    // job — a count() action measured ~0.3 s of pure schedule overhead
+    // at sf0.1, most of what the schedule was saving).
     "events_anomaly_mad" -> Q(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val v = Tables.events(s, d)
           .select(col("event_type"), floor(col("value") * 100).cast("long").as("vc"))
-        def rankMedian(in: DataFrame, valueCol: String, out: String): DataFrame = in
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("event_type").orderBy(valueCol)))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-          .filter(col("rn") === expr("(n + 1) div 2"))
-          .groupBy("event_type").agg(min(valueCol).as(out))
-        val med = rankMedian(v, "vc", "med_c")
-        val dev = v.join(broadcast(med), "event_type")
-          .withColumn("dev", abs(col("vc") - col("med_c")))
-        val mad = rankMedian(dev.select("event_type", "dev"), "dev", "mad_c")
-        dev.join(broadcast(mad), "event_type")
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n"),
-            min("med_c").as("med_c"), min("mad_c").as("mad_c"),
-            sum(when(col("dev") > col("mad_c") * 5, 1L).otherwise(0L)).as("n_anomalies"),
-            max(when(col("dev") > col("mad_c") * 5, col("dev"))).as("worst_dev_c"))
-          .orderBy("event_type")
+        val n = Tables.layoutOf(s, s"$d/events.parquet").rows
+        graft.ops.Stats.madReport(v,
+          useHistogram = n >= graft.ops.Stats.MadHistogramMinRows)
       },
       Some(
         """WITH v AS (SELECT event_type,

@@ -277,12 +277,18 @@ private[api] object QueriesWavesB {
         // one core. The pre-explode repartition ships 16 bytes/row to
         // unlock 32 hashes/row of parallelism — at full scale the scan
         // has thousands of splits and AQE keeps this exchange cheap.
+        // all 32 replica weights fused into ONE call per order row
+        // (graft_bootstrap_weights; posexplode's pos ≡ the former
+        // sequence(0,31) replica id) — the per-replica column chain
+        // built a concat string, a 32-char hex digest, a substring and
+        // a base-16 conv parse per row×replica; byte-identical weights
+        // by construction (same md5 of "<key>:<b>", same top-60-bit
+        // read, same PoissonCdfX2p60 thresholds), gated in OpsSpec
+        // against the builtin chain and by the unchanged oracle.
         val rep = o.repartition(o.sparkSession.sparkContext.defaultParallelism)
           .select(col("o_orderkey"), col("cents"),
-            explode(expr("sequence(0, 31)")).as("b"))
-          .withColumn("h", graft.functions.GraftFunctions.md5Hash60(
-            concat_ws(":", col("o_orderkey"), col("b"))))
-          .withColumn("w", graft.ops.Stats.poissonWeight(col("h")))
+            posexplode(graft.functions.BootstrapWeightsExpr(col("o_orderkey"), 32))
+              .as(Seq("b", "w")))
         val means = rep.groupBy("b")
           .agg(expr("sum(w * cents) div sum(w)").as("m"))
         val ranked = means

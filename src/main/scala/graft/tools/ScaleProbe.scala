@@ -56,6 +56,29 @@ object ScaleProbe {
 
     def docs = graft.api.Tables.documents(spark, sfDir)
     def embs = graft.api.Tables.embeddings(spark, sfDir)
+    // QueriesShared.plantedDocs (package-private) replicated for probes
+    def plantedNearDocs: DataFrame = {
+      import org.apache.spark.sql.functions._
+      val base = docs
+      val p0 = base.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      base.unionByName(
+        p0.withColumn("text", concat(col("text"), lit(" planted dup tail"))))
+    }
+    def scorecardLiAgg(ordersHint: Option[String]): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val o = graft.api.Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          to_date(col("o_orderdate")).as("od"))
+      val oh = ordersHint.map(o.hint(_)).getOrElse(o)
+      graft.api.Tables.lineitem(spark, sfDir)
+        .join(oh, "l_orderkey")
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("CAST(floor(l_extendedprice) AS BIGINT)")).as("rev"),
+          sum(when(datediff(to_date(col("l_shipdate")), col("od")) <= 30, 1L)
+            .otherwise(0L)).as("on_time"))
+    }
     val probes: Seq[(String, () => DataFrame)] = Seq(
       "containment_direct" -> (() => graft.ops.Dedup.containmentPairs(docs)),
       "containment_sched" -> (() => graft.ops.Dedup.containmentPairsAuto(docs)),
@@ -326,6 +349,37 @@ object ScaleProbe {
           .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
           .filter(col("dist") >= 0)
           .select("block", "name_a", "name_b", "m_a", "m_b", "dist")
+      }),
+      // supplier_scorecard decomposition (r13 verdict carry item: the
+      // 30× counter-move) — price the lineitem⋈orders fact-fact join
+      // under each strategy vs the supplier-grain agg alone vs the raw
+      // scan; deltas between stages name the superlinear term.
+      "scorecard_full" -> (() =>
+        graft.api.Queries.registry("supplier_scorecard").fn(spark, sfDir)),
+      // pipeline_cluster_keep decomposition (r14 session-2: the family
+      // A/B showed keep 32→47-65 s at 100× across the snapshot while
+      // dedup_clusters — the SAME pairs→CC subtree — improved; these
+      // stages name the diverging term)
+      "ck_pairs" -> (() => graft.ops.Dedup.minhashPairs(
+        plantedNearDocs, k = 8, bands = 4)),
+      "ck_cc" -> (() => graft.ops.Dedup.duplicateClusters(
+        graft.ops.Dedup.minhashPairs(plantedNearDocs, k = 8, bands = 4))),
+      "ck_full" -> (() =>
+        graft.api.Queries.registry("pipeline_cluster_keep").fn(spark, sfDir)),
+      "scorecard_li_agg" -> (() => scorecardLiAgg(None)),
+      "scorecard_li_agg_shj" -> (() => scorecardLiAgg(Some("shuffle_hash"))),
+      "scorecard_li_agg_bcast" -> (() => scorecardLiAgg(Some("broadcast"))),
+      "scorecard_agg_only" -> (() => {
+        import org.apache.spark.sql.functions._
+        graft.api.Tables.lineitem(spark, sfDir)
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(expr("CAST(floor(l_extendedprice) AS BIGINT)")).as("rev"))
+      }),
+      "scorecard_scan" -> (() => {
+        import org.apache.spark.sql.functions._
+        graft.api.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate")
       }))
 
     // `splits` mode: assert the loader guarantee (Tables.load's

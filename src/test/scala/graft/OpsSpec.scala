@@ -52,6 +52,27 @@ class OpsSpec extends SparkSpecBase {
     assert(fused.count() > 0)
   }
 
+  test("fused bootstrap weights are byte-equal to the md5Hash60/poissonWeight chain") {
+    import org.apache.spark.sql.functions._
+    // edge keys (0, 1, max-ish) + a key range; every (key, b, w) triple
+    // must match the per-replica column chain the oracle replays
+    val keys = spark.range(0, 500).select(col("id").as("k"))
+      .unionByName(spark.createDataFrame(Seq(Tuple1(0L), Tuple1(1L),
+        Tuple1(999999999999L))).toDF("k"))
+    val fused = keys.select(col("k"),
+      posexplode(graft.functions.BootstrapWeightsExpr(col("k"), 32))
+        .as(Seq("b", "w")))
+    val builtin = keys.select(col("k"), explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("w", graft.ops.Stats.poissonWeight(
+        graft.functions.GraftFunctions.md5Hash60(
+          concat_ws(":", col("k"), col("b")))))
+      .select("k", "b", "w")
+    assert(fused.exceptAll(builtin).isEmpty && builtin.exceptAll(fused).isEmpty)
+    // sanity: weights span the Poisson(1) support (0 and >=2 both occur)
+    val ws = fused.select("w").distinct().collect().map(_.getLong(0)).toSet
+    assert(ws.contains(0L) && ws.exists(_ >= 2L))
+  }
+
   test("cross-corpus matches flag near-copy and exact batch docs, pass novel ones") {
     // batch: 20 near-copies of corpus docs 0..19 (+100000), one exact
     // re-crawl of doc 30 (+200000), and one doc of pure novel text

@@ -47,6 +47,27 @@ class StatsSketchSpec extends SparkSpecBase {
     assert(a.map(_._1).toSet == Set("the", "of")) // rare (40) < n/64 (~53)
   }
 
+  test("mad report: histogram plan is byte-equal to the raw-window plan") {
+    // seeded values with heavy ties (small range) AND a distinct tail,
+    // several types with odd/even counts — the rank = (n+1) div 2
+    // selection and the 5·MAD flags must agree row-for-row between the
+    // raw row_number windows and the cumulative-histogram selection
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map { i =>
+      val t = s"type${i % 7}"
+      val v = if (i % 97 == 0) 100000000L + rnd.nextInt(1000) // true anomalies
+              else if (i % 5 == 0) rnd.nextInt(20).toLong     // tie block
+              else rnd.nextInt(100000).toLong                 // spread
+      (t, v)
+    }
+    val v = spark.createDataset(rows).toDF("event_type", "vc")
+      .repartition(8)
+    val a = graft.ops.Stats.madReport(v, useHistogram = false).collect()
+    val b = graft.ops.Stats.madReport(v, useHistogram = true).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.nonEmpty && a.exists(_.getAs[Long]("n_anomalies") > 0))
+  }
+
   test("bucketedRank equals a global row_number over (value, tie)") {
     val rnd = new scala.util.Random(7)
     // clustered values so some buckets are dense, some empty, plus ties
