@@ -149,16 +149,47 @@ object Dedup {
   private[graft] def bandKeys(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    (0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i"))
-      sigs.select(col("doc_id"),
-        lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
-    }.reduce(_ unionAll _)
+    // ONE projection + posexplode over ONE sigs subtree (pos ≡ the old
+    // lit(band)), NOT a bands-way unionAll of per-band selects: the
+    // union re-expanded the ENTIRE signature pipeline (scan + shingle
+    // Generate + digest + two-phase agg) once per band in the plan —
+    // Spark shares no logical subtrees — so every banded consumer paid
+    // bands× the scan/digest/agg work (plan-verified: 4 parallel
+    // Generate+HashAggregate+Exchange branches under a Union in
+    // plans/r14/dedup_minhash_before_sess2.txt). Row multiset is
+    // identical: (doc_id, b, key_b) for b = 0..bands-1 either way.
+    val keys = (0 until bands).map { b =>
+      md5(concat_ws("|", (b * r until (b + 1) * r).map(i => col(s"m$i")): _*))
+    }
+    sigs.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "key")))
   }
+
+  /** The pre-self-join banded-frame checkpoint and its schedule: the
+    * candidate self-joins reference `banded` twice, and without a
+    * materialization the whole signature pipeline runs once PER SIDE
+    * (the non-deterministic fused digest blocks ReuseExchange's
+    * sameResult dedup). localCheckpoint'ing the docs×bands frame
+    * (≈ 50 B/row — the §8 "decide with small rows" shape) makes it run
+    * ONCE — intra-query materialization, the graph_hits_parts
+    * checkpoint discipline, never cross-run — but the EAGER
+    * materialization job is a fixed ~0.3-1 s that outweighs the saved
+    * re-evaluation on small corpora (measured at sf0.1:
+    * dedup_jaccard_histogram +0.9 s with an unconditional checkpoint).
+    * Scheduled on Catalyst's size estimate of the input frame — a
+    * driver-side stat derived from file sizes, no job (measured:
+    * 0.8 MB at sf0.1, 8.3 MB at 10×, 88.7 MB at 100×).
+    */
+  private[graft] val BandedCheckpointMinBytes: Long = 4L << 20
+  private def checkpointIfBig(banded: DataFrame, sizeHint: DataFrame): DataFrame =
+    if (sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes
+        >= BigInt(BandedCheckpointMinBytes))
+      banded.localCheckpoint(true)
+    else banded
 
   private[graft] def minhashPairsFromShingles(sh: DataFrame, k: Int, bands: Int,
       maxBandFreq: Int): DataFrame = {
-    val banded = dropHotBands(bandKeys(sigsFromShingles(sh, k), k, bands), maxBandFreq)
+    val banded = checkpointIfBig(
+      dropHotBands(bandKeys(sigsFromShingles(sh, k), k, bands), maxBandFreq), sh)
     val l = banded.select(col("band"), col("key"), col("doc_id").as("a"))
     val rt = banded.select(col("band"), col("key"), col("doc_id").as("b"))
     l.join(rt, Seq("band", "key"))
@@ -179,11 +210,17 @@ object Dedup {
     val aggs = (0 until k).map(i =>
       min(GraftFunctions.murmur64(concat(lit(s"$i#"), col("sh")))).as(s"m$i"))
     val sigs = shingleRows(docs, 3).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val banded = dropHotBands((0 until bands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        GraftFunctions.murmur64(concat_ws("|", cols: _*)).as("key"))
-    }.reduce(_ unionAll _), maxBandFreq)
+    // same single-subtree posexplode + pre-self-join checkpoint as
+    // [[bandKeys]]/[[minhashPairsFromShingles]] — the unionAll form
+    // re-ran the murmur signature pipeline bands× and the self-join
+    // doubled it
+    val keys = (0 until bands).map { b =>
+      GraftFunctions.murmur64(concat_ws("|",
+        (b * r until (b + 1) * r).map(i => col(s"m$i").cast("string")): _*))
+    }
+    val banded = checkpointIfBig(dropHotBands(
+      sigs.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "key"))),
+      maxBandFreq), docs)
     val l = banded.select(col("band"), col("key"), col("doc_id").as("a"))
     val rt = banded.select(col("band"), col("key"), col("doc_id").as("b"))
     l.join(rt, Seq("band", "key"))
@@ -228,10 +265,16 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       portable: Boolean = false, maxBandFreq: Int = DefaultBandCap): DataFrame = {
     val sh = simhash(docs, portable)
-    val banded = dropHotBands((0 until 4).map { b =>
-      sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("key"))
-    }.reduce(_ unionAll _), maxBandFreq)
+    // single-subtree posexplode + pre-self-join checkpoint, the
+    // [[bandKeys]] discipline: the 4-way unionAll re-ran the simhash
+    // pipeline (token explode + two aggs) once per band, and the
+    // self-join doubled it
+    val keys = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL))
+    val banded = checkpointIfBig(dropHotBands(
+      sh.select(col("doc_id"), col("simhash"),
+        posexplode(array(keys: _*)).as(Seq("band", "key"))),
+      maxBandFreq), docs)
     val l = banded.select(col("band"), col("key"),
       col("doc_id").as("a"), col("simhash").as("sha"))
     val r = banded.select(col("band"), col("key"),

@@ -436,6 +436,15 @@ object ScaleProbe {
       return
     }
 
+    // `<dir> mhstats`: print Catalyst size estimates for the shingle
+    // frame (the banded-checkpoint schedule signal) at this corpus
+    if (args.length > 1 && args(1) == "mhstats") {
+      val sh = graft.ops.Dedup.shingleRows(plantedNearDocs, 3)
+      println(s"""{"sf":"$sfDir","sh_sizeInBytes":${sh.queryExecution.optimizedPlan.stats.sizeInBytes},"docs_sizeInBytes":${docs.queryExecution.optimizedPlan.stats.sizeInBytes}}""")
+      spark.stop()
+      return
+    }
+
     val selected = if (args.length > 1) {
       val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet
       probes.filter { case (n, _) => names(n) }
