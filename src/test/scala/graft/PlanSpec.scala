@@ -487,16 +487,22 @@ class PlanSpec extends SparkSpecBase {
       s"unkeyed join in CUSUM plan:\n${p.take(2000)}")
   }
 
-  test("Theil-Sen: the pair self-join is keyed on the type, pre-agg first") {
-    // O(span²) pairs come from a join KEYED on event_type over the
-    // hourly pre-agg — never a cartesian of the corpus; the only BNLJs
-    // are the 1-row min-hour scalar, which the self-join duplicates
-    // onto both branches (hence ≤2)
+  test("Theil-Sen: no pair join at all — one scan, fused per-group median") {
+    // the O(span²) pair stage runs INSIDE graft_theilsen_median over
+    // each group's collected series (r14): the plan must carry the
+    // fused call, exactly one corpus scan, a map-side combine on the
+    // hourly pre-agg, and NO join of any kind (the old shape's pair
+    // self-join and min-hour scalar BNLJ are both gone)
     val p = plan("events_theilsen_slope")
+    assert(p.contains("graft_theilsen_median"), s"fused median missing:\n${p.take(2000)}")
     assert(p.contains("partial_"), s"no map-side combine:\n${p.take(2000)}")
-    assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n${p.take(2000)}")
-    assert(bnljCount(p) <= 2, s"non-scalar BNLJ:\n${p.take(2500)}")
-    assert(p.contains("BroadcastHashJoin"), s"pair join not keyed:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"unexpected join in fused plan:\n${p.take(2500)}")
+    // the AQE executed-plan string repeats the scan inside materialized
+    // ShuffleQueryStage sections — the old pair-join shape carried 4
+    // distinct scans (2 per self-join side), so < 3 pins the collapse
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"more than one corpus scan:\n${p.take(2500)}")
   }
 
   test("skyline: the size-frontier frame joins back as a broadcast") {
